@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.util.Det._
+
+/** Aggregation surface (SURVEY §2.1 relalg.aggregation / §2.4).
+  * Reference: relalg.aggregation RelAlgOps.td:223, aggrfn enum RelAlgOps.td:71-85
+  * (sum,min,max,avg,count,any,stddev_samp,var_samp), DISTINCT-aggregate rewrite
+  * sql_mlir_translator.cpp:1512-1514, AVG/STDDEV decomposition
+  * sql_analyzer.cpp:1334,2680-2706, ROLLUP expansion
+  * sql_mlir_translator.cpp:1699-1766, groupjoin RelAlgOps.td:240.
+  *
+  * Spark's HashAggregateExec already does the two-phase (partial/final)
+  * aggregation the reference builds by hand with thread-local pre-aggregation
+  * hash tables (SpecializeParallelPass.cpp:23-105) — at cluster scale the
+  * partial agg is the map-side combine that keeps the shuffle small.
+  *
+  * stddev/var are decomposed into exact decimal sums (like the reference's
+  * analyzer decomposition) so the result is bit-identical to the DuckDB oracle
+  * regardless of aggregation order.
+  */
+object Aggregates {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Global (keyless) aggregate — reference subop.simple_state (SubOperatorOps.td:199).
+    "agg_global" -> ((s, d) =>
+      t(s, d, "lineitem").agg(
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))),
+
+    // HAVING — filter over aggregate.
+    "agg_having" -> ((s, d) =>
+      t(s, d, "customer")
+        .groupBy(big(col("c_nationkey")).as("nk"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 50)
+        .orderBy("nk")),
+
+    // Multi-DISTINCT aggregate (expand-based in Spark; reference RA2SO:2561-2609).
+    "agg_distinct_count" -> ((s, d) =>
+      t(s, d, "orders").agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderpriority")).as("n_prio"))),
+
+    // sum(DISTINCT) — reference rewrites via distinct projection sub-stream.
+    "agg_sum_distinct" -> ((s, d) =>
+      t(s, d, "lineitem").agg(
+        sum_distinct(dec2(col("l_quantity"))).cast("double").as("sum_dq"),
+        countDistinct(col("l_quantity")).as("n_dq"))),
+
+    // avg / stddev_samp / var_samp decomposed into exact decimal sums
+    // (reference decomposes identically: sql_analyzer.cpp:2680-2706).
+    "agg_stats" -> ((s, d) => {
+      val g = t(s, d, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(col("c_acctbal")).as("n"),
+          sum(dec2(col("c_acctbal"))).cast("double").as("s"),
+          sum(dec4(col("c_acctbal") * col("c_acctbal"))).cast("double").as("s2"))
+      g.select(
+        col("c_mktsegment"),
+        col("n"),
+        (col("s") / col("n")).as("avg_bal"),
+        ((col("s2") - col("s") * col("s") / col("n")) / (col("n") - 1)).as("var_bal"),
+        sqrt((col("s2") - col("s") * col("s") / col("n")) / (col("n") - 1)).as("std_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // min/max over strings.
+    "agg_minmax_string" -> ((s, d) =>
+      t(s, d, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(min(col("c_name")).as("min_name"), max(col("c_name")).as("max_name"))
+        .orderBy("c_mktsegment")),
+
+    // relalg.collectionjoin / getlist (RelAlgOps.td:366,515) — nested collection
+    // per group, rendered as a deterministic sorted string.
+    "agg_collect_list" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_custkey") <= 200)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(concat_ws(",", sort_array(collect_list(col("o_orderkey"))).cast("array<string>")).as("order_ids"),
+          count(lit(1)).as("n"))
+        .orderBy("custkey")),
+
+    // relalg.groupjoin (RelAlgOps.td:240) — join+aggregate; Catalyst plans
+    // join → partial agg → final agg (the fusion is a physical optimization in
+    // the reference, not a semantic one — SURVEY §2.1).
+    "agg_groupjoin" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .filter(col("n_orders") >= 15)
+        .orderBy("c_custkey")),
+
+    // ROLLUP + GROUPING (reference grammar parser.y:997-1018, translated by
+    // union-of-aggregations expansion; Spark Expand does the same).
+    "agg_rollup" -> ((s, d) => {
+      val j = t(s, d, "customer")
+        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+      j.rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("r_name")).cast("int").as("g_r"),
+          grouping(col("n_name")).cast("int").as("g_n"))
+        .select(coalesce(col("r_name"), lit("(all)")).as("region"),
+          coalesce(col("n_name"), lit("(all)")).as("nation"),
+          col("n"), col("g_r"), col("g_n"))
+        .orderBy("region", "nation")
+    }),
+
+    // CUBE (beyond the reference's grammar, which comments CUBE out —
+    // parser.y:1060-1068 — but part of a complete Spark-native surface).
+    "agg_cube" -> ((s, d) => {
+      val j = t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+      j.cube(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("c_mktsegment"), lit("(all)")).as("segment"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"))
+        .orderBy("segment", "priority")
+    }),
+
+    // GROUPING SETS via the SQL surface.
+    "agg_grouping_sets" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("gs_orders")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, '(all)') AS status,
+          |       coalesce(o_orderpriority, '(all)') AS priority,
+          |       count(*) AS n
+          |FROM gs_orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY status, priority""".stripMargin)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_global" ->
+      "SELECT count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price FROM lineitem",
+    "agg_having" ->
+      "SELECT CAST(c_nationkey AS BIGINT) AS nk, count(*) AS n FROM customer GROUP BY 1 HAVING count(*) >= 50 ORDER BY nk",
+    "agg_distinct_count" ->
+      "SELECT count(DISTINCT o_custkey) AS n_cust, count(DISTINCT o_orderpriority) AS n_prio FROM orders",
+    "agg_sum_distinct" ->
+      "SELECT CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_dq, count(DISTINCT l_quantity) AS n_dq FROM lineitem",
+    "agg_stats" ->
+      """SELECT c_mktsegment, n, s / n AS avg_bal,
+                (s2 - s * s / n) / (n - 1) AS var_bal,
+                sqrt((s2 - s * s / n) / (n - 1)) AS std_bal
+         FROM (SELECT c_mktsegment, count(c_acctbal) AS n,
+                      CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s,
+                      CAST(sum(CAST(c_acctbal * c_acctbal AS DECIMAL(24,4))) AS DOUBLE) AS s2
+               FROM customer GROUP BY 1) g
+         ORDER BY c_mktsegment""",
+    "agg_minmax_string" ->
+      "SELECT c_mktsegment, min(c_name) AS min_name, max(c_name) AS max_name FROM customer GROUP BY 1 ORDER BY c_mktsegment",
+    "agg_collect_list" ->
+      "SELECT o_custkey AS custkey, string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS order_ids, count(*) AS n FROM orders WHERE o_custkey <= 200 GROUP BY 1 ORDER BY custkey",
+    "agg_groupjoin" ->
+      """SELECT c_custkey, c_name, count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         GROUP BY 1, 2 HAVING count(*) >= 15 ORDER BY c_custkey""",
+    "agg_rollup" ->
+      """SELECT coalesce(r_name, '(all)') AS region, coalesce(n_name, '(all)') AS nation,
+                count(*) AS n, CAST(grouping(r_name) AS INTEGER) AS g_r,
+                CAST(grouping(n_name) AS INTEGER) AS g_n
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY region, nation""",
+    "agg_cube" ->
+      """SELECT coalesce(c_mktsegment, '(all)') AS segment,
+                coalesce(o_orderpriority, '(all)') AS priority, count(*) AS n
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         GROUP BY CUBE(c_mktsegment, o_orderpriority)
+         ORDER BY segment, priority""",
+    "agg_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+                coalesce(o_orderpriority, '(all)') AS priority, count(*) AS n
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY status, priority"""
+  )
+}

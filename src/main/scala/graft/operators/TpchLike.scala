@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.util.Det._
+
+/** TPC-H-shaped headline queries, adapted to the driver's synthetic star schema
+  * (TESTDATA.md — no partsupp; lineitem/orders carry a column subset).
+  * Reference query texts: resources/sql/tpch/{1,3,5,6,10}.sql; golden results
+  * methodology test/sqlite-datasets/tpchSf1.test:2-28 (SURVEY §5, §6).
+  *
+  * Scale notes (100 TB thinking):
+  * - q1: single scan → partial agg on 6 tiny groups → final agg. No shuffle of
+  *   raw rows; the parquet scan prunes to the 7 referenced columns and the
+  *   shipdate filter is pushed to the reader.
+  * - q3/q5/q10: the fact table (lineitem) is never broadcast; dimension sides
+  *   (region/nation, filtered customer) are small enough for Catalyst/AQE to
+  *   broadcast, so lineitem is joined without a full shuffle where possible.
+  * - Aggregates go through exact decimals (Det) — same bit-for-bit results on
+  *   one node or a thousand.
+  */
+object TpchLike {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Q1 pricing summary — the flagship (SURVEY §7.2 M1). */
+  def q1(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp(lit("2000-01-01 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        msum(col("l_extendedprice"), lit(1) - col("l_discount")).as("sum_disc_price"),
+        msum(col("l_extendedprice"), lit(1) - col("l_discount"), lit(1) + col("l_tax"))
+          .as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val queries: Map[String, Q] = Map(
+    "tpch_q1" -> (q1 _),
+
+    // Q3 shipping-priority: 3-way join, filtered both sides, top-10 by revenue.
+    "tpch_q3" -> ((s, d) => {
+      val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01 00:00:00")))
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(msum(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          col("o_orderdate").cast("date").as("o_date"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Q5 local-supplier revenue: 6-way join incl. the c_nationkey = s_nationkey
+    // locality condition, grouped by nation.
+    "tpch_q5" -> ((s, d) => {
+      val asia = t(s, d, "region").filter(col("r_name") === "ASIA")
+      val j = asia
+        .join(t(s, d, "nation"), col("n_regionkey") === col("r_regionkey"))
+        .join(t(s, d, "customer"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "orders")
+            .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+              col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      j.groupBy(col("n_name"))
+        .agg(msum(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Q6 forecasting revenue change: pure scan-filter-aggregate.
+    "tpch_q6" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(
+          col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("l_discount") >= 0.02 && col("l_discount") <= 0.04 &&
+          col("l_quantity") < 24)
+        .agg(msum(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("n"))),
+
+    // Q10 returned items: customer-level revenue loss from returns.
+    "tpch_q10" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+      val li = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+      t(s, d, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(msum(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) * CAST(1 + l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_charge,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+                CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "tpch_q3" ->
+      """SELECT l_orderkey,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+                CAST(o_orderdate AS DATE) AS o_date, o_orderpriority
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "tpch_q5" ->
+      """SELECT n_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+         FROM region
+         JOIN nation ON n_regionkey = r_regionkey
+         JOIN customer ON c_nationkey = n_nationkey
+         JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name""",
+    "tpch_q6" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+                count(*) AS n
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount >= 0.02 AND l_discount <= 0.04
+           AND l_quantity < 24""",
+    "tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20"""
+  )
+}
