@@ -21,7 +21,8 @@ object SparkEntry {
       (Aggregates.queries, Aggregates.oracle),
       (Windows.queries, Windows.oracle),
       (Subqueries.queries, Subqueries.oracle),
-      (TpchLike.queries, TpchLike.oracle)
+      (TpchLike.queries, TpchLike.oracle),
+      (graft.functions.FunctionQueries.queries, graft.functions.FunctionQueries.oracle)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static helpers referenced from generated code — keep them Java-simple so
+  * whole-stage codegen can call them directly. */
+object ExprUtil {
+  /** Gauss error function via commons-math3 (public Spark dependency).
+    * Reference surface: the `Erf` runtime function in LingoDB's registry
+    * (reference src/compiler/Dialect/DB/RuntimeFunctions/RuntimeFunctions.cpp:338,
+    * impl src/runtime/FloatRuntime.cpp). Spark has no built-in erf. */
+  def erf(x: Double): Double = org.apache.commons.math3.special.Erf.erf(x)
+
+  /** 61-bit polynomial rolling hash over UTF-8 bytes (base 131, mod 2^61-1) —
+    * a deterministic document fingerprint for dedup pipelines. Equivalent role
+    * to LingoDB's runtime `Hash` function
+    * (reference RuntimeFunctions.cpp:341, include/lingodb/runtime/helpers.h),
+    * but specified here so results are stable across engines/versions. */
+  def rollingHash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val M = (1L << 61) - 1
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      // h = (h * 131 + b) mod 2^61-1, without overflow: h < 2^61, 131*h < 2^68
+      val hi = h >>> 54          // top bits of h*131 contribution
+      val lo = (h << 7) + (h << 1) + h + (bytes(i) & 0xffL) // h*131 + b (mod 2^64)
+      h = ((lo & M) + ((lo >>> 61) | (hi << 3))) // fold mod 2^61-1
+      if (h >= M) h -= M
+      i += 1
+    }
+    h
+  }
+}
+
+/** erf(x) as a native Catalyst expression with codegen — stays inside
+  * whole-stage codegen instead of a Scala UDF's boxing boundary. */
+case class Erf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "erf"
+  override def nullSafeEval(v: Any): Any = ExprUtil.erf(v.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprUtil.erf($c)")
+  override protected def withNewChildInternal(c: Expression): Erf = copy(child = c)
+}
+
+/** rolling_hash(str) → 61-bit fingerprint, codegen-native. */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+  override def nullSafeEval(v: Any): Any = ExprUtil.rollingHash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprUtil.rollingHash($c)")
+  override protected def withNewChildInternal(c: Expression): RollingHash = copy(child = c)
+}
+
+/** Column-level entry points + SQL registration (the engine's function
+  * registry, mirroring LingoDB's builtin table — SURVEY §2.3). */
+object GraftFunctions {
+  def erf(c: Column): Column = GraftColumnBridge.column(Erf(GraftColumnBridge.expression(c)))
+  def rolling_hash(c: Column): Column =
+    GraftColumnBridge.column(RollingHash(GraftColumnBridge.expression(c)))
+  def erf(name: String): Column = erf(col(name))
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("erf", exprs => Erf(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+  }
+}
