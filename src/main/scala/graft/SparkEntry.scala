@@ -22,7 +22,12 @@ object SparkEntry {
       (Windows.queries, Windows.oracle),
       (Subqueries.queries, Subqueries.oracle),
       (TpchLike.queries, TpchLike.oracle),
-      (graft.functions.FunctionQueries.queries, graft.functions.FunctionQueries.oracle)
+      (graft.functions.FunctionQueries.queries, graft.functions.FunctionQueries.oracle),
+      (graft.data.TextAnalysis.queries, graft.data.TextAnalysis.oracle),
+      (graft.data.Dedup.queries, graft.data.Dedup.oracle),
+      (graft.data.Similarity.queries, graft.data.Similarity.oracle),
+      (graft.data.Multimodal.queries, graft.data.Multimodal.oracle),
+      (graft.data.Events.queries, graft.data.Events.oracle)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,177 @@
+package graft.data
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators for training-data pipelines: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design (the point of each):
+  * - exact: hash-groupBy on a content fingerprint — one shuffle keyed by the
+  *   fingerprint; at 100 TB this is the cheapest possible full-corpus dedup.
+  * - ngram jaccard: pairs are generated ONLY through shared shingles (join on
+  *   the shingle), never by enumerating the n² document pairs.
+  * - minhash LSH: candidate pairs come from band-bucket collisions, so work is
+  *   proportional to collisions, not pairs; bucket size is capped to keep a
+  *   skewed bucket (e.g. boilerplate shingles) from exploding a task.
+  * - simhash: 64-bit signature via per-bit majority vote, banded into 16-bit
+  *   chunks for candidate generation (hamming<=k ⇒ some chunk equal for k<=3·…).
+  * - embedding cosine: brute-force pair scoring at test scale; the LSH-bucketed
+  *   scale path lives in [[Similarity]].
+  */
+object Dedup {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Distinct (doc_id, 3-word-shingle) pairs. Guard size>=3: Spark's
+    * sequence(1, n) with n<1 would produce a descending sequence. */
+  private[data] def shingles(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    docs.filter(size(w) >= 3)
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), explode(expr("sequence(1, size(w) - 2)")).as("i"), col("w"))
+      .select(col("doc_id"),
+        concat_ws(" ", element_at(col("w"), col("i")),
+          element_at(col("w"), col("i") + 1),
+          element_at(col("w"), col("i") + 2)).as("g"))
+      .distinct()
+  }
+
+  /** Exact jaccard over shingle sets for pairs that share >=1 shingle. */
+  private[data] def jaccardPairs(grams: DataFrame): DataFrame = {
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = grams.toDF("a", "g")
+    val b = grams.toDF("b", "g")
+    val ic = a.join(b, Seq("g")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ic"))
+    ic.join(sizes.toDF("a", "sa"), "a")
+      .join(sizes.toDF("b", "sb"), "b")
+      .select(col("a"), col("b"), col("ic"),
+        col("sa"), col("sb"),
+        (col("ic").cast("double") /
+          (col("sa") + col("sb") - col("ic")).cast("double")).as("jac"))
+  }
+
+  /** doc pairs (a<b) that co-occur in any bucket; bucket size capped so one
+    * degenerate bucket cannot quadratically explode (skew guard for scale). */
+  private[data] def pairsFromBuckets(buckets: DataFrame, maxBucket: Int = 64): DataFrame = {
+    val grouped = buckets.groupBy(col("bucket"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+    grouped
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: groupBy content hash, keep min doc_id (one shuffle).
+    "dedup_exact" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("h")),
+
+    // N-gram Jaccard near-dup with full DuckDB oracle. Pair generation via
+    // shared-shingle join only.
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      jaccardPairs(shingles(t(s, d, "documents")))
+        .filter(col("jac") >= 0.1)
+        .orderBy("a", "b")),
+
+    // MinHash (32 perms) + LSH (8 bands x 4 rows) with exact-jaccard
+    // verification of candidates. Engine-defined hashes → rows-only check.
+    "dedup_minhash_lsh" -> ((s, d) => {
+      val grams = shingles(t(s, d, "documents"))
+      val nHash = 32
+      val mh = grams.groupBy(col("doc_id")).agg(
+        min(xxhash64(lit(0), col("g"))).as("h0"),
+        (1 until nHash).map(k => min(xxhash64(lit(k), col("g"))).as(s"h$k")): _*)
+      val bands = (0 until 8).map { bnd =>
+        mh.select(col("doc_id"),
+          concat_ws("_", lit(bnd) +:
+            (0 until 4).map(r => col(s"h${bnd * 4 + r}")): _*).as("bucket"))
+      }.reduce(_ unionAll _)
+      val cand = pairsFromBuckets(bands)
+      val verified = jaccardPairs(grams)
+        .join(cand, Seq("a", "b"), "left_semi")
+        .filter(col("jac") >= 0.5)
+      verified.select(col("a"), col("b"), col("jac")).orderBy("a", "b")
+    }),
+
+    // SimHash: 64-bit signature = per-bit majority over shingle hashes;
+    // candidates from 16-bit chunk collisions; hamming<=10 near-dups.
+    "dedup_simhash" -> ((s, d) => {
+      val grams = shingles(t(s, d, "documents"))
+      val withH = grams.select(col("doc_id"), xxhash64(col("g")).as("h"))
+      val bitSums = withH.groupBy(col("doc_id")).agg(
+        sum(when(col("h").bitwiseAND(lit(1L << 0)) =!= 0L, 1).otherwise(-1)).as("b0"),
+        (1 until 64).map(i =>
+          sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1)).as(s"b$i")): _*)
+      val sig = bitSums.select(col("doc_id"),
+        (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("sig"))
+      val chunks = (0 until 4).map { c =>
+        sig.select(col("doc_id"),
+          concat_ws("_", lit(c),
+            shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))).as("bucket"))
+      }.reduce(_ unionAll _)
+      val cand = pairsFromBuckets(chunks)
+      val sa = sig.toDF("a", "siga")
+      val sb = sig.toDF("b", "sigb")
+      cand.join(sa, "a").join(sb, "b")
+        .select(col("a"), col("b"),
+          bit_count(col("siga").bitwiseXOR(col("sigb"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 10)
+        .orderBy("a", "b")
+    }),
+
+    // Embedding-cosine near-dup: top-20 most similar pairs (brute force at
+    // verify scale; see Similarity for the bucketed scale path).
+    "dedup_embed_cos" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          sqrt(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+            lit(0.0), (acc, x) => acc + x)).as("norm"))
+      val a = e.toDF("a", "ea", "na")
+      val b = e.toDF("b", "eb", "nb")
+      a.crossJoin(b).filter(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          (aggregate(zip_with(col("ea"), col("eb"), (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb"))).as("cos"))
+        .orderBy(col("cos").desc, col("a"), col("b"))
+        .limit(20)
+        .select(col("a"), col("b"), round(col("cos"), 4).as("sim"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY h",
+    "dedup_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3),
+              g0 AS (SELECT doc_id, unnest(generate_series(1, len(w) - 2)) AS i, w FROM w),
+              grams AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM g0),
+              sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+              ic AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ic
+                     FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2)
+         SELECT a, b, ic, sa.sz AS sa, sb.sz AS sb,
+                CAST(ic AS DOUBLE) / CAST(sa.sz + sb.sz - ic AS DOUBLE) AS jac
+         FROM ic JOIN sizes sa ON ic.a = sa.doc_id JOIN sizes sb ON ic.b = sb.doc_id
+         WHERE CAST(ic AS DOUBLE) / CAST(sa.sz + sb.sz - ic AS DOUBLE) >= 0.1
+         ORDER BY a, b""",
+    "dedup_embed_cos" ->
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                           CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+              norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+              dots AS (SELECT a.vec_id AS a, b.vec_id AS b, sum(a.v * b.v) AS dot
+                       FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+                       GROUP BY 1, 2)
+         SELECT a, b, round(dot / (na.nrm * nb.nrm), 4) AS sim
+         FROM dots JOIN norms na ON dots.a = na.vec_id JOIN norms nb ON dots.b = nb.vec_id
+         ORDER BY dot / (na.nrm * nb.nrm) DESC, a, b LIMIT 20"""
+  )
+}

@@ -1,0 +1,82 @@
+package graft.data
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal column plumbing: media as opaque binary columns + typed metadata,
+  * with decode/feature-extract as a partition-wise batch operator.
+  *
+  * The decode step is a clearly-marked STUB (no image/audio libs in this
+  * container): it derives deterministic fake dimensions from the byte stream.
+  * Everything around it is the real Spark shape a production pipeline needs:
+  * binary column in, per-partition batched iteration (one decoder init per
+  * partition, not per row — the same reason mapInPandas batches), typed struct
+  * out, explodable frame samples. Swap [[decodeStub]] for a real codec and the
+  * plan is unchanged.
+  */
+object Multimodal {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+  type Q = (SparkSession, String) => DataFrame
+
+  case class MediaIn(doc_id: Long, blob: Array[Byte])
+  case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long, n_frames: Long)
+
+  /** STUB decoder — deterministic fake metadata derived from the bytes.
+    * Real implementation would parse the container header here. */
+  private def decodeStub(in: MediaIn): MediaMeta = {
+    val n = in.blob.length.toLong
+    MediaMeta(in.doc_id, n, n % 640, (n * 7) % 480, n % 16 + 1)
+  }
+
+  /** Binary column → decoded metadata via partition-wise batches. */
+  def decodeMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("blob")).as[MediaIn]
+      .mapPartitions { it =>
+        // per-partition decoder init would go here (e.g. native codec handle)
+        it.map(decodeStub)
+      }
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Binary ingestion + metadata extraction (oracle reproduces the stub's
+    // arithmetic from octet_length, so the full plumbing is hash-checked).
+    "mm_meta" -> ((s, d) => {
+      val media = t(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      decodeMeta(s, media).toDF().orderBy("doc_id")
+    }),
+
+    // Frame sampling: explode each media item into its (fake) frames with a
+    // deterministic per-frame feature.
+    "mm_frames" -> ((s, d) => {
+      val media = t(s, d, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      decodeMeta(s, media).toDF()
+        .select(col("doc_id"), col("n_bytes"),
+          explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          ((col("n_bytes") * 31 + col("frame_idx")) % 997).as("feature"))
+        .orderBy("doc_id", "frame_idx")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mm_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+                CAST(octet_length(encode(text)) * 7 % 480 AS BIGINT) AS height,
+                CAST(octet_length(encode(text)) % 16 + 1 AS BIGINT) AS n_frames
+         FROM documents ORDER BY doc_id""",
+    "mm_frames" ->
+      """WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+                    FROM documents WHERE doc_id < 100),
+              f AS (SELECT doc_id, n_bytes,
+                           unnest(generate_series(0, n_bytes % 16)) AS frame_idx
+                    FROM m)
+         SELECT doc_id, frame_idx, (n_bytes * 31 + frame_idx) % 997 AS feature
+         FROM f ORDER BY doc_id, frame_idx"""
+  )
+}

@@ -1,0 +1,117 @@
+package graft.data
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the embeddings table (Array[Float] column).
+  *
+  * Scale design:
+  * - Brute-force top-k: the query set is tiny and explicitly broadcast; the
+  *   corpus side streams — cost is one pass over the corpus per batch of
+  *   queries, embarrassingly parallel, no shuffle of the corpus.
+  * - LSH-bucketed ANN: random-hyperplane signatures put each corpus vector in
+  *   one bucket; probes only scan their own bucket — the 100 TB path where a
+  *   full pass per query batch is no longer acceptable. Hyperplanes are
+  *   generated from a fixed seed so results are reproducible.
+  * - Dot products use Catalyst higher-order functions (zip_with + aggregate):
+  *   codegen'd, no UDF, sequential fold → deterministic.
+  */
+object Similarity {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  val queries: Map[String, Q] = Map(
+    // Brute-force cosine top-10 for 5 query vectors (exact baseline).
+    "sim_cosine_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      val q = e.filter(col("vec_id") < 5).toDF("qid", "qv", "qn")
+      val pairs = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      pairs.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select(col("qid"), col("rnk"), col("vec_id"), round(col("cos"), 4).as("sim"))
+        .orderBy("qid", "rnk")
+    }),
+
+    // LSH-bucketed approximate NN: 6 fixed random hyperplanes → 64 buckets;
+    // each query probes only its bucket. Approximation → rows-only check;
+    // the spec asserts recall against the brute-force baseline.
+    "sim_ann_lsh" -> ((s, d) => {
+      val dim = 64
+      val nPlanes = 6
+      val rnd = new scala.util.Random(42)
+      val planes: Seq[Seq[Double]] =
+        Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+      def sigOf(v: Column): Column =
+        planes.zipWithIndex.map { case (p, i) =>
+          val proj = aggregate(
+            zip_with(v, typedlit(p), (x, h) => x.cast("double") * h),
+            lit(0.0), (acc, x) => acc + x)
+          when(proj >= 0, lit(1 << i)).otherwise(lit(0))
+        }.reduce(_ + _)
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+          sigOf(col("embedding")).as("bucket"))
+      val q = e.filter(col("vec_id") < 5).toDF("qid", "qv", "qn", "qbucket")
+      val pairs = e.join(broadcast(q), col("bucket") === col("qbucket"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      pairs.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("vec_id"), round(col("cos"), 4).as("sim"))
+        .orderBy("qid", "rnk")
+    }),
+
+    // Vector norms + mean component — numeric sanity surface for the
+    // embedding column, fully oracle-checked.
+    "sim_vector_stats" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          round(norm(col("embedding")), 4).as("l2"),
+          round(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x.cast("double")) /
+            size(col("embedding")).cast("double"), 6).as("mean_c"))
+        .orderBy("vec_id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sim_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                           CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+              norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+              q AS (SELECT vec_id AS qid, i, v FROM e WHERE vec_id < 5),
+              dots AS (SELECT q.qid, e.vec_id, sum(q.v * e.v) AS dot
+                       FROM q JOIN e ON q.i = e.i AND q.qid <> e.vec_id
+                       GROUP BY 1, 2),
+              cosd AS (SELECT dots.qid AS qid, dots.vec_id AS vec_id, dot / (nq.nrm * nv.nrm) AS cs
+                       FROM dots JOIN norms nq ON dots.qid = nq.vec_id
+                       JOIN norms nv ON dots.vec_id = nv.vec_id),
+              ranked AS (SELECT qid, vec_id, cs,
+                       CAST(row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) AS BIGINT) AS rnk
+                       FROM cosd)
+         SELECT qid, rnk, vec_id, round(cs, 4) AS sim
+         FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""",
+    "sim_vector_stats" ->
+      """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)
+         SELECT vec_id, CAST(count(*) AS BIGINT) AS dim,
+                round(sqrt(sum(v * v)), 4) AS l2,
+                round(sum(v) / count(*), 6) AS mean_c
+         FROM e GROUP BY vec_id ORDER BY vec_id"""
+  )
+}

@@ -1,0 +1,111 @@
+package graft.data
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Text-analysis operators for large-scale training-data pipelines: quality
+  * scoring, token statistics, fingerprinting, language-ID. All are single-pass
+  * narrow transforms over the `documents` table — no shuffle at all except the
+  * final presentation sort, so they scale linearly with input splits (at 100 TB
+  * these run as pure map stages over parquet row groups).
+  *
+  * The array-lambda forms (filter/transform/aggregate) are Catalyst
+  * higher-order functions — codegen'd, no UDF boxing.
+  */
+object TextAnalysis {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stopwords = Seq("the", "a", "of", "and")
+
+  private def toks: Column = split(col("text"), " ")
+
+  val queries: Map[String, Q] = Map(
+    // Quality scoring: length, token count, stopword ratio, mean token length.
+    "text_quality" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(toks).cast("long").as("n_tokens"),
+          size(filter(toks, x => x.isin(stopwords: _*))).cast("long").as("n_stop"),
+          (size(filter(toks, x => x.isin(stopwords: _*))).cast("double") /
+            size(toks).cast("double")).as("stop_ratio"),
+          (aggregate(transform(toks, x => length(x)), lit(0), (acc, x) => acc + x)
+            .cast("double") / size(toks).cast("double")).as("avg_tok_len"))
+        .orderBy("doc_id")),
+
+    // Token statistics: total/distinct counts (vocabulary richness).
+    "text_tokens" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"),
+          (size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+            .as("ttr"))
+        .orderBy("doc_id")),
+
+    // Normalized-content fingerprint (md5 of whitespace-collapsed lowercase)
+    // — the exact-dedup key for "effectively identical" documents.
+    "text_fp_md5" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast("binary")).as("fp"))
+        .orderBy("doc_id")),
+
+    // Rolling-hash fingerprint via the custom codegen expression
+    // (engine-defined hash → rows-only check; md5 variant above is the oracle).
+    "text_fp_rolling" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          GraftFunctions.rolling_hash(lower(col("text"))).as("fp"))
+        .orderBy("doc_id")),
+
+    // Language-ID: stopword-profile n-gram heuristic (argmax of per-language
+    // marker-token hits, deterministic priority on ties). Heuristic output →
+    // rows-only check; a spec asserts determinism and coverage.
+    "text_langid" -> ((s, d) => {
+      val profiles: Seq[(String, Seq[String])] = Seq(
+        "en" -> Seq("the", "a", "of", "and", "is"),
+        "de" -> Seq("der", "die", "das", "und", "ist"),
+        "fr" -> Seq("le", "la", "les", "et", "est"),
+        "es" -> Seq("el", "los", "las", "y", "es"),
+        "zh" -> Seq("的", "是", "了", "在", "和"))
+      val scored = profiles.foldLeft(t(s, d, "documents").select(col("doc_id"), toks.as("w"))) {
+        case (df, (lang, markers)) =>
+          df.withColumn(s"score_$lang",
+            size(filter(col("w"), x => x.isin(markers: _*))))
+      }
+      // argmax with fixed priority order (earlier profile wins ties)
+      val maxScore = greatest(profiles.map(p => col(s"score_${p._1}")): _*)
+      val pred = profiles.reverse.foldLeft(lit("und")) { case (acc, (lang, _)) =>
+        when(col(s"score_$lang") === maxScore && maxScore > 0, lang).otherwise(acc)
+      }
+      scored.select(col("doc_id"), pred.as("pred_lang")).orderBy("doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_quality" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and'))) AS BIGINT) AS n_stop,
+                CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and'))) AS DOUBLE) /
+                  CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+                CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE) /
+                  CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_tok_len
+         FROM documents ORDER BY doc_id""",
+    "text_tokens" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+                CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+                  CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr
+         FROM documents ORDER BY doc_id""",
+    "text_fp_md5" ->
+      """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+         FROM documents ORDER BY doc_id"""
+  )
+}
