@@ -1,25 +1,54 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark driver: runs the headline queries on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line {"metric":...,"queries":{...}}.
+  *
+  * Methodology mirrors the reference's benchmark scripts (warmup + repeated
+  * measurement, reference tools/scripts/benchmark.py:24-35), scaled down:
+  * 1 warmup + 3 measured runs, median reported. Queries are materialized
+  * through the noop datasource so the full plan executes (count() would let
+  * Catalyst prune aggregates).
+  */
 object Bench {
+  private val headline = Seq(
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10",
+    "agg_rollup", "agg_groupjoin", "win_running_sum",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "sim_cosine_topk", "text_quality", "ev_sessions")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = Engine.create(master = s"local[$cpus]", shufflePartitions = cpus.toInt,
+      appName = "graft-bench")
+
+    def once(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results: Seq[(String, Double)] = headline.filter(SparkEntry.queries.contains).map { name =>
+      val t = try {
+        once(name) // warmup: JIT + codegen + file-footer caches
+        val runs = Seq.fill(3)(once(name)).sorted
+        runs(1) // median
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        -1.0
+      }
+      name -> t
+    }
+
+    def f(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val qs = results.map { case (k, v) => s""""$k":${f(v)}""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

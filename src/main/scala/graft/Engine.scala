@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine — the Spark analog of the reference's
+  * session/connection object (`Connection.sql`, reference
+  * tools/python/lingodb/__init__.py:44-75; DefaultQueryExecuter,
+  * src/execution/Execution.cpp:280-394). Catalyst's optimizer pipeline plays
+  * the role of the reference's RelAlg pass pipeline
+  * (src/compiler/Dialect/RelAlg/Passes.cpp:17-50); AQE is the runtime
+  * re-optimizer standing in for sample-driven DPhyp join ordering (SURVEY §4.1).
+  */
+object Engine {
+  def create(
+      master: String = s"local[${Runtime.getRuntime.availableProcessors}]",
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors,
+      appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    functions.GraftFunctions.register(spark)
+    spark
+  }
+}

@@ -63,14 +63,20 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 /** Column-level entry points + SQL registration (the engine's function
   * registry, mirroring LingoDB's builtin table — SURVEY §2.3). */
 object GraftFunctions {
-  def erf(c: Column): Column = GraftColumnBridge.column(Erf(GraftColumnBridge.expression(c)))
+  def erf(c: Column): Column =
+    GraftColumnBridge.column(Erf(GraftColumnBridge.expression(c.cast("double"))))
   def rolling_hash(c: Column): Column =
-    GraftColumnBridge.column(RollingHash(GraftColumnBridge.expression(c)))
+    GraftColumnBridge.column(RollingHash(GraftColumnBridge.expression(c.cast("string"))))
   def erf(name: String): Column = erf(col(name))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("erf", exprs => Erf(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+    // Explicit casts stand in for ImplicitCastInputTypes (private[sql] in
+    // Spark 4): erf(1.0) parses as a Decimal literal otherwise.
+    reg.createOrReplaceTempFunction("erf",
+      exprs => Erf(Cast(exprs.head, DoubleType)), "built-in")
+    reg.createOrReplaceTempFunction("rolling_hash",
+      exprs => RollingHash(Cast(exprs.head, StringType)), "built-in")
   }
 }

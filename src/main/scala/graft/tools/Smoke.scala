@@ -14,10 +14,13 @@ object Smoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
     val df = graft.SparkEntry.entry(spark)
     val n = df.count()
     df.show(5, truncate = false)
     println(s"ENTRY_ROWS=$n")
+    println("SQL_FN_CHECK=" + spark.sql(
+      "SELECT erf(1.0) AS e, rolling_hash('abc') AS h").collect().head)
     spark.stop()
   }
 }

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{ExprUtil, GraftFunctions}
+
+class FunctionsSpec extends SparkSpec {
+
+  test("erf matches known values through the Column API") {
+    import spark.implicits._
+    val got = Seq(0.0, 1.0, -1.0).toDF("x")
+      .select(GraftFunctions.erf(col("x")).as("e")).collect().map(_.getDouble(0))
+    assert(math.abs(got(0)) < 1e-15)
+    assert(math.abs(got(1) - 0.8427007929497149) < 1e-12)
+    assert(math.abs(got(2) + 0.8427007929497149) < 1e-12)
+  }
+
+  test("erf registered for SQL") {
+    GraftFunctions.register(spark)
+    val v = spark.sql("SELECT erf(1.0) AS e").collect().head.getDouble(0)
+    assert(math.abs(v - 0.8427007929497149) < 1e-12)
+  }
+
+  test("rolling_hash: deterministic, content-sensitive, non-negative") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val h1 = ExprUtil.rollingHash(UTF8String.fromString("hello world"))
+    val h2 = ExprUtil.rollingHash(UTF8String.fromString("hello world"))
+    val h3 = ExprUtil.rollingHash(UTF8String.fromString("hello worle"))
+    assert(h1 == h2 && h1 != h3 && h1 >= 0)
+  }
+
+  test("rolling_hash agrees between interpreted and codegen paths") {
+    import spark.implicits._
+    val df = Seq("a", "spark native engine", "ü™✓ unicode").toDF("s")
+    val viaExpr = df.select(GraftFunctions.rolling_hash(col("s"))).collect().map(_.getLong(0))
+    val direct = Seq("a", "spark native engine", "ü™✓ unicode")
+      .map(s => ExprUtil.rollingHash(org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+    assert(viaExpr.toSeq == direct)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+
+  test("multimodal stub metadata is consistent with byte lengths") {
+    val rows = SparkEntry.queries("mm_meta")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val n = r.getAs[Long]("n_bytes")
+      r.getAs[Long]("width") == n % 640 &&
+        r.getAs[Long]("height") == (n * 7) % 480 &&
+        r.getAs[Long]("n_frames") == n % 16 + 1
+    })
+  }
+
+  test("frame sampling explodes exactly n_frames rows per doc") {
+    val meta = SparkEntry.queries("mm_meta")(spark, sf)
+      .filter(col("doc_id") < 100)
+      .select(sum("n_frames")).collect().head.getLong(0)
+    val frames = SparkEntry.queries("mm_frames")(spark, sf).count()
+    assert(frames == meta)
+  }
+
+  test("sessionization: session counts and bounds are sane") {
+    val rows = SparkEntry.queries("ev_sessions")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("start_s") <= r.getAs[Long]("end_s")))
+    // per user, session ids are 1..k dense
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    assert(byUser.values.forall { rs =>
+      val ids = rs.map(_.getAs[Long]("session_id")).sorted.toSeq
+      ids == (1L to ids.length.toLong)
+    })
+  }
+
+  test("langid emits a prediction for every document") {
+    val n = SparkEntry.queries("text_langid")(spark, sf).count()
+    assert(n == Tables.load(spark, sf, "documents").count())
+  }
+
+  test("cosine top-k: k rows per query, sims descending within query") {
+    val rows = SparkEntry.queries("sim_cosine_topk")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 5)
+    assert(byQ.values.forall { rs =>
+      val sims = rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("sim"))
+      sims.length == 10 && sims.zip(sims.tail).forall { case (x, y) => x >= y }
+    })
+  }
+}
