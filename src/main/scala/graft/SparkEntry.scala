@@ -22,6 +22,7 @@ object SparkEntry {
       (Windows.queries, Windows.oracle),
       (Subqueries.queries, Subqueries.oracle),
       (TpchLike.queries, TpchLike.oracle),
+      (TpchExtra.queries, TpchExtra.oracle),
       (graft.functions.FunctionQueries.queries, graft.functions.FunctionQueries.oracle),
       (graft.data.TextAnalysis.queries, graft.data.TextAnalysis.oracle),
       (graft.data.Dedup.queries, graft.data.Dedup.oracle),
