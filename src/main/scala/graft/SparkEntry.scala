@@ -28,7 +28,8 @@ object SparkEntry {
       (graft.data.Dedup.queries, graft.data.Dedup.oracle),
       (graft.data.Similarity.queries, graft.data.Similarity.oracle),
       (graft.data.Multimodal.queries, graft.data.Multimodal.oracle),
-      (graft.data.Events.queries, graft.data.Events.oracle)
+      (graft.data.Events.queries, graft.data.Events.oracle),
+      (graft.sqlsurface.PipeSqlQueries.queries, graft.sqlsurface.PipeSqlQueries.oracle)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
