@@ -29,7 +29,8 @@ object SparkEntry {
       (graft.data.Similarity.queries, graft.data.Similarity.oracle),
       (graft.data.Multimodal.queries, graft.data.Multimodal.oracle),
       (graft.data.Events.queries, graft.data.Events.oracle),
-      (graft.sqlsurface.PipeSqlQueries.queries, graft.sqlsurface.PipeSqlQueries.oracle)
+      (graft.sqlsurface.PipeSqlQueries.queries, graft.sqlsurface.PipeSqlQueries.oracle),
+      (graft.streaming.Streaming.queries, graft.streaming.Streaming.oracle)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import graft.util.Det._
+
+/** Structured Streaming surface over the events table.
+  *
+  * The reference has NO streaming (SURVEY §2.6) — this is part of the
+  * beyond-reference pipeline surface: the same event analytics as
+  * [[graft.data.Events]], expressed as streaming plans. At scale these run
+  * against a real source (Kafka/files) with watermark-bounded state; here the
+  * parquet table is replayed through the file source and drained with
+  * processAllAvailable, so results are deterministic and hash-comparable to
+  * the batch oracle — the streaming/batch parity IS the check.
+  */
+object Streaming {
+  private val sinkCounter = new AtomicInteger(0)
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    // glob form: the file streaming source requires a directory or pattern,
+    // not a bare file path
+    spark.readStream.schema(eventsSchema).parquet(s"$dir/events*.parquet")
+
+  /** Run a finite streaming query to completion into a memory sink. */
+  private def drain(df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = s"__stream_${sinkCounter.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    df.sparkSession.table(name)
+  }
+
+  /** Watermarked tumbling-window aggregation (streaming twin of ev_hourly). */
+  def hourly(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_ts", "1 hour")
+      .groupBy(window(col("ts_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    drain(agg, OutputMode.Complete())
+      .select(col("event_type"),
+        col("window.start").cast("date").as("day"),
+        hour(col("window.start")).cast("int").as("hour"),
+        col("n"), col("sum_value"))
+      .orderBy("event_type", "day", "hour")
+  }
+
+  case class Ev(user_id: Long, event_id: Long, s: Long)
+  case class UserSessions(user_id: Long, n_sessions: Long)
+
+  /** Stateful sessionization via flatMapGroupsWithState (streaming twin of
+    * ev_sessions' session counting): per-user state carries (last event sec,
+    * session count) across batches; a >30min gap opens a new session. */
+  def sessionCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000000000").as("s"))
+      .as[Ev]
+    val counted = evs
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), UserSessions](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state: GroupState[(Long, Long)]) =>
+          val (last0, n0) = state.getOption.getOrElse((Long.MinValue, 0L))
+          var last = last0
+          var n = n0
+          it.toSeq.sortBy(e => (e.s, e.event_id)).foreach { e =>
+            if (last == Long.MinValue || e.s - last > 1800) n += 1
+            last = e.s
+          }
+          state.update((last, n))
+          Iterator(UserSessions(uid, n))
+      }
+    drain(counted.toDF(), OutputMode.Append())
+      .groupBy(col("user_id")).agg(max(col("n_sessions")).as("n_sessions"))
+      .orderBy("user_id")
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "stream_hourly" -> ((s, d) => hourly(s, d)),
+    "stream_sessions" -> ((s, d) => sessionCounts(s, d))
+  )
+
+  /** Oracles are the BATCH semantics — checking streaming/batch parity. */
+  val oracle: Map[String, String] = Map(
+    "stream_hourly" ->
+      """SELECT event_type,
+                DATE '1970-01-01' + CAST(epoch_ns(ts) // 1000000000 // 86400 AS INTEGER) AS day,
+                CAST(epoch_ns(ts) // 1000000000 % 86400 // 3600 AS INTEGER) AS hour,
+                count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2, 3 ORDER BY event_type, day, hour""",
+    "stream_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS s FROM events),
+              m AS (SELECT user_id, s,
+                           lag(s, 1) OVER (PARTITION BY user_id ORDER BY s, event_id) AS prev_s
+                    FROM e)
+         SELECT user_id,
+                CAST(sum(CASE WHEN prev_s IS NULL OR s - prev_s > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+         FROM m GROUP BY 1 ORDER BY user_id"""
+  )
+}
