@@ -156,6 +156,20 @@ object FunctionQueries {
           GraftFunctions.erf(col("c_acctbal") / 10000.0).as("erf_bal"))
         .orderBy("c_custkey")),
 
+    // CREATE FUNCTION ... LANGUAGE sql/c → Catalyst expression macro
+    // (graft.sqlsurface.UdfSurface; reference udf.test surface).
+    "fn_udf_macro" -> ((s, d) => {
+      graft.sqlsurface.UdfSurface.execute(s,
+        "CREATE OR REPLACE FUNCTION graft_add_one(x int) RETURNS int LANGUAGE c AS $$ return x+1; $$")
+      graft.sqlsurface.UdfSurface.execute(s,
+        "CREATE OR REPLACE FUNCTION graft_scaled(x double, f double) RETURNS double LANGUAGE sql AS $$ x * f + 1.0 $$")
+      t(s, d, "part").filter(col("p_partkey") <= 300)
+        .select(col("p_partkey"),
+          expr("graft_add_one(p_size)").cast("int").as("size1"),
+          expr("graft_scaled(p_retailprice, 2.0)").as("scaled"))
+        .orderBy("p_partkey")
+    }),
+
     // rolling_hash — custom fingerprint expression (rows-only; exercised with
     // an oracle via the dedup/text modules' md5 fingerprints instead).
     "fn_rolling_hash" -> ((s, d) =>
@@ -233,6 +247,10 @@ object FunctionQueries {
     "fn_json" ->
       """SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
          FROM events WHERE event_id <= 2000 ORDER BY event_id""",
+    "fn_udf_macro" ->
+      """SELECT p_partkey, CAST(p_size + 1 AS INTEGER) AS size1,
+                p_retailprice * 2.0 + 1.0 AS scaled
+         FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""",
     "fn_hash" ->
       """SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha256
          FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey"""

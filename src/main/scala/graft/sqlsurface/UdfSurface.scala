@@ -1,0 +1,125 @@
+package graft.sqlsurface
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+
+/** User-defined scalar functions from SQL DDL — the Spark counterpart of the
+  * reference's runtime-compiled C UDFs:
+  * `CREATE OR REPLACE FUNCTION f(x int) RETURNS int LANGUAGE c AS $$ return x+1; $$`
+  * (reference test/sqlite-small/udf.test:14-30; impl via system compiler +
+  * dlopen, src/catalog/UDFImplementer.cpp:30,111-112).
+  *
+  * Design: bodies are compiled to **Catalyst expression macros**, not JVM
+  * closures. The body is parsed with Spark's expression parser, parameters are
+  * substituted with the call-site argument expressions (cast to the declared
+  * types), and the result is registered in the function registry. Compared to
+  * a black-box closure UDF this keeps the function inside whole-stage codegen
+  * and visible to the optimizer (constant folding, pushdown THROUGH the
+  * function) and avoids shipping compiled classes to executors — the right
+  * trade at cluster scale. `LANGUAGE c` bodies of the reference corpus's
+  * `return <expr>;` single-expression form are rewritten to the expression;
+  * `LANGUAGE sql` takes the expression directly.
+  */
+object UdfSurface {
+  private val createFnRe =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(\w+)\s*\(([^)]*)\)\s*RETURNS\s+(\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s+LANGUAGE\s+(\w+)\s+AS\s+\$\$(.*)\$\$\s*;?\s*$""".r
+
+  /** Reference/Postgres type aliases → Spark SQL type names. */
+  private def normalizeType(t: String): String =
+    t.trim.toLowerCase.replaceAll("\\s*\\(.*", "") match {
+      case "int4"            => "int"
+      case "int8"            => "bigint"
+      case "int2"            => "smallint"
+      case "float4" | "real" => "float"
+      case "float8"          => "double"
+      case "text" | "varchar" | "char" => "string"
+      case "bool"            => "boolean"
+      case other             => other
+    }
+
+  def isCreateFunction(stmt: String): Boolean = createFnRe.findFirstIn(stmt).isDefined
+
+  /** Parse + register as an expression macro; returns the function name. */
+  def execute(spark: SparkSession, stmt: String): String = stmt match {
+    case createFnRe(name, argList, retType, language, body0) =>
+      val body = language.toLowerCase match {
+        case "sql" | "scala" => body0.trim
+        case "c" =>
+          val b = body0.trim
+          if (!b.startsWith("return"))
+            throw new IllegalArgumentException(
+              "LANGUAGE c UDFs support only 'return <expr>;' bodies")
+          b.stripPrefix("return").trim.stripSuffix(";").trim
+        case other => throw new IllegalArgumentException(s"unsupported UDF language: $other")
+      }
+      val args: Seq[(String, String)] = argList.trim match {
+        case "" => Seq.empty
+        case l => l.split(",").toSeq.map { a =>
+          val parts = a.trim.split("\\s+", 2)
+          require(parts.length == 2, s"malformed UDF argument: '$a'")
+          (parts(0).toLowerCase, normalizeType(parts(1)))
+        }
+      }
+      val bodyExpr = CatalystSqlParser.parseExpression(body)
+      val retDt = CatalystSqlParser.parseDataType(normalizeType(retType))
+      val argDts = args.map(a => CatalystSqlParser.parseDataType(a._2))
+      val argIndex = args.map(_._1).zipWithIndex.toMap
+      val builder: Seq[Expression] => Expression = { exprs =>
+        require(exprs.length == args.length,
+          s"$name expects ${args.length} arguments, got ${exprs.length}")
+        val castArgs = exprs.zip(argDts).map { case (e, dt) => Cast(e, dt) }
+        val substituted = bodyExpr.transformUp {
+          case a: UnresolvedAttribute if argIndex.contains(a.name.toLowerCase) =>
+            castArgs(argIndex(a.name.toLowerCase))
+        }
+        Cast(substituted, retDt)
+      }
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "sql_udf")
+      name
+    case _ => throw new IllegalArgumentException("not a CREATE FUNCTION statement")
+  }
+}
+
+/** Statement router — the engine's SQL entry point covering the reference's
+  * statement surface (SURVEY §3.1: SQL, pipe-SQL, CREATE FUNCTION, COPY, SET;
+  * reference parser.y:440-444 statement alternatives). */
+object GraftSql {
+  private val copyRe =
+    """(?is)^\s*COPY\s+(\w+)\s+FROM\s+'([^']+)'\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*$""".r
+  private val setRe = """(?is)^\s*SET\s+(\S+)\s*(?:=|TO)\s*'?([^';]*)'?\s*;?\s*$""".r
+
+  /** Execute one statement; DDL/utility statements return an empty frame. */
+  def apply(spark: SparkSession, stmt: String): DataFrame = {
+    val s = stmt.trim
+    if (UdfSurface.isCreateFunction(s)) {
+      UdfSurface.execute(spark, s); spark.emptyDataFrame
+    } else if (copyRe.findFirstIn(s).isDefined) {
+      val copyRe(table, path, optStr) = s
+      val opts = Option(optStr).getOrElse("").split(",").map(_.trim.toUpperCase)
+        .filter(_.nonEmpty)
+        .flatMap { o =>
+          val kv = o.split("\\s+", 2)
+          if (kv.length == 2) Some(kv(0) -> kv(1).replaceAll("^'|'$", "")) else None
+        }.toMap
+      val delim = opts.get("DELIMITER").map(_.replaceAll("^'|'$", "")).getOrElse(",")
+      val header = opts.get("HEADER").forall(_ != "FALSE") && opts.contains("HEADER")
+      val df = spark.read
+        .option("delimiter", delim).option("header", header.toString)
+        .option("inferSchema", "true").option("nullValue", opts.getOrElse("NULL", ""))
+        .csv(path)
+      df.createOrReplaceTempView(table)
+      spark.emptyDataFrame
+    } else if (setRe.findFirstIn(s).isDefined && s.toUpperCase.startsWith("SET")) {
+      val setRe(key, value) = s
+      spark.conf.set(key, value.trim)
+      spark.emptyDataFrame
+    } else if (PipeSql.splitTop(s, "|>").length > 1) {
+      PipeSql.sql(spark, s)
+    } else {
+      spark.sql(s)
+    }
+  }
+}

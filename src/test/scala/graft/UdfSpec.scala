@@ -1,0 +1,54 @@
+package graft
+
+import graft.sqlsurface.{GraftSql, UdfSurface}
+
+class UdfSpec extends SparkSpec {
+
+  test("LANGUAGE scala UDF: create, use in SQL") {
+    UdfSurface.execute(spark,
+      "CREATE OR REPLACE FUNCTION addOne(x int) RETURNS int LANGUAGE sql AS $$ x + 1 $$")
+    val got = spark.sql("SELECT addOne(41) AS v").collect().head.getInt(0)
+    assert(got == 42)
+  }
+
+  test("LANGUAGE c corpus form: return expr;") {
+    UdfSurface.execute(spark,
+      "CREATE OR REPLACE FUNCTION addFloats(x float4, y float4) RETURNS float4 LANGUAGE c AS $$ return x+y; $$")
+    val got = spark.sql("SELECT addFloats(CAST(1.5 AS FLOAT), CAST(2.25 AS FLOAT)) AS v")
+      .collect().head.getFloat(0)
+    assert(got == 3.75f)
+  }
+
+  test("string function body + inlining stays optimizable") {
+    UdfSurface.execute(spark,
+      "CREATE FUNCTION shout(s varchar) RETURNS varchar LANGUAGE sql AS $$ upper(s) || '!' $$")
+    assert(spark.sql("SELECT shout('hi') AS v").collect().head.getString(0) == "HI!")
+    // the macro is inlined: a constant argument constant-folds to a literal plan
+    val plan = spark.sql("SELECT shout('hi') AS v").queryExecution.optimizedPlan.toString
+    assert(plan.contains("HI!"), s"macro not folded: $plan")
+  }
+
+  test("router dispatches SQL, pipe-SQL, SET, CREATE FUNCTION") {
+    Tables.registerAll(spark, sf)
+    assert(GraftSql(spark, "SELECT count(*) AS n FROM region").collect().head.getLong(0) == 5L)
+    assert(GraftSql(spark, "FROM region |> WHERE r_regionkey < 2 |> SELECT r_name").count() == 2)
+    GraftSql(spark, "SET spark.sql.graft.test=hello")
+    assert(spark.conf.get("spark.sql.graft.test") == "hello")
+    GraftSql(spark, "CREATE FUNCTION tripled(x bigint) RETURNS bigint LANGUAGE sql AS $$ x * 3 $$")
+    assert(spark.sql("SELECT tripled(14) AS v").collect().head.getLong(0) == 42L)
+  }
+
+  test("COPY csv into a temp view") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_copy").toFile
+    val f = new java.io.File(tmp, "t.csv")
+    java.nio.file.Files.writeString(f.toPath, "a|b\n1|x\n2|y\n")
+    GraftSql(spark, s"COPY mytab FROM '${f.getAbsolutePath}' (FORMAT csv, DELIMITER '|', HEADER true)")
+    val rows = spark.sql("SELECT * FROM mytab ORDER BY a").collect()
+    assert(rows.length == 2 && rows.head.getInt(0) == 1 && rows.head.getString(1) == "x")
+  }
+
+  test("unsupported language rejected") {
+    intercept[IllegalArgumentException](UdfSurface.execute(spark,
+      "CREATE FUNCTION bad(x int) RETURNS int LANGUAGE cobol AS $$ x $$"))
+  }
+}
