@@ -1,0 +1,326 @@
+package graft.slt
+
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+import scala.jdk.CollectionConverters._
+import scala.util.{Failure, Success, Try}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import graft.sqlsurface.GraftSql
+
+/** sqllogictest runner — the reference's primary correctness harness
+  * (reference src/tools/sqlite-tester.cpp: record parsing :380-:497, result
+  * normalization + md5 hashing `ResultHasher` :39-170). Runs the SAME corpus
+  * files (test/sqlite-small, test/sqlite, uni) against the Spark engine via
+  * the GraftSql statement router, so CREATE TABLE / INSERT / CREATE FUNCTION /
+  * SELECT all flow through the engine's own surface.
+  *
+  * DDL dialect adaptation: Spark v1 datasource tables accept neither NOT NULL
+  * column constraints nor PRIMARY KEY clauses — both are metadata-only in the
+  * reference tests and are stripped (semantics of the queries are unaffected).
+  */
+object SltRunner {
+
+  sealed trait Record
+  case class Statement(sql: String, expectError: Boolean) extends Record
+  case class Query(sql: String, sortMode: String, expected: Seq[String],
+      valueWise: Boolean) extends Record
+
+  case class FileResult(file: String, passed: Int, failed: Int,
+      failures: Seq[String]) {
+    def total: Int = passed + failed
+  }
+
+  def parse(content: String): Seq[Record] = {
+    val lines = content.linesIterator.toVector
+    val records = Vector.newBuilder[Record]
+    var i = 0
+    while (i < lines.length) {
+      val line = lines(i).trim
+      if (line.isEmpty || line.startsWith("#")) { i += 1 }
+      else if (line.startsWith("statement")) {
+        val expectError = line.contains("error")
+        i += 1
+        val sql = new StringBuilder
+        while (i < lines.length && lines(i).trim.nonEmpty && !lines(i).startsWith("----")) {
+          sql.append(lines(i)).append("\n"); i += 1
+        }
+        records += Statement(sql.toString.trim.stripSuffix(";"), expectError)
+      } else if (line.startsWith("query")) {
+        val tokens = line.split("\\s+").toSeq
+        val sortMode = tokens.find(t => t == "rowsort" || t == "valuesort" || t == "nosort")
+          .getOrElse("nosort")
+        // classic sqllogictest type-strings ("III", "TTI", ...) list expected
+        // values ONE PER LINE row-major; the reference's `tsv` extension uses
+        // tab-separated rows (sqlite-tester.cpp result parsing)
+        val valueWise = tokens.length < 2 || tokens(1) != "tsv"
+        i += 1
+        val sql = new StringBuilder
+        while (i < lines.length && !lines(i).startsWith("----") && lines(i).trim.nonEmpty) {
+          sql.append(lines(i)).append("\n"); i += 1
+        }
+        val expected = Vector.newBuilder[String]
+        while (i < lines.length && lines(i).trim.isEmpty) i += 1 // blank before ----
+        if (i < lines.length && lines(i).startsWith("----")) {
+          i += 1
+          while (i < lines.length && lines(i).trim.nonEmpty) {
+            expected += lines(i); i += 1
+          }
+        }
+        records += Query(sql.toString.trim.stripSuffix(";"), sortMode, expected.result(),
+          valueWise)
+      } else if (line.startsWith("hash-threshold") || line.startsWith("halt") ||
+        line.startsWith("skipif") || line.startsWith("onlyif")) {
+        i += 1 // modifiers we don't need for these corpora
+      } else { i += 1 }
+    }
+    records.result()
+  }
+
+  /** Strip constraints Spark's v1 DDL rejects (metadata-only in the corpus). */
+  private[slt] def adaptDdl(sql: String): String = {
+    val up = sql.toUpperCase
+    if (!up.startsWith("CREATE TABLE")) sql
+    else sql
+      .replaceAll("(?i)\\s+not\\s+null", "")
+      .replaceAll("(?i),?\\s*primary\\s+key\\s*\\([^)]*\\)", "")
+      .replaceAll("(?i)\\s+primary\\s+key", "")          // column-level form
+      .replaceAll("(?i)\\bchar\\b(?!\\s*\\()", "string") // bare CHAR has no length
+  }
+
+  /** Quantified-comparison rewrite: `x = SOME(sub)` has identical semantics to
+    * `x IN (sub)` (reference SubqueryType ANY, parsed_expression.h:495-502);
+    * Spark only parses the IN form. */
+  private[slt] def adaptQuery(sql: String): String =
+    explicitNullOrder(rewriteQuantified(sql))
+
+  /** The reference follows Postgres null ordering (ASC → NULLS LAST, DESC →
+    * NULLS FIRST); Spark defaults to the opposite. Make every ORDER BY item
+    * explicit — including window-internal ones. */
+  private[slt] def explicitNullOrder(sql: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inStr = false
+    val up = sql.toUpperCase
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (!inStr && up.regionMatches(i, "ORDER BY", 0, 8)) {
+        sb.append(sql.substring(i, i + 8)); i += 8
+        // collect the clause: up to depth-(-1) close paren or top-level LIMIT
+        val start = i
+        var depth = 0
+        var end = sql.length
+        var j = i
+        var s2 = false
+        while (j < sql.length && end == sql.length) {
+          val ch = sql.charAt(j)
+          if (s2) { if (ch == '\'') s2 = false }
+          else ch match {
+            case '\'' => s2 = true
+            case '(' => depth += 1
+            case ')' => if (depth == 0) end = j else depth -= 1
+            case _ =>
+              def wordAt(w: String): Boolean =
+                up.regionMatches(j, w, 0, w.length) &&
+                  (j == 0 || sql.charAt(j - 1).isWhitespace) &&
+                  (j + w.length >= sql.length || !sql.charAt(j + w.length).isLetterOrDigit)
+              if (depth == 0 && (wordAt("LIMIT") || wordAt("OFFSET") ||
+                sql.startsWith("|>", j))) end = j
+          }
+          j += 1
+        }
+        val clause = sql.substring(start, end)
+        val items = graft.sqlsurface.PipeSql.splitTop(clause, ",").map { item =>
+          val t = item.trim
+          // insert before any trailing whitespace so the next token (e.g. a
+          // newline-separated LIMIT) stays separated
+          val core = item.replaceAll("\\s+$", "")
+          val trail = item.substring(core.length)
+          if (t.isEmpty || t.toUpperCase.contains("NULLS")) item
+          else if (t.toUpperCase.endsWith("DESC")) core + " NULLS FIRST" + trail
+          else core + " NULLS LAST" + trail
+        }
+        sb.append(items.mkString(","))
+        i = end
+      } else {
+        if (inStr) { if (c == '\'') inStr = false }
+        else if (c == '\'') inStr = true
+        sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** Quantified comparisons `expr <op> ANY|SOME|ALL (sub)` → EXISTS forms
+    * (reference SubqueryType ANY/ALL, parsed_expression.h:495-502). Spark
+    * parses none of them. Two-valued approximation of the ANSI three-valued
+    * result (the corpus subqueries are null-free).
+    */
+  private val quantRe =
+    "(?i)([\\w.]+)\\s*(=|<>|!=|<=|>=|<|>)\\s*(ANY|SOME|ALL)\\s*\\(".r
+
+  private def rewriteQuantified(sql: String): String = {
+    quantRe.findFirstMatchIn(sql) match {
+      case None => sql
+      case Some(m) =>
+        val open = m.end - 1
+        var depth = 0; var i = open; var close = -1
+        while (i < sql.length && close < 0) {
+          sql.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = i
+            case _ =>
+          }
+          i += 1
+        }
+        if (close < 0) sql
+        else {
+          val (lhs, op, quant) = (m.group(1), m.group(2), m.group(3).toUpperCase)
+          val sub = rewriteQuantified(sql.substring(open + 1, close))
+          val repl =
+            if (quant == "ALL")
+              s"NOT EXISTS (SELECT 1 FROM ($sub) AS __all_t(__v) WHERE ($lhs $op __v) IS DISTINCT FROM true)"
+            else
+              s"EXISTS (SELECT 1 FROM ($sub) AS __any_t(__v) WHERE $lhs $op __v)"
+          rewriteQuantified(sql.substring(0, m.start) + repl + sql.substring(close + 1))
+        }
+    }
+  }
+
+  private def fmt(v: Any): String = v match {
+    case null => "NULL"
+    case b: Boolean => if (b) "t" else "f"
+    case d: Double =>
+      if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
+    case f: Float =>
+      if (f == math.rint(f) && math.abs(f) < 1e15) f.toLong.toString
+      else f.toString // Float.toString gives the shortest round-trip form
+    case bd: java.math.BigDecimal => bd.stripTrailingZeros.toPlainString
+    case other => other.toString
+  }
+
+  private def rowsOf(df: DataFrame): Seq[Seq[String]] =
+    df.collect().toSeq.map((r: Row) => (0 until r.length).map(j => fmt(r.get(j))))
+
+  /** Tolerant cell compare: exact string, or numeric within the reference's
+    * fuzzy-float tolerance (sqlite-tester compareFuzzy / precision=3 rounding,
+    * reference src/tools/sqlite-tester.cpp:275): abs 1e-3 or rel 1e-6. */
+  private def cellEq(a: String, b: String): Boolean =
+    a == b || (((Try(a.toDouble), Try(b.toDouble)): @unchecked) match {
+      case (Success(x), Success(y)) =>
+        math.abs(x - y) <= 1e-3 ||
+          math.abs(x - y) <= 1e-6 * math.max(math.abs(x), math.abs(y))
+      case _ => false
+    })
+
+  private def md5Of(values: Seq[String]): String = {
+    val md = MessageDigest.getInstance("MD5")
+    values.foreach(v => md.update((v + "\n").getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private val hashRe = """(\d+) values hashing to ([0-9a-f]{32})""".r
+
+  def runFile(spark: SparkSession, path: String): FileResult = {
+    val content = Files.readString(Paths.get(path))
+    val db = "slt_" + math.abs(path.hashCode).toString
+    // reference inserts rely on lax value coercion ('24002' into an int col)
+    spark.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    spark.sql(s"USE $db")
+    var passed = 0
+    var failed = 0
+    val failures = Vector.newBuilder[String]
+    try {
+      parse(content).foreach {
+        case Statement(sql, expectError) =>
+          Try(GraftSql(spark, adaptDdl(sql))) match {
+            case Success(_) if !expectError => passed += 1
+            case Failure(_) if expectError => passed += 1
+            case Success(_) => failed += 1; failures += s"expected error: ${short(sql)}"
+            case Failure(e) => failed += 1; failures += s"${short(sql)} -> ${short(e.getMessage)}"
+          }
+        case Query(sql0, sortMode0, expected, valueWise) =>
+          val sql = adaptQuery(sql0)
+          // a distributed engine has no deterministic row order without
+          // ORDER BY; fall back to rowsort for unordered nosort queries
+          val sortMode =
+            if (sortMode0 == "nosort" && !sql.toLowerCase.contains("order by")) "rowsort"
+            else sortMode0
+          Try(rowsOf(GraftSql(spark, sql))) match {
+            case Failure(e) => failed += 1; failures += s"${short(sql)} -> ${short(e.getMessage)}"
+            case Success(rows) =>
+              val got: Seq[Seq[String]] = sortMode match {
+                case "rowsort" => rows.sortBy(_.mkString(" "))
+                case "valuesort" => rows.flatten.sorted.map(Seq(_))
+                case _ => rows
+              }
+              val ok = expected match {
+                case Seq(hashRe(n, h)) =>
+                  val vals = got.flatten
+                  vals.length == n.toInt && md5Of(vals) == h
+                case _ if valueWise =>
+                  // classic sqllogictest: expected values one per line,
+                  // row-major (sqlite-tester.cpp result normalization)
+                  val gotVals = got.flatten
+                  val wantVals = sortMode match {
+                    case "valuesort" => expected.map(_.trim).sorted
+                    case _ => expected.map(_.trim) // rowsort already applied to rows
+                  }
+                  gotVals.length == wantVals.length &&
+                    gotVals.zip(wantVals).forall((cellEq _).tupled)
+                case _ =>
+                  val want = expected.map(_.split("\t").toSeq)
+                  val wantSorted = sortMode match {
+                    case "rowsort" => want.sortBy(_.mkString(" "))
+                    case "valuesort" => want.flatten.sorted.map(Seq(_))
+                    case _ => want
+                  }
+                  got.length == wantSorted.length &&
+                    got.zip(wantSorted).forall { case (g, w) =>
+                      g.length == w.length && g.zip(w).forall((cellEq _).tupled)
+                    }
+              }
+              if (ok) passed += 1
+              else {
+                failed += 1
+                failures += s"result mismatch: ${short(sql)} | got=${short(got.map(_.mkString(",")).mkString(";"))} want=${short(expected.mkString(";"))}"
+              }
+          }
+      }
+    } finally {
+      spark.sql(s"USE default")
+      Try(spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE"))
+    }
+    FileResult(path, passed, failed, failures.result())
+  }
+
+  private def short(s: String): String = {
+    val t = Option(s).getOrElse("null").replaceAll("\\s+", " ")
+    if (t.length > 140) t.take(140) + "…" else t
+  }
+}
+
+/** CLI: run corpus files, print per-file pass/fail. */
+object SltMain {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Engine.create(master = "local[4]", shufflePartitions = 4,
+      appName = "graft-slt")
+    val files = if (args.nonEmpty) args.toSeq else Seq(
+      "/root/reference/test/sqlite-small/groupby.test",
+      "/root/reference/test/sqlite-small/setops.test",
+      "/root/reference/test/sqlite-small/join.test",
+      "/root/reference/test/sqlite-small/udf.test",
+      "/root/reference/test/sqlite-small/uni.test")
+    var totalPass = 0
+    var totalFail = 0
+    files.foreach { f =>
+      val r = SltRunner.runFile(spark, f)
+      totalPass += r.passed; totalFail += r.failed
+      println(s"[slt] ${f.split('/').last}: ${r.passed}/${r.total} pass")
+      r.failures.take(200).foreach(x => println(s"  FAIL $x"))
+    }
+    println(s"[slt] TOTAL: $totalPass/${totalPass + totalFail}")
+    spark.stop()
+  }
+}

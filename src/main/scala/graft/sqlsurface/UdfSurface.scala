@@ -41,17 +41,46 @@ object UdfSurface {
 
   def isCreateFunction(stmt: String): Boolean = createFnRe.findFirstIn(stmt).isDefined
 
+  private val declRe = """^\w+\s+(\w+)\s*=\s*(.+)$""".r
+  private val ifReturnRe = """(?s)^if\s*\((.+)\)\s*return\s+(.+)$""".r
+  private val returnRe = """(?s)^return\s+(.+)$""".r
+
+  /** Translate the reference corpus's C bodies to a SQL expression. Supported
+    * statement shapes (udf.test's full surface): local declarations
+    * `type v = expr;`, guarded returns `if (cond) return a;`, and a final
+    * `return b;` — compiled to nested CASE WHEN with declarations inlined. */
+  private[sqlsurface] def translateCBody(body: String): String = {
+    val stmts = body.split(";").map(_.trim).filter(_.nonEmpty).toSeq
+    var bindings = Map.empty[String, String]
+    def substitute(e: String): String =
+      bindings.foldLeft(e) { case (acc, (n, v)) =>
+        acc.replaceAll(s"\\b$n\\b", java.util.regex.Matcher.quoteReplacement(s"($v)"))
+      }
+    val whens = Seq.newBuilder[(String, String)]
+    var elseVal: Option[String] = None
+    stmts.foreach {
+      case returnRe(v) if elseVal.isEmpty && !v.trim.startsWith("if") =>
+        elseVal = Some(substitute(v.trim))
+      case ifReturnRe(cond, v) => whens += ((substitute(cond.trim), substitute(v.trim)))
+      case declRe(name, value) => bindings += (name -> substitute(value.trim))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported C UDF statement: '$other'")
+    }
+    val base = elseVal.getOrElse(
+      throw new IllegalArgumentException("C UDF body has no return"))
+    val ws = whens.result()
+    if (ws.isEmpty) base
+    else ws.reverse.foldLeft(base) { case (els, (c, v)) =>
+      s"CASE WHEN $c THEN $v ELSE $els END"
+    }
+  }
+
   /** Parse + register as an expression macro; returns the function name. */
   def execute(spark: SparkSession, stmt: String): String = stmt match {
     case createFnRe(name, argList, retType, language, body0) =>
       val body = language.toLowerCase match {
         case "sql" | "scala" => body0.trim
-        case "c" =>
-          val b = body0.trim
-          if (!b.startsWith("return"))
-            throw new IllegalArgumentException(
-              "LANGUAGE c UDFs support only 'return <expr>;' bodies")
-          b.stripPrefix("return").trim.stripSuffix(";").trim
+        case "c" => translateCBody(body0.trim)
         case other => throw new IllegalArgumentException(s"unsupported UDF language: $other")
       }
       val args: Seq[(String, String)] = argList.trim match {
