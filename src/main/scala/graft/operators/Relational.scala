@@ -181,7 +181,28 @@ object Relational {
 
     // relalg.count (CountRowsOp, RelAlgOps.td:472).
     "rel_count_star" -> ((s, d) =>
-      t(s, d, "lineitem").agg(count(lit(1)).as("n")))
+      t(s, d, "lineitem").agg(count(lit(1)).as("n"))),
+
+    // relalg.tmp (RelAlgOps.td:499) — materialize a shared subtree once and
+    // read it twice (reference: TmpLowering buffer + N scans; Spark: persist).
+    "rel_tmp_reuse" -> ((s, d) => {
+      val agg = t(s, d, "customer")
+        .groupBy(big(col("c_nationkey")).as("nk")).agg(count(lit(1)).as("n"))
+        .persist()
+      val big_ = agg.filter(col("n") >= 50)
+        .select(col("nk"), col("n"), lit("big").as("side"))
+      val small = agg.filter(col("n") < 50)
+        .select(col("nk"), col("n"), lit("small").as("side"))
+      big_.unionAll(small).orderBy("nk")
+    }),
+
+    // relalg.track_tuples (RelAlgOps.td:530) — flow metrics via observe();
+    // result rows unchanged, counters surfaced through QueryExecutionListener.
+    "rel_observe" -> ((s, d) =>
+      t(s, d, "region")
+        .observe("graft_metrics", count(lit(1)).as("rows_seen"))
+        .select(big(col("r_regionkey")).as("k"), col("r_name"))
+        .orderBy("k"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -233,6 +254,15 @@ object Relational {
     "set_except_all" ->
       "SELECT x FROM (SELECT CAST(c_nationkey AS BIGINT) AS x FROM customer WHERE c_custkey <= 200 EXCEPT ALL SELECT CAST(s_nationkey AS BIGINT) FROM supplier) t ORDER BY x",
     "rel_count_star" ->
-      "SELECT count(*) AS n FROM lineitem"
+      "SELECT count(*) AS n FROM lineitem",
+    "rel_tmp_reuse" ->
+      """WITH a AS (SELECT CAST(c_nationkey AS BIGINT) AS nk, count(*) AS n
+                    FROM customer GROUP BY 1)
+         SELECT nk, n, 'big' AS side FROM a WHERE n >= 50
+         UNION ALL
+         SELECT nk, n, 'small' AS side FROM a WHERE n < 50
+         ORDER BY nk""",
+    "rel_observe" ->
+      "SELECT CAST(r_regionkey AS BIGINT) AS k, r_name FROM region ORDER BY k"
   )
 }
