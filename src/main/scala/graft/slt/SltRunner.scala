@@ -221,6 +221,74 @@ object SltRunner {
 
   private val hashRe = """(\d+) values hashing to ([0-9a-f]{32})""".r
 
+  private val insertRe =
+    """(?is)^\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+)$""".r
+
+  /** A merged run of consecutive single-row INSERTs (counted as n records). */
+  private case class MergedInsert(sql: String, n: Int) extends Record
+
+  /** Consecutive `INSERT INTO t(cols) VALUES (...)` statements into the same
+    * table are merged into one multi-row INSERT — the corpus shuffles the
+    * column order per row, so each tuple is re-ordered to the first-seen
+    * column list. One datasource write instead of hundreds (the reference
+    * appends to an in-memory Arrow table; Spark writes files per INSERT). */
+  private def mergeInserts(records: Seq[Record]): Seq[Record] = {
+    def parseIns(sql: String): Option[(String, Seq[String], Seq[Seq[String]])] =
+      insertRe.findFirstMatchIn(sql).flatMap { m =>
+        val table = m.group(1).toLowerCase
+        val cols = Option(m.group(2)).map(_.split(",").toSeq.map(_.trim.toLowerCase))
+          .getOrElse(Seq.empty)
+        val tuples = graft.sqlsurface.PipeSql.splitTop(m.group(3).trim, ",").map(_.trim)
+        // each top-level element must be a parenthesized tuple
+        if (tuples.forall(t => t.startsWith("(") && t.endsWith(")")))
+          Some((table, cols,
+            tuples.map(t => graft.sqlsurface.PipeSql.splitTop(
+              t.substring(1, t.length - 1), ",").map(_.trim))))
+        else None
+      }
+    val out = Vector.newBuilder[Record]
+    var i = 0
+    while (i < records.length) {
+      records(i) match {
+        case Statement(sql, false) =>
+          parseIns(sql) match {
+            case Some((table, canonCols, firstTuples))
+                if firstTuples.forall(t => canonCols.isEmpty || t.length == canonCols.length) =>
+              val rows = Vector.newBuilder[Seq[String]]
+              rows ++= firstTuples
+              var n = 1
+              var j = i + 1
+              var go = true
+              while (go && j < records.length && n < 500) {
+                records(j) match {
+                  case Statement(s2, false) => parseIns(s2) match {
+                    case Some((t2, c2, tup2))
+                        if t2 == table &&
+                          tup2.forall(t => t.length == (if (canonCols.isEmpty) firstTuples.head.length else canonCols.length)) &&
+                          (c2 == canonCols || (c2.nonEmpty && canonCols.nonEmpty && c2.sorted == canonCols.sorted)) =>
+                      // re-order tuple fields to the canonical column list
+                      val remapped =
+                        if (c2 == canonCols) tup2
+                        else tup2.map(t => canonCols.map(c => t(c2.indexOf(c))))
+                      rows ++= remapped
+                      n += 1; j += 1
+                    case _ => go = false
+                  }
+                  case _ => go = false
+                }
+              }
+              val colSql = if (canonCols.isEmpty) "" else canonCols.mkString("(", ", ", ")")
+              val valuesSql = rows.result().map(_.mkString("(", ", ", ")")).mkString(", ")
+              out += MergedInsert(s"INSERT INTO $table$colSql VALUES $valuesSql", n)
+              i = j
+            case _ => out += records(i); i += 1
+          }
+        case r => out += r; i += 1
+      }
+    }
+    out.result()
+  }
+
   def runFile(spark: SparkSession, path: String): FileResult = {
     val content = Files.readString(Paths.get(path))
     val db = "slt_" + math.abs(path.hashCode).toString
@@ -232,7 +300,13 @@ object SltRunner {
     var failed = 0
     val failures = Vector.newBuilder[String]
     try {
-      parse(content).foreach {
+      mergeInserts(parse(content)).foreach {
+        case MergedInsert(sql, n) =>
+          Try(GraftSql(spark, sql)) match {
+            case Success(_) => passed += n
+            case Failure(e) =>
+              failed += n; failures += s"${short(sql)} -> ${short(e.getMessage)}"
+          }
         case Statement(sql, expectError) =>
           Try(GraftSql(spark, adaptDdl(sql))) match {
             case Success(_) if !expectError => passed += 1

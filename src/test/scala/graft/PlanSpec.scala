@@ -1,0 +1,49 @@
+package graft
+
+/** Plan-shape guards for the 100 TB story: filters reach the parquet scan,
+  * dimension joins broadcast (the fact table must never shuffle in the
+  * broadcast-joinable headline queries), and hot paths stay in whole-stage
+  * codegen. A regression here is a performance bug even when results stay
+  * correct. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("tpch_q1: shipdate filter pushed to the parquet scan, pruned schema") {
+    val p = planOf("tpch_q1")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("l_orderkey"), "q1 must not read unused columns")
+  }
+
+  test("tpch_q5: all dimension joins broadcast, no sort-merge join") {
+    val p = planOf("tpch_q5")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "fact table must not be shuffle-sorted")
+  }
+
+  test("tpch_q3: top-k via bounded heap (TakeOrderedAndProject)") {
+    val p = planOf("tpch_q3")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("rel_topk: TakeOrderedAndProject, no global sort") {
+    val p = planOf("rel_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("tpch_q1: aggregation is two-phase (partial then final)") {
+    val p = planOf("tpch_q1")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "expected partial+final agg")
+  }
+
+  test("custom expressions stay codegen-compatible (no fallback markers)") {
+    val df = SparkEntry.queries("fn_erf")(spark, sf)
+    df.collect() // AQE finalizes (and codegen-compiles) only on execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WholeStageCodegen"), p)
+  }
+}
