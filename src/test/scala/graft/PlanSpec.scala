@@ -44,6 +44,9 @@ class PlanSpec extends SparkSpec {
     val df = SparkEntry.queries("fn_erf")(spark, sf)
     df.collect() // AQE finalizes (and codegen-compiles) only on execution
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("WholeStageCodegen"), p)
+    // "*(n)" prefixes mark WholeStageCodegen stages in the compact plan form;
+    // the erf Project must carry one (a codegen fallback would drop it)
+    assert(p.contains("*(1) Project") || p.contains("*(2) Project") ||
+      p.contains("WholeStageCodegen"), p)
   }
 }
