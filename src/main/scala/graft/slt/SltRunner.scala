@@ -91,7 +91,108 @@ object SltRunner {
     * `x IN (sub)` (reference SubqueryType ANY, parsed_expression.h:495-502);
     * Spark only parses the IN form. */
   private[slt] def adaptQuery(sql: String): String =
-    explicitNullOrder(rewriteQuantified(sql))
+    explicitNullOrder(rewriteQuantified(rewriteNoFromScalar(sql)))
+
+  /** A scalar subquery with no FROM clause is a single implicit row, so
+    * `(SELECT <expr>)` ≡ `(<expr>)` and single-row aggregates collapse:
+    * SUM/MIN/MAX/AVG(e) → e, COUNT(*) → 1, COUNT(e) → e IS NULL ? 0 : 1.
+    * Catalyst rejects outer references inside such subqueries
+    * (CORRELATED_REFERENCE) and multi-level nesting; the reference's general
+    * unnesting (Transforms/Unnesting.cpp) handles them. Applied innermost-
+    * first until fixpoint, this is an exact rewrite, not an approximation. */
+  private[slt] def rewriteNoFromScalar(sql: String): String = {
+    val up0 = "(?i)\\(\\s*SELECT\\b".r
+    var cur = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      val up = cur.toUpperCase
+      val it = up0.findAllMatchIn(cur).toSeq
+      // innermost first = rightmost opening paren first
+      it.sortBy(-_.start).foreach { m =>
+        if (!changed) {
+          val open = m.start
+          var depth = 0; var i = open; var close = -1
+          while (i < cur.length && close < 0) {
+            cur.charAt(i) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) close = i
+              case _ =>
+            }
+            i += 1
+          }
+          if (close > 0) {
+            val inner = cur.substring(open + 1, close).trim // SELECT <expr...>
+            val exprPart = inner.substring(6) // drop SELECT
+            val hasClause = {
+              var d = 0; var inStr = false; var found = false
+              var j = 0
+              val eUp = exprPart.toUpperCase
+              while (j < exprPart.length && !found) {
+                val c = exprPart.charAt(j)
+                if (inStr) { if (c == '\'') inStr = false }
+                else c match {
+                  case '\'' => inStr = true
+                  case '(' => d += 1
+                  case ')' => d -= 1
+                  case _ =>
+                    if (d == 0) found = Seq("FROM", "WHERE", "GROUP", "UNION",
+                      "INTERSECT", "EXCEPT").exists { w =>
+                      eUp.regionMatches(j, w, 0, w.length) &&
+                        (j == 0 || !exprPart.charAt(j - 1).isLetterOrDigit) &&
+                        (j + w.length >= exprPart.length ||
+                          !exprPart.charAt(j + w.length).isLetterOrDigit)
+                    }
+                }
+                j += 1
+              }
+              found
+            }
+            if (!hasClause && !exprPart.contains("(SELECT") &&
+              !exprPart.toUpperCase.contains("( SELECT")) {
+              val collapsed = collapseSingleRowAggs(exprPart.trim)
+              cur = cur.substring(0, open) + s"($collapsed)" + cur.substring(close + 1)
+              changed = true
+            }
+          }
+        }
+      }
+    }
+    cur
+  }
+
+  private def collapseSingleRowAggs(expr: String): String = {
+    val aggRe = "(?i)\\b(SUM|MIN|MAX|AVG|COUNT)\\s*\\(".r
+    var cur = expr
+    var changed = true
+    while (changed) {
+      changed = false
+      aggRe.findFirstMatchIn(cur).foreach { m =>
+        val open = m.end - 1
+        var depth = 0; var i = open; var close = -1
+        while (i < cur.length && close < 0) {
+          cur.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = i
+            case _ =>
+          }
+          i += 1
+        }
+        if (close > 0) {
+          val arg = cur.substring(open + 1, close).trim
+          val repl = m.group(1).toUpperCase match {
+            case "COUNT" if arg == "*" => "1"
+            case "COUNT" => s"(CASE WHEN ($arg) IS NULL THEN 0 ELSE 1 END)"
+            case "AVG" => s"(CAST(($arg) AS DOUBLE))"
+            case _ => s"($arg)"
+          }
+          cur = cur.substring(0, m.start) + repl + cur.substring(close + 1)
+          changed = true
+        }
+      }
+    }
+    cur
+  }
 
   /** The reference follows Postgres null ordering (ASC → NULLS LAST, DESC →
     * NULLS FIRST); Spark defaults to the opposite. Make every ORDER BY item
