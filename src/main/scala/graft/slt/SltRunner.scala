@@ -395,6 +395,17 @@ object SltRunner {
     val db = "slt_" + math.abs(path.hashCode).toString
     // reference inserts rely on lax value coercion ('24002' into an int col)
     spark.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
+    // clean catalog AND warehouse dir: a killed previous run can leave table
+    // directories behind, which make CREATE TABLE fail (LOCATION_ALREADY_EXISTS)
+    Try(spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE"))
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), s"$db.db")
+    if (wh.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(wh)
+    }
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     spark.sql(s"USE $db")
     var passed = 0

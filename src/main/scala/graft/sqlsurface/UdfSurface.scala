@@ -120,10 +120,18 @@ object GraftSql {
     """(?is)^\s*COPY\s+(\w+)\s+FROM\s+'([^']+)'\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*$""".r
   private val setRe = """(?is)^\s*SET\s+(\S+)\s*(?:=|TO)\s*'?([^';]*)'?\s*;?\s*$""".r
 
+  private val createIndexRe = """(?is)^\s*CREATE\s+(?:UNIQUE\s+)?INDEX\s+.*$""".r
+
   /** Execute one statement; DDL/utility statements return an empty frame. */
   def apply(spark: SparkSession, stmt: String): DataFrame = {
     val s = stmt.trim
-    if (UdfSurface.isCreateFunction(s)) {
+    if (createIndexRe.findFirstIn(s).isDefined) {
+      // Secondary hash indexes drive the reference's index-nested-loop joins
+      // (src/runtime/LingoDBHashIndex.cpp); on Spark the equivalent physical
+      // choice is broadcast/AQE join selection (SURVEY §2.5) — index DDL is
+      // accepted as a no-op, results are unaffected.
+      spark.emptyDataFrame
+    } else if (UdfSurface.isCreateFunction(s)) {
       UdfSurface.execute(spark, s); spark.emptyDataFrame
     } else if (copyRe.findFirstIn(s).isDefined) {
       val copyRe(table, path, optStr) = s
