@@ -89,11 +89,13 @@ object Dedup {
       val mh = grams.groupBy(col("doc_id")).agg(
         min(xxhash64(lit(0), col("g"))).as("h0"),
         (1 until nHash).map(k => min(xxhash64(lit(k), col("g"))).as(s"h$k")): _*)
-      val bands = (0 until 8).map { bnd =>
-        mh.select(col("doc_id"),
+      // one band-array explode instead of 8 unioned re-aggregations — the
+      // minhash groupBy runs once, not once per band
+      val bands = mh.select(col("doc_id"),
+        explode(array((0 until 8).map { bnd =>
           concat_ws("_", lit(bnd) +:
-            (0 until 4).map(r => col(s"h${bnd * 4 + r}")): _*).as("bucket"))
-      }.reduce(_ unionAll _)
+            (0 until 4).map(r => col(s"h${bnd * 4 + r}")): _*)
+        }: _*)).as("bucket"))
       val cand = pairsFromBuckets(bands)
       val verified = jaccardPairs(grams)
         .join(cand, Seq("a", "b"), "left_semi")
@@ -113,11 +115,12 @@ object Dedup {
       val sig = bitSums.select(col("doc_id"),
         (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ bitwiseOR _).as("sig"))
-      val chunks = (0 until 4).map { c =>
-        sig.select(col("doc_id"),
+      // single chunk-array explode — the signature aggregation runs once
+      val chunks = sig.select(col("doc_id"),
+        explode(array((0 until 4).map { c =>
           concat_ws("_", lit(c),
-            shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))).as("bucket"))
-      }.reduce(_ unionAll _)
+            shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)))
+        }: _*)).as("bucket"))
       val cand = pairsFromBuckets(chunks)
       val sa = sig.toDF("a", "siga")
       val sb = sig.toDF("b", "sigb")

@@ -72,6 +72,16 @@ object Aggregates {
         .orderBy("c_mktsegment")
     }),
 
+    // relalg.aggrfn 'any' (RelAlgOps.td:71-85; AnyAggrFunc RA2SO:1843) —
+    // arbitrary-value-per-group; gated on a functionally-determined column so
+    // the result is unique and oracle-comparable (min() in the oracle).
+    "agg_any_value" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(big(col("c_nationkey")).as("nk"))
+        .agg(any_value(col("n_name")).as("nation_name"), count(lit(1)).as("n"))
+        .orderBy("nk")),
+
     // min/max over strings.
     "agg_minmax_string" -> ((s, d) =>
       t(s, d, "customer")
@@ -160,6 +170,10 @@ object Aggregates {
                       CAST(sum(CAST(c_acctbal * c_acctbal AS DECIMAL(24,4))) AS DOUBLE) AS s2
                FROM customer GROUP BY 1) g
          ORDER BY c_mktsegment""",
+    "agg_any_value" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nk, min(n_name) AS nation_name, count(*) AS n
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY nk""",
     "agg_minmax_string" ->
       "SELECT c_mktsegment, min(c_name) AS min_name, max(c_name) AS max_name FROM customer GROUP BY 1 ORDER BY c_mktsegment",
     "agg_collect_list" ->
