@@ -22,17 +22,25 @@ object ExprUtil {
     * to LingoDB's runtime `Hash` function
     * (reference RuntimeFunctions.cpp:341, include/lingodb/runtime/helpers.h),
     * but specified here so results are stable across engines/versions. */
+  private final val HashMod = (1L << 61) - 1
+
+  /** h*2^k mod 2^61-1 for h < 2^61-1, k < 61: split h at bit 61-k and use
+    * 2^61 ≡ 1 (mod 2^61-1). Exact, no 64-bit overflow. */
+  private def shlMod(h: Long, k: Int): Long = {
+    val r = ((h & ((1L << (61 - k)) - 1)) << k) + (h >>> (61 - k))
+    if (r >= HashMod) r - HashMod else r
+  }
+
   def rollingHash(s: UTF8String): Long = {
     val bytes = s.getBytes
-    val M = (1L << 61) - 1
     var h = 0L
     var i = 0
     while (i < bytes.length) {
-      // h = (h * 131 + b) mod 2^61-1, without overflow: h < 2^61, 131*h < 2^68
-      val hi = h >>> 54          // top bits of h*131 contribution
-      val lo = (h << 7) + (h << 1) + h + (bytes(i) & 0xffL) // h*131 + b (mod 2^64)
-      h = ((lo & M) + ((lo >>> 61) | (hi << 3))) // fold mod 2^61-1
-      if (h >= M) h -= M
+      // h = (h*131 + b) mod 2^61-1 with 131 = 2^7 + 2^1 + 2^0; each term is
+      // < 2^61 so the sum stays below 2^63 before the final reduction.
+      var t = shlMod(h, 7) + shlMod(h, 1) + h + (bytes(i) & 0xffL)
+      while (t >= HashMod) t -= HashMod
+      h = t
       i += 1
     }
     h

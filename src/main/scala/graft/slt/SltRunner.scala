@@ -393,7 +393,9 @@ object SltRunner {
   def runFile(spark: SparkSession, path: String): FileResult = {
     val content = Files.readString(Paths.get(path))
     val db = "slt_" + math.abs(path.hashCode).toString
-    // reference inserts rely on lax value coercion ('24002' into an int col)
+    // reference inserts rely on lax value coercion ('24002' into an int col);
+    // save the prior policy so SLT runs don't leak LEGACY into the session
+    val priorAssignPolicy = spark.conf.getOption("spark.sql.storeAssignmentPolicy")
     spark.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
     // clean catalog AND warehouse dir: a killed previous run can leave table
     // directories behind, which make CREATE TABLE fail (LOCATION_ALREADY_EXISTS)
@@ -430,9 +432,9 @@ object SltRunner {
           val sql = adaptQuery(sql0)
           // a distributed engine has no deterministic row order without
           // ORDER BY; fall back to rowsort for unordered nosort queries
-          val sortMode =
-            if (sortMode0 == "nosort" && !sql.toLowerCase.contains("order by")) "rowsort"
-            else sortMode0
+          val coercedToRowsort =
+            sortMode0 == "nosort" && !sql.toLowerCase.contains("order by")
+          val sortMode = if (coercedToRowsort) "rowsort" else sortMode0
           Try(rowsOf(GraftSql(spark, sql))) match {
             case Failure(e) => failed += 1; failures += s"${short(sql)} -> ${short(e.getMessage)}"
             case Success(rows) =>
@@ -451,7 +453,14 @@ object SltRunner {
                   val gotVals = got.flatten
                   val wantVals = sortMode match {
                     case "valuesort" => expected.map(_.trim).sorted
-                    case _ => expected.map(_.trim) // rowsort already applied to rows
+                    case "rowsort" if coercedToRowsort =>
+                      // nosort record coerced to rowsort: the expected file
+                      // values are in engine arrival order, not pre-sorted —
+                      // regroup into rows and sort them the same way as `got`
+                      val ncol = rows.headOption.map(_.length).getOrElse(1).max(1)
+                      expected.map(_.trim).grouped(ncol).toSeq
+                        .sortBy(_.mkString(" ")).flatten
+                    case _ => expected.map(_.trim) // genuine rowsort: file pre-sorted
                   }
                   gotVals.length == wantVals.length &&
                     gotVals.zip(wantVals).forall((cellEq _).tupled)
@@ -475,6 +484,10 @@ object SltRunner {
           }
       }
     } finally {
+      priorAssignPolicy match {
+        case Some(v) => spark.conf.set("spark.sql.storeAssignmentPolicy", v)
+        case None    => spark.conf.unset("spark.sql.storeAssignmentPolicy")
+      }
       spark.sql(s"USE default")
       Try(spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE"))
     }

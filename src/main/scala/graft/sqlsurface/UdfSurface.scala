@@ -5,6 +5,8 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
 import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
 
+import scala.util.Try
+
 /** User-defined scalar functions from SQL DDL — the Spark counterpart of the
   * reference's runtime-compiled C UDFs:
   * `CREATE OR REPLACE FUNCTION f(x int) RETURNS int LANGUAGE c AS $$ return x+1; $$`
@@ -58,13 +60,16 @@ object UdfSurface {
       }
     val whens = Seq.newBuilder[(String, String)]
     var elseVal: Option[String] = None
-    stmts.foreach {
-      case returnRe(v) if elseVal.isEmpty && !v.trim.startsWith("if") =>
-        elseVal = Some(substitute(v.trim))
-      case ifReturnRe(cond, v) => whens += ((substitute(cond.trim), substitute(v.trim)))
-      case declRe(name, value) => bindings += (name -> substitute(value.trim))
-      case other =>
-        throw new IllegalArgumentException(s"unsupported C UDF statement: '$other'")
+    stmts.foreach { stmt =>
+      // anything after the unconditional return is C dead code — skip it
+      // rather than compiling it into a CASE branch that would run first
+      if (elseVal.isEmpty) stmt match {
+        case ifReturnRe(cond, v) => whens += ((substitute(cond.trim), substitute(v.trim)))
+        case returnRe(v)         => elseVal = Some(substitute(v.trim))
+        case declRe(name, value) => bindings += (name -> substitute(value.trim))
+        case other =>
+          throw new IllegalArgumentException(s"unsupported C UDF statement: '$other'")
+      }
     }
     val base = elseVal.getOrElse(
       throw new IllegalArgumentException("C UDF body has no return"))
@@ -135,19 +140,31 @@ object GraftSql {
       UdfSurface.execute(spark, s); spark.emptyDataFrame
     } else if (copyRe.findFirstIn(s).isDefined) {
       val copyRe(table, path, optStr) = s
-      val opts = Option(optStr).getOrElse("").split(",").map(_.trim.toUpperCase)
+      // Postgres/DuckDB COPY options: keys case-insensitive, VALUES
+      // case-sensitive ('a' != 'A'); a bare flag token means true.
+      val opts = Option(optStr).getOrElse("").split(",").map(_.trim)
         .filter(_.nonEmpty)
-        .flatMap { o =>
+        .map { o =>
           val kv = o.split("\\s+", 2)
-          if (kv.length == 2) Some(kv(0) -> kv(1).replaceAll("^'|'$", "")) else None
+          val key = kv(0).toUpperCase
+          if (kv.length == 2) key -> kv(1).trim.replaceAll("^'|'$", "")
+          else key -> "TRUE"
         }.toMap
-      val delim = opts.get("DELIMITER").map(_.replaceAll("^'|'$", "")).getOrElse(",")
-      val header = opts.get("HEADER").forall(_ != "FALSE") && opts.contains("HEADER")
-      val df = spark.read
+      val delim = opts.getOrElse("DELIMITER", ",")
+      val header = opts.get("HEADER").exists(v => !v.equalsIgnoreCase("FALSE") && v != "0")
+      val reader = spark.read
         .option("delimiter", delim).option("header", header.toString)
-        .option("inferSchema", "true").option("nullValue", opts.getOrElse("NULL", ""))
-        .csv(path)
-      df.createOrReplaceTempView(table)
+        .option("nullValue", opts.getOrElse("NULL", ""))
+      if (Try(spark.catalog.tableExists(table)).getOrElse(false)) {
+        // Declared-schema table: COPY appends with the table's types, like the
+        // reference's catalog append (reference src/runtime/RelationHelper.cpp:93-145)
+        val target = spark.table(table)
+        val df = reader.schema(target.schema).csv(path)
+        df.write.mode("append").insertInto(table)
+      } else {
+        // no declared target: expose the file as an inferred-schema view
+        reader.option("inferSchema", "true").csv(path).createOrReplaceTempView(table)
+      }
       spark.emptyDataFrame
     } else if (setRe.findFirstIn(s).isDefined && s.toUpperCase.startsWith("SET")) {
       val setRe(key, value) = s

@@ -28,6 +28,17 @@ class FunctionsSpec extends SparkSpec {
     assert(h1 == h2 && h1 != h3 && h1 >= 0)
   }
 
+  test("rolling_hash computes the documented h=(h*131+b) mod 2^61-1 recurrence") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val M = BigInt(2).pow(61) - 1
+    for (s <- Seq("", "a", "hello world", "ü™✓ unicode", "x" * 500)) {
+      val ref = UTF8String.fromString(s).getBytes.foldLeft(BigInt(0)) { (h, b) =>
+        (h * 131 + (b & 0xff)) mod M
+      }
+      assert(BigInt(ExprUtil.rollingHash(UTF8String.fromString(s))) == ref, s"for '$s'")
+    }
+  }
+
   test("rolling_hash agrees between interpreted and codegen paths") {
     import spark.implicits._
     val df = Seq("a", "spark native engine", "ü™✓ unicode").toDF("s")

@@ -47,6 +47,32 @@ class UdfSpec extends SparkSpec {
     assert(rows.length == 2 && rows.head.getInt(0) == 1 && rows.head.getString(1) == "x")
   }
 
+  test("COPY appends into a declared-schema table; repeated COPY accumulates") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_copy_append").toFile
+    val f = new java.io.File(tmp, "rows.csv")
+    java.nio.file.Files.writeString(f.toPath, "1,alpha\n2,Beta\n")
+    spark.sql("DROP TABLE IF EXISTS copy_target")
+    spark.sql("CREATE TABLE copy_target (id INT, name STRING) USING parquet")
+    try {
+      GraftSql(spark, s"COPY copy_target FROM '${f.getAbsolutePath}' (FORMAT csv)")
+      GraftSql(spark, s"COPY copy_target FROM '${f.getAbsolutePath}' (FORMAT csv)")
+      val rows = spark.sql("SELECT id, name FROM copy_target ORDER BY id, name").collect()
+      assert(rows.length == 4)
+      assert(rows.map(_.getInt(0)).toSeq == Seq(1, 1, 2, 2))
+      // values keep their original case (option parsing must not uppercase them)
+      assert(rows.map(_.getString(1)).toSeq == Seq("alpha", "alpha", "Beta", "Beta"))
+    } finally spark.sql("DROP TABLE IF EXISTS copy_target")
+  }
+
+  test("COPY bare HEADER flag means header=true") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_copy_hdr").toFile
+    val f = new java.io.File(tmp, "h.csv")
+    java.nio.file.Files.writeString(f.toPath, "a,b\n10,ten\n")
+    GraftSql(spark, s"COPY hdrtab FROM '${f.getAbsolutePath}' (FORMAT csv, HEADER)")
+    val rows = spark.sql("SELECT a, b FROM hdrtab").collect()
+    assert(rows.length == 1 && rows.head.getInt(0) == 10 && rows.head.getString(1) == "ten")
+  }
+
   test("unsupported language rejected") {
     intercept[IllegalArgumentException](UdfSurface.execute(spark,
       "CREATE FUNCTION bad(x int) RETURNS int LANGUAGE cobol AS $$ x $$"))
