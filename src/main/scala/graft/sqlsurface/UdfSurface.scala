@@ -141,8 +141,10 @@ object GraftSql {
     } else if (copyRe.findFirstIn(s).isDefined) {
       val copyRe(table, path, optStr) = s
       // Postgres/DuckDB COPY options: keys case-insensitive, VALUES
-      // case-sensitive ('a' != 'A'); a bare flag token means true.
-      val opts = Option(optStr).getOrElse("").split(",").map(_.trim)
+      // case-sensitive ('a' != 'A'); a bare flag token means true. Split on
+      // commas outside quotes so DELIMITER ',' survives tokenization.
+      val opts = Option(optStr).getOrElse("")
+        .split(",(?=(?:[^']*'[^']*')*[^']*$)").map(_.trim)
         .filter(_.nonEmpty)
         .map { o =>
           val kv = o.split("\\s+", 2)

@@ -19,4 +19,35 @@ class SltSpec extends SparkSpec {
     val r = run("unnesting.test")
     assert(r.passed.toDouble / r.total >= 0.6, s"${r.passed}/${r.total}")
   }
+
+  test("COPY-then-COPY appends into a declared table (SLT block)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_slt_copy")
+    java.nio.file.Files.writeString(dir.resolve("people.csv"), "1,ada\n2,grace\n")
+    val slt =
+      s"""statement ok
+         |CREATE TABLE people (id INT, name VARCHAR(20))
+         |
+         |statement ok
+         |COPY people FROM '${dir.resolve("people.csv")}' (FORMAT csv, DELIMITER ',')
+         |
+         |statement ok
+         |COPY people FROM '${dir.resolve("people.csv")}' (FORMAT csv, DELIMITER ',')
+         |
+         |query IT rowsort
+         |SELECT id, name FROM people
+         |----
+         |1
+         |ada
+         |1
+         |ada
+         |2
+         |grace
+         |2
+         |grace
+         |""".stripMargin
+    val f = dir.resolve("copy_append.test")
+    java.nio.file.Files.writeString(f, slt)
+    val r = SltRunner.runFile(spark, f.toString)
+    assert(r.failed == 0, r.failures)
+  }
 }
