@@ -23,6 +23,7 @@ object SparkEntry {
       (Subqueries.queries, Subqueries.oracle),
       (TpchLike.queries, TpchLike.oracle),
       (TpchExtra.queries, TpchExtra.oracle),
+      (TpchFull.queries, TpchFull.oracle),
       (graft.functions.FunctionQueries.queries, graft.functions.FunctionQueries.oracle),
       (graft.data.TextAnalysis.queries, graft.data.TextAnalysis.oracle),
       (graft.data.Dedup.queries, graft.data.Dedup.oracle),
