@@ -13,9 +13,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   private val headline = Seq(
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10",
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q10", "tpch_q21",
     "agg_rollup", "agg_groupjoin", "win_running_sum",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_embed_cos",
     "sim_cosine_topk", "text_quality", "ev_sessions")
 
   def main(args: Array[String]): Unit = {

@@ -38,8 +38,26 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact jaccard over shingle sets for pairs that share >=1 shingle. */
-  private[data] def jaccardPairs(grams: DataFrame): DataFrame = {
+  /** Document-frequency cap: drop shingles appearing in more than `maxDf`
+    * docs BEFORE any pair generation. A shingle shared by k docs contributes
+    * k² rows to a shared-shingle self-join — boilerplate at corpus scale
+    * (headers, licenses) makes an uncapped join a job-killer. The df-cap
+    * bounds per-shingle fan-out; near-dup signal lives in rare shingles, so
+    * recall on true near-dups is unaffected. */
+  private[data] val MaxShingleDf = 64
+  private[data] def dfCapped(grams: DataFrame, maxDf: Int = MaxShingleDf): DataFrame = {
+    val rare = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("g"))
+    // USING-join puts g first; restore (doc_id, g) for positional toDF callers
+    grams.join(rare, Seq("g"), "left_semi").select(col("doc_id"), col("g"))
+  }
+
+  /** Exact jaccard over shingle sets for pairs that share >=1 shingle.
+    * Pair enumeration is bounded by the df-cap (no shingle fans out more
+    * than MaxShingleDf ways); sizes use the same capped sets so the ratio
+    * stays a true jaccard of the capped universe. */
+  private[data] def jaccardPairs(grams0: DataFrame): DataFrame = {
+    val grams = dfCapped(grams0)
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = grams.toDF("a", "g")
     val b = grams.toDF("b", "g")
@@ -49,6 +67,26 @@ object Dedup {
       .join(sizes.toDF("b", "sb"), "b")
       .select(col("a"), col("b"), col("ic"),
         col("sa"), col("sb"),
+        (col("ic").cast("double") /
+          (col("sa") + col("sb") - col("ic")).cast("double")).as("jac"))
+  }
+
+  /** Exact jaccard computed ONLY for the given candidate pairs: intersection
+    * counts come from cand ⋈ grams(a) ⋈ grams(b, g) — work is proportional to
+    * Σ|shingles(a)| over candidates, never to all shared-shingle pairs. This
+    * is the verification path LSH exists to enable (a plain
+    * jaccardPairs + semi-join would re-enumerate every pair anyway, since the
+    * two-sided pair aggregation can't be pushed past the semi-join). */
+  private[data] def jaccardForCandidates(cand: DataFrame, grams: DataFrame): DataFrame = {
+    // caller passes already-df-capped grams (shared with signature generation)
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val ga = grams.toDF("a", "g")
+    val gb = grams.toDF("b", "g")
+    val ic = cand.join(ga, Seq("a")).join(gb, Seq("b", "g"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ic"))
+    ic.join(sizes.toDF("a", "sa"), "a")
+      .join(sizes.toDF("b", "sb"), "b")
+      .select(col("a"), col("b"), col("ic"), col("sa"), col("sb"),
         (col("ic").cast("double") /
           (col("sa") + col("sb") - col("ic")).cast("double")).as("jac"))
   }
@@ -64,6 +102,26 @@ object Dedup {
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))
       .distinct()
+  }
+
+  /** Candidate pairs from coordinate-sign LSH: band j (0..7) is the 8 sign
+    * bits of coordinates [8j+1 .. 8j+8] (1-based); a pair is a candidate iff
+    * it agrees on ANY band. Closed form — reproducible in plain SQL, so a
+    * DuckDB oracle can enumerate the identical set. Near-dup vectors flip few
+    * signs, so they collide on almost every band; random pairs collide on a
+    * given 8-bit band with p≈2⁻⁸. */
+  private[graft] def signBandCandidates(emb: DataFrame): DataFrame = {
+    val bandVals = array((0 until 8).map { j =>
+      (0 until 8).map { r =>
+        when(element_at(col("embedding"), j * 8 + r + 1) >= 0f, lit(1 << r))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+    val bands = emb.select(col("vec_id"), posexplode(bandVals).as(Seq("j", "bv")))
+    bands.toDF("a", "j", "bv")
+      .join(bands.toDF("b", "j", "bv"), Seq("j", "bv"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
   }
 
   val queries: Map[String, Q] = Map(
@@ -82,13 +140,24 @@ object Dedup {
         .orderBy("a", "b")),
 
     // MinHash (32 perms) + LSH (8 bands x 4 rows) with exact-jaccard
-    // verification of candidates. Engine-defined hashes → rows-only check.
+    // verification of candidates ONLY (jaccardForCandidates) — the pair
+    // enumeration LSH exists to avoid never runs. Engine-defined hashes →
+    // rows-only check; recall spec in DedupSpec.
     "dedup_minhash_lsh" -> ((s, d) => {
-      val grams = shingles(t(s, d, "documents"))
+      val grams = dfCapped(shingles(t(s, d, "documents")))
       val nHash = 32
+      // Double hashing (Kirsch-Mitzenmacher style, overflow-free for ANSI
+      // mode): h_k = h1 XOR rot(h2, k) gives 32 independent-enough
+      // permutations from TWO xxhash64 evaluations per shingle instead of
+      // 32 — the signature pass is the LSH bottleneck at corpus scale.
+      val h1 = xxhash64(col("g"))
+      val h2 = xxhash64(lit(1), col("g"))
+      def rot(c: Column, k: Int): Column =
+        if (k == 0) c
+        else shiftleft(c, k).bitwiseOR(shiftrightunsigned(c, 64 - k))
       val mh = grams.groupBy(col("doc_id")).agg(
-        min(xxhash64(lit(0), col("g"))).as("h0"),
-        (1 until nHash).map(k => min(xxhash64(lit(k), col("g"))).as(s"h$k")): _*)
+        min(h1.bitwiseXOR(h2)).as("h0"),
+        (1 until nHash).map(k => min(h1.bitwiseXOR(rot(h2, k))).as(s"h$k")): _*)
       // one band-array explode instead of 8 unioned re-aggregations — the
       // minhash groupBy runs once, not once per band
       val bands = mh.select(col("doc_id"),
@@ -97,8 +166,7 @@ object Dedup {
             (0 until 4).map(r => col(s"h${bnd * 4 + r}")): _*)
         }: _*)).as("bucket"))
       val cand = pairsFromBuckets(bands)
-      val verified = jaccardPairs(grams)
-        .join(cand, Seq("a", "b"), "left_semi")
+      val verified = jaccardForCandidates(cand, grams)
         .filter(col("jac") >= 0.5)
       verified.select(col("a"), col("b"), col("jac")).orderBy("a", "b")
     }),
@@ -106,7 +174,7 @@ object Dedup {
     // SimHash: 64-bit signature = per-bit majority over shingle hashes;
     // candidates from 16-bit chunk collisions; hamming<=10 near-dups.
     "dedup_simhash" -> ((s, d) => {
-      val grams = shingles(t(s, d, "documents"))
+      val grams = dfCapped(shingles(t(s, d, "documents")))
       val withH = grams.select(col("doc_id"), xxhash64(col("g")).as("h"))
       val bitSums = withH.groupBy(col("doc_id")).agg(
         sum(when(col("h").bitwiseAND(lit(1L << 0)) =!= 0L, 1).otherwise(-1)).as("b0"),
@@ -131,16 +199,22 @@ object Dedup {
         .orderBy("a", "b")
     }),
 
-    // Embedding-cosine near-dup: top-20 most similar pairs (brute force at
-    // verify scale; see Similarity for the bucketed scale path).
+    // Embedding-cosine near-dup, candidate-bounded: pairs are generated from
+    // coordinate-sign LSH bands (8 bands × 8 sign bits), then exact cosine is
+    // computed ONLY on candidates — never an all-pairs crossJoin. The band
+    // scheme is closed-form (sign of the k-th coordinate), so the DuckDB
+    // oracle enumerates the IDENTICAL candidate set and the query stays fully
+    // hash-checked. Brute force survives as the recall baseline in DedupSpec
+    // and in sim_cosine_topk.
     "dedup_embed_cos" -> ((s, d) => {
       val e = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"),
           sqrt(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
             lit(0.0), (acc, x) => acc + x)).as("norm"))
-      val a = e.toDF("a", "ea", "na")
-      val b = e.toDF("b", "eb", "nb")
-      a.crossJoin(b).filter(col("a") < col("b"))
+      val cand = signBandCandidates(e.select(col("vec_id"), col("embedding")))
+      val ea = e.toDF("a", "ea", "na")
+      val eb = e.toDF("b", "eb", "nb")
+      cand.join(ea, "a").join(eb, "b")
         .select(col("a"), col("b"),
           (aggregate(zip_with(col("ea"), col("eb"), (x, y) => x.cast("double") * y.cast("double")),
             lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb"))).as("cos"))
@@ -156,7 +230,9 @@ object Dedup {
     "dedup_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3),
               g0 AS (SELECT doc_id, unnest(generate_series(1, len(w) - 2)) AS i, w FROM w),
-              grams AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM g0),
+              grams0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM g0),
+              grams AS (SELECT doc_id, g FROM grams0
+                        WHERE g IN (SELECT g FROM grams0 GROUP BY g HAVING count(*) <= 64)),
               sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
               ic AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ic
                      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -167,11 +243,25 @@ object Dedup {
          WHERE CAST(ic AS DOUBLE) / CAST(sa.sz + sb.sz - ic AS DOUBLE) >= 0.1
          ORDER BY a, b""",
     "dedup_embed_cos" ->
-      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      """WITH bands AS (
+              SELECT vec_id, j,
+                     (CASE WHEN embedding[8*j+1] >= 0 THEN 1 ELSE 0 END) +
+                     (CASE WHEN embedding[8*j+2] >= 0 THEN 2 ELSE 0 END) +
+                     (CASE WHEN embedding[8*j+3] >= 0 THEN 4 ELSE 0 END) +
+                     (CASE WHEN embedding[8*j+4] >= 0 THEN 8 ELSE 0 END) +
+                     (CASE WHEN embedding[8*j+5] >= 0 THEN 16 ELSE 0 END) +
+                     (CASE WHEN embedding[8*j+6] >= 0 THEN 32 ELSE 0 END) +
+                     (CASE WHEN embedding[8*j+7] >= 0 THEN 64 ELSE 0 END) +
+                     (CASE WHEN embedding[8*j+8] >= 0 THEN 128 ELSE 0 END) AS bv
+              FROM embeddings CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS gen(j)),
+              cand AS (SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+                       FROM bands a JOIN bands b ON a.j = b.j AND a.bv = b.bv AND a.vec_id < b.vec_id),
+              e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
                            CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
               norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
-              dots AS (SELECT a.vec_id AS a, b.vec_id AS b, sum(a.v * b.v) AS dot
-                       FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+              dots AS (SELECT cand.a, cand.b, sum(ea.v * eb.v) AS dot
+                       FROM cand JOIN e ea ON ea.vec_id = cand.a
+                       JOIN e eb ON eb.vec_id = cand.b AND eb.i = ea.i
                        GROUP BY 1, 2)
          SELECT a, b, round(dot / (na.nrm * nb.nrm), 4) AS sim
          FROM dots JOIN norms na ON dots.a = na.vec_id JOIN norms nb ON dots.b = nb.vec_id

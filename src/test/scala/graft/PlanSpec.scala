@@ -40,6 +40,36 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, "expected partial+final agg")
   }
 
+  test("dedup_minhash_lsh: jaccard verification is candidate-bounded") {
+    val p = planOf("dedup_minhash_lsh")
+    // the intersection count must join through the candidate set (keys b,g) —
+    // an inner join on [g] alone means the full shared-shingle pair
+    // enumeration is back (the thing LSH exists to avoid)
+    val pairJoinOnGAlone = """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[g#\d+\], \[g#\d+\], Inner""".r
+    assert(pairJoinOnGAlone.findFirstIn(p).isEmpty,
+      "full shared-shingle pair join found in LSH verification path")
+    val candBoundedJoin = """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[b#\d+L?, g#\d+\]""".r
+    assert(candBoundedJoin.findFirstIn(p).isDefined,
+      s"candidate-bounded (b,g) intersection join missing: $p")
+  }
+
+  test("dedup_embed_cos: no all-pairs cross join") {
+    val p = planOf("dedup_embed_cos")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "embedding dedup must be candidate-bounded, not all-pairs")
+  }
+
+  test("tpch_q8: fact joins broadcast the dimension sides") {
+    val p = planOf("tpch_q8")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("tpch_q21: EXISTS/NOT EXISTS are semi/anti joins, no correlated re-execution") {
+    val p = planOf("tpch_q21")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("custom expressions stay codegen-compatible (no fallback markers)") {
     val df = SparkEntry.queries("fn_erf")(spark, sf)
     df.collect() // AQE finalizes (and codegen-compiles) only on execution
