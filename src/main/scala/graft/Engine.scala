@@ -18,6 +18,9 @@ object Engine {
     val spark = SparkSession.builder()
       .master(master)
       .appName(appName)
+      // Neumann-style decorrelation beyond Catalyst's subquery support
+      // (SURVEY §2.1 relalg unnesting; reference Transforms/Unnesting.cpp)
+      .withExtensions(e => e.injectResolutionRule(_ => plans.DecorrelateComplexAggs))
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -15,9 +15,10 @@ class SltSpec extends SparkSpec {
   test("udf.test: full pass") { val r = run("udf.test"); assert(r.failed == 0, r.failures) }
   test("uni.test: full pass") { val r = run("uni.test"); assert(r.failed == 0, r.failures) }
 
-  test("unnesting.test: >= 60% (rest are Catalyst decorrelation limits)") {
+  test("unnesting.test: >= 96% (decorrelation rule + SQL adapters; the rest" +
+    " are subquery-in-join-condition planning limits and relational division)") {
     val r = run("unnesting.test")
-    assert(r.passed.toDouble / r.total >= 0.6, s"${r.passed}/${r.total}")
+    assert(r.passed >= 120, s"${r.passed}/${r.total}: ${r.failures.take(3)}")
   }
 
   test("COPY-then-COPY appends into a declared table (SLT block)") {
