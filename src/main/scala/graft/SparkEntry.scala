@@ -31,7 +31,8 @@ object SparkEntry {
       (graft.data.Multimodal.queries, graft.data.Multimodal.oracle),
       (graft.data.Events.queries, graft.data.Events.oracle),
       (graft.sqlsurface.PipeSqlQueries.queries, graft.sqlsurface.PipeSqlQueries.oracle),
-      (graft.streaming.Streaming.queries, graft.streaming.Streaming.oracle)
+      (graft.streaming.Streaming.queries, graft.streaming.Streaming.oracle),
+      (graft.tpcds.Tpcds.queries, graft.tpcds.Tpcds.oracle)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -91,584 +91,37 @@ object SltRunner {
   /** Quantified-comparison rewrite: `x = SOME(sub)` has identical semantics to
     * `x IN (sub)` (reference SubqueryType ANY, parsed_expression.h:495-502);
     * Spark only parses the IN form. */
+  /** Harness-only dialect shims: type synonyms, quantified comparisons and
+    * the corpus's Postgres null ordering. Everything structural (outer-agg
+    * decomposition, deep-correlation hoisting, no-FROM scalar collapse, …)
+    * now lives engine-side in [[graft.sqlsurface.SqlCanonicalizer]] and is
+    * applied by GraftSql itself. */
   private[slt] def adaptQuery(sql: String): String =
-    explicitNullOrder(rewriteQuantified(rewriteNoFromScalar(
-      hoistDeepCorrelation(decomposeOuterAggs(
-        joinOnSubqueryToWhere(existsNoFromToTrue(castTextSynonym(sql))))))))
+    explicitNullOrder(rewriteQuantified(castTextSynonym(sql)))
 
-  private val sqlKeywords = Set(
-    "CASE", "WHEN", "THEN", "ELSE", "END", "IS", "NOT", "NULL", "AND", "OR",
-    "IN", "LIKE", "BETWEEN", "TRUE", "FALSE", "CAST", "AS", "DISTINCT",
-    "INTEGER", "INT", "BIGINT", "SMALLINT", "VARCHAR", "TEXT", "STRING",
-    "DOUBLE", "FLOAT", "DECIMAL", "BOOLEAN", "DATE", "TIMESTAMP", "INTERVAL")
 
-  /** Does the expression text reference any LOCAL (non-outer) column: a bare
-    * identifier (inner column) or a qualifier not in `outerAliases`. */
-  private def refsLocal(expr: String, outerAliases: Set[String]): Boolean = {
-    val idRe = "[A-Za-z_]\\w*".r
-    var i = 0
-    while (i < expr.length) {
-      idRe.findPrefixMatchOf(expr.substring(i)) match {
-        case Some(m) if i == 0 || !expr.charAt(i - 1).isLetterOrDigit &&
-            expr.charAt(i - 1) != '_' && expr.charAt(i - 1) != '.' =>
-          val word = m.matched
-          val after = expr.substring(i + word.length).dropWhile(_.isWhitespace)
-          val isFunc = after.startsWith("(")
-          val isQualifier = after.startsWith(".")
-          if (!isFunc && !sqlKeywords.contains(word.toUpperCase)) {
-            if (isQualifier) { if (!outerAliases.contains(word)) return true }
-            else return true // bare identifier = inner column
-          }
-          i += m.matched.length.max(1)
-        case _ => i += 1
-      }
-    }
-    false
-  }
 
-  private def refsOuter(expr: String, outerAliases: Set[String]): Boolean =
-    outerAliases.exists(a => s"(?i)\\b$a\\s*\\.".r.findFirstIn(expr).isDefined)
 
-  /** Split an expression text at top-level '+'/'-' into signed terms; None if
-    * it isn't a sum (single term). */
-  private def signedTerms(expr: String): Seq[(Char, String)] = {
-    val terms = Seq.newBuilder[(Char, String)]
-    var depth = 0; var inStr = false; var start = 0; var sign = '+'
-    var i = 0
-    while (i < expr.length) {
-      val c = expr.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
-      else c match {
-        case '\'' => inStr = true
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case '+' | '-' if depth == 0 && i > start =>
-          val prev = expr.substring(0, i).reverse.dropWhile(_.isWhitespace)
-          // binary only: previous non-space char must end an operand
-          if (prev.nonEmpty && (prev.head.isLetterOrDigit || prev.head == ')' || prev.head == '\'')) {
-            terms += ((sign, expr.substring(start, i).trim)); sign = c; start = i + 1
-          }
-        case _ =>
-      }
-      i += 1
-    }
-    terms += ((sign, expr.substring(start).trim))
-    terms.result().filter(_._2.nonEmpty)
-  }
 
-  /** Split at top-level '*' into factors (no division). */
-  private def factors(expr: String): Seq[String] = {
-    val fs = Seq.newBuilder[String]
-    var depth = 0; var inStr = false; var start = 0
-    var i = 0
-    while (i < expr.length) {
-      val c = expr.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
-      else c match {
-        case '\'' => inStr = true
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case '*' if depth == 0 => fs += expr.substring(start, i).trim; start = i + 1
-        case '/' | '%' if depth == 0 => return Seq(expr) // don't split
-        case _ =>
-      }
-      i += 1
-    }
-    fs += expr.substring(start).trim
-    fs.result().filter(_.nonEmpty)
-  }
 
-  /** Remove outer references from INSIDE aggregate-function arguments using
-    * exact algebraic identities, keeping the block an aggregate query:
-    *   SUM(o)   → CASE WHEN COUNT(*)=0 THEN NULL ELSE (o)*COUNT(*) END
-    *   MIN(o)   → CASE WHEN COUNT(*)=0 THEN NULL ELSE (o) END     (MAX same)
-    *   COUNT(o) → CASE WHEN (o) IS NULL THEN 0 ELSE COUNT(*) END
-    *   SUM(l±o) → (SUM(l) ± (o)*COUNT(l))
-    *   SUM(o*l) → ((o)*SUM(l))
-    *   MIN(l±o) → (MIN(l) ± (o))                                  (MAX same)
-    * Catalyst rejects these eagerly during resolution
-    * (AGGREGATE_FUNCTION_MIXED_OUTER_LOCAL_REFERENCES) or mis-attributes the
-    * aggregate to the outer block (SQL-standard outer aggregation — the
-    * corpus expects the reference's inner-scope semantics), so this has to
-    * happen before analysis; [[graft.plans.DecorrelateComplexAggs]] then
-    * handles the outer references that remain OUTSIDE aggregate calls. */
-  private[slt] def decomposeOuterAggs(sql: String): String = {
-    if (!"(?i)\\(\\s*SELECT".r.findFirstIn(sql).isDefined) return sql
-    val declRe = "(?i)(?:FROM|JOIN|,)\\s+(\\w+)(?:\\s+(\\w+))?".r
-    val allAliases = declRe.findAllMatchIn(sql)
-      .flatMap(m => Seq(Option(m.group(1)), Option(m.group(2))).flatten).toSet
-      .filterNot(w => fromKeywords.contains(w.toUpperCase))
-    var cur = sql
-    var changed = true
-    var rounds = 0
-    while (changed && rounds < 8) {
-      changed = false; rounds += 1
-      val opens = "(?i)\\(\\s*SELECT\\b".r.findAllMatchIn(cur).map(_.start).toSeq
-      opens.foreach { open =>
-        if (!changed) {
-          var depth = 0; var j = open; var close = -1
-          while (j < cur.length && close < 0) {
-            cur.charAt(j) match {
-              case '(' => depth += 1
-              case ')' => depth -= 1; if (depth == 0) close = j
-              case _ =>
-            }
-            j += 1
-          }
-          if (close > 0) {
-            val body = cur.substring(open + 1, close)
-            val ownAliases = declRe.findAllMatchIn(body)
-              .flatMap(m => Seq(Option(m.group(1)), Option(m.group(2))).flatten).toSet
-            val outerAliases = allAliases -- ownAliases
-            rewriteAggsIn(body, outerAliases).foreach { newBody =>
-              cur = cur.substring(0, open + 1) + newBody + cur.substring(close)
-              changed = true
-            }
-          }
-        }
-      }
-    }
-    cur
-  }
 
-  /** One aggregate-call rewrite inside a subquery body; None if nothing to do. */
-  private def rewriteAggsIn(body: String, outerAliases: Set[String]): Option[String] = {
-    if (outerAliases.isEmpty) return None
-    // grouped blocks: per-group COUNT(*) identities interact with HAVING —
-    // the plan-level rule handles row-constant aggregates there instead
-    if (hasTopLevel(body, "GROUP")) return None
-    val aggRe = "(?i)\\b(SUM|MIN|MAX|COUNT|AVG)\\s*\\(".r
-    aggRe.findAllMatchIn(body).foreach { m =>
-      val fn = m.group(1).toUpperCase
-      val open = m.end - 1
-      var depth = 0; var j = open; var close = -1
-      while (j < body.length && close < 0) {
-        body.charAt(j) match {
-          case '(' => depth += 1
-          case ')' => depth -= 1; if (depth == 0) close = j
-          case _ =>
-        }
-        j += 1
-      }
-      if (close > 0) {
-        val arg = body.substring(open + 1, close).trim
-        if (arg != "*" && !arg.toUpperCase.startsWith("DISTINCT") &&
-          refsOuter(arg, outerAliases)) {
-          val repl: Option[String] =
-            if (!refsLocal(arg, outerAliases)) fn match { // pure-outer argument
-              case "SUM" => Some(s"(CASE WHEN COUNT(*)=0 THEN NULL ELSE ($arg)*COUNT(*) END)")
-              case "MIN" | "MAX" | "AVG" =>
-                Some(s"(CASE WHEN COUNT(*)=0 THEN NULL ELSE ($arg) END)")
-              case "COUNT" => Some(s"(CASE WHEN ($arg) IS NULL THEN 0 ELSE COUNT(*) END)")
-              case _ => None
-            } else { // mixed argument: try additive then multiplicative split
-              val terms = signedTerms(arg)
-              val (oTerms, lTerms) = terms.partition(t => !refsLocal(t._2, outerAliases) &&
-                refsOuter(t._2, outerAliases))
-              def joined(ts: Seq[(Char, String)]): String = ts.zipWithIndex.map {
-                case ((s, t), 0) => if (s == '-') s"-($t)" else s"($t)"
-                case ((s, t), _) => s" $s ($t)"
-              }.mkString
-              // every remaining term must be purely local (a term mixing
-              // outer and local refs cannot be split additively)
-              if (terms.length >= 2 && oTerms.nonEmpty && lTerms.nonEmpty &&
-                lTerms.forall(t => !refsOuter(t._2, outerAliases))) {
-                val lExpr = joined(lTerms)
-                val oExpr = joined(oTerms)
-                fn match {
-                  case "SUM" => Some(s"(SUM($lExpr) + ($oExpr)*COUNT($lExpr))")
-                  case "MIN" | "MAX" if lTerms.forall(_._1 == '+') =>
-                    Some(s"($fn($lExpr) + ($oExpr))")
-                  case _ => None
-                }
-              } else {
-                val fs = factors(arg)
-                if (fn == "SUM" && fs.length >= 2) {
-                  val (of, lf) = fs.partition(f => !refsLocal(f, outerAliases) &&
-                    refsOuter(f, outerAliases))
-                  if (of.nonEmpty && lf.nonEmpty && lf.forall(!refsOuter(_, outerAliases)))
-                    Some(s"((${of.map(f => s"($f)").mkString("*")})*SUM(${lf.map(f => s"($f)").mkString("*")}))")
-                  else None
-                } else None
-              }
-            }
-          repl.foreach { r =>
-            return Some(body.substring(0, m.start) + r + body.substring(close + 1))
-          }
-        }
-      }
-    }
-    None
-  }
 
   /** Postgres `::text` cast synonym → Spark's string type. */
   private[slt] def castTextSynonym(sql: String): String =
     sql.replaceAll("(?i)::text\\b", "::string")
 
-  /** `A INNER JOIN B ON <cond with subquery>` → `A, B WHERE <cond>`: Spark
-    * cannot prepare subquery expressions inside join conditions (physical
-    * planning limitation); for INNER joins the comma-join + WHERE form is
-    * identical. Applied only when the ON clause contains a subquery and the
-    * query has no top-level WHERE of its own. */
-  private[slt] def joinOnSubqueryToWhere(sql: String): String = {
-    if (!sql.toUpperCase.contains("INNER JOIN") || topLevelHasWhere(sql)) return sql
-    val re = "(?i)\\bINNER\\s+JOIN\\s+(\\w+(?:\\s+\\w+)?)\\s+ON\\s+".r
-    re.findFirstMatchIn(sql) match {
-      case Some(m) if sql.substring(m.end).toUpperCase.contains("(SELECT") =>
-        sql.substring(0, m.start) + ", " + m.group(1) + " WHERE " + sql.substring(m.end)
-      case _ => sql
-    }
-  }
 
-  private def hasTopLevel(text: String, word: String): Boolean = {
-    var d = 0; var inStr = false
-    val up = text.toUpperCase
-    var i = 0
-    while (i < text.length) {
-      val c = text.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
-      else c match {
-        case '\'' => inStr = true
-        case '(' => d += 1
-        case ')' => d -= 1
-        case _ =>
-          if (d == 0 && up.regionMatches(i, word, 0, word.length) &&
-            (i == 0 || !text.charAt(i - 1).isLetterOrDigit) &&
-            (i + word.length >= text.length || !text.charAt(i + word.length).isLetterOrDigit))
-            return true
-      }
-      i += 1
-    }
-    false
-  }
 
-  /** `EXISTS(SELECT <exprs>)` with no FROM: the implicit single row always
-    * exists → TRUE (the reference parses multi-column no-FROM selects here;
-    * Spark would misread the collapsed form as its higher-order exists()). */
-  private[slt] def existsNoFromToTrue(sql: String): String = {
-    val re = "(?i)\\bEXISTS\\s*\\(\\s*SELECT\\b".r
-    re.findFirstMatchIn(sql) match {
-      case Some(m) =>
-        val open = sql.indexOf('(', m.start)
-        var depth = 0; var i = open; var close = -1
-        while (i < sql.length && close < 0) {
-          sql.charAt(i) match {
-            case '(' => depth += 1
-            case ')' => depth -= 1; if (depth == 0) close = i
-            case _ =>
-          }
-          i += 1
-        }
-        if (close > 0) {
-          val body = sql.substring(open + 1, close)
-          if (!hasTopLevel(body, "FROM"))
-            existsNoFromToTrue(
-              sql.substring(0, m.start) + "TRUE" + sql.substring(close + 1))
-          else sql
-        } else sql
-      case None => sql
-    }
-  }
 
-  private def topLevelHasWhere(sql: String): Boolean = {
-    var d = 0; var inStr = false
-    val up = sql.toUpperCase
-    var i = 0
-    while (i < sql.length) {
-      val c = sql.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
-      else c match {
-        case '\'' => inStr = true
-        case '(' => d += 1
-        case ')' => d -= 1
-        case _ =>
-          if (d == 0 && up.regionMatches(i, "WHERE", 0, 5) &&
-            (i == 0 || !sql.charAt(i - 1).isLetterOrDigit) &&
-            (i + 5 >= sql.length || !sql.charAt(i + 5).isLetterOrDigit)) return true
-      }
-      i += 1
-    }
-    false
-  }
 
-  /** Multi-level correlation hoist: Spark resolves outer references exactly
-    * one level up, so a subquery nested two scopes deep cannot see the
-    * top-level alias (the reference's general unnesting can —
-    * Transforms/Unnesting.cpp). When the top-level FROM is a single simple
-    * relation `FROM t a`, an inner block that references only `a.` and its
-    * own aliases is hoisted into a derived table:
-    *   FROM t a  →  FROM (SELECT a.*, <block> AS __hoistK FROM t a) a
-    * and the block's occurrence becomes `a.__hoistK` — every remaining
-    * correlation is then single-level. Exact: the hoisted block correlates
-    * only on `a` rows, evaluated once per row either way. */
-  private[slt] def hoistDeepCorrelation(sql: String): String = {
-    var cur = sql
-    var k = 0
-    var changed = true
-    while (changed && k < 4) {
-      changed = false
-      hoistOnce(cur, k).foreach { next => cur = next; changed = true; k += 1 }
-    }
-    cur
-  }
 
-  private val fromKeywords = Set("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING",
-    "UNION", "INTERSECT", "EXCEPT", "INNER", "LEFT", "RIGHT", "FULL", "CROSS",
-    "JOIN", "ON")
 
-  private def hoistOnce(sql: String, k: Int): Option[String] = {
-    val up = sql.toUpperCase
-    if (!up.startsWith("SELECT") || "\\(\\s*SELECT".r.findAllIn(up).size < 2) return None
-    // top-level FROM: single simple `FROM <table> <alias>`
-    var d = 0; var inStr = false; var fromAt = -1
-    var i = 0
-    while (i < sql.length && fromAt < 0) {
-      val c = sql.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
-      else c match {
-        case '\'' => inStr = true
-        case '(' => d += 1
-        case ')' => d -= 1
-        case _ =>
-          if (d == 0 && up.regionMatches(i, "FROM", 0, 4) &&
-            (i == 0 || !sql.charAt(i - 1).isLetterOrDigit) &&
-            (i + 4 >= sql.length || !sql.charAt(i + 4).isLetterOrDigit)) fromAt = i
-      }
-      i += 1
-    }
-    if (fromAt < 0) return None
-    val selectPart = sql.substring(0, fromAt)
-    if (selectPart.replaceAll("\\([^)]*\\)", "").contains("*")) return None // SELECT *
-    val fromRe = "(?is)^FROM\\s+(\\w+)\\s+(\\w+)\\s*".r
-    val tail = sql.substring(fromAt)
-    val m = fromRe.findFirstMatchIn(tail).getOrElse(return None)
-    val (table, alias) = (m.group(1), m.group(2))
-    if (fromKeywords.contains(alias.toUpperCase)) return None
-    val afterFrom = tail.substring(m.end).trim
-    if (afterFrom.nonEmpty && !fromKeywords.contains(
-      afterFrom.takeWhile(_.isLetterOrDigit).toUpperCase)) return None
-    if (afterFrom.startsWith(",")) return None
-    // innermost nested (SELECT ...) block referencing the top alias
-    val opens = "(?i)\\(\\s*SELECT\\b".r.findAllMatchIn(sql).map(_.start).toSeq
-    def closeOf(open: Int): Int = {
-      var depth = 0; var j = open
-      while (j < sql.length) {
-        sql.charAt(j) match {
-          case '(' => depth += 1
-          case ')' => depth -= 1; if (depth == 0) return j
-          case _ =>
-        }
-        j += 1
-      }
-      -1
-    }
-    val blocks = opens.map(o => (o, closeOf(o))).filter(_._2 > 0)
-    def isNested(b: (Int, Int)) =
-      blocks.exists(p => p._1 < b._1 && p._2 > b._2)
-    def isInnermost(b: (Int, Int)) =
-      !blocks.exists(p => p._1 > b._1 && p._2 < b._2)
-    val qualRe = "(\\w+)\\s*\\.".r
-    val declRe = "(?i)(?:FROM|JOIN|,)\\s+(\\w+)(?:\\s+(\\w+))?".r
-    // a block is a TABLE (derived table in FROM/JOIN position, or followed by
-    // a bare alias) — only scalar-expression blocks may be hoisted
-    def isTablePosition(b: (Int, Int)): Boolean = {
-      val before = sql.substring(0, b._1).reverse.dropWhile(_.isWhitespace)
-      val prevWord = before.takeWhile(c => c.isLetterOrDigit).reverse.toUpperCase
-      if (prevWord == "FROM" || prevWord == "JOIN") true
-      else {
-        val after = sql.substring(b._2 + 1).dropWhile(_.isWhitespace)
-        val nextWord = after.takeWhile(_.isLetterOrDigit).toUpperCase
-        nextWord.nonEmpty && nextWord != "AS" && !fromKeywords.contains(nextWord) &&
-          prevWord == "" // e.g. `, (SELECT...) alias` in a FROM list
-      }
-    }
-    blocks.find { b =>
-      if (!isNested(b) || !isInnermost(b) || isTablePosition(b)) false
-      else {
-        val body = sql.substring(b._1 + 1, b._2)
-        val quals = qualRe.findAllMatchIn(body).map(_.group(1)).toSet
-        val own = declRe.findAllMatchIn(body).flatMap(mm =>
-          Seq(Option(mm.group(1)), Option(mm.group(2))).flatten).toSet
-          .filterNot(w => fromKeywords.contains(w.toUpperCase))
-        quals.contains(alias) && !own.contains(alias) &&
-          quals.forall(q => q == alias || own.contains(q))
-      }
-    }.map { case (bOpen, bClose) =>
-      val block = sql.substring(bOpen, bClose + 1)
-      val hoistCol = s"__hoist$k"
-      val newFrom = s"FROM (SELECT $alias.*, $block AS $hoistCol FROM $table $alias) $alias"
-      // splice: replace block first (it precedes FROM in the select list) or
-      // after — handle both orders by editing the later region first
-      val fromStart = fromAt
-      val fromEnd = fromAt + m.end
-      if (bOpen > fromEnd) {
-        sql.substring(0, fromStart) + newFrom + " " +
-          sql.substring(fromEnd, bOpen) + s"$alias.$hoistCol" + sql.substring(bClose + 1)
-      } else {
-        sql.substring(0, bOpen) + s"$alias.$hoistCol" +
-          sql.substring(bClose + 1, fromStart) + newFrom + " " + sql.substring(fromEnd)
-      }
-    }
-  }
 
-  /** A scalar subquery with no FROM clause is a single implicit row, so
-    * `(SELECT <expr>)` ≡ `(<expr>)` and single-row aggregates collapse:
-    * SUM/MIN/MAX/AVG(e) → e, COUNT(*) → 1, COUNT(e) → e IS NULL ? 0 : 1.
-    * Catalyst rejects outer references inside such subqueries
-    * (CORRELATED_REFERENCE) and multi-level nesting; the reference's general
-    * unnesting (Transforms/Unnesting.cpp) handles them. Applied innermost-
-    * first until fixpoint, this is an exact rewrite, not an approximation. */
-  private[slt] def rewriteNoFromScalar(sql: String): String = {
-    val up0 = "(?i)\\(\\s*SELECT\\b".r
-    var cur = sql
-    var changed = true
-    while (changed) {
-      changed = false
-      val up = cur.toUpperCase
-      val it = up0.findAllMatchIn(cur).toSeq
-      // innermost first = rightmost opening paren first
-      it.sortBy(-_.start).foreach { m =>
-        if (!changed) {
-          val open = m.start
-          var depth = 0; var i = open; var close = -1
-          while (i < cur.length && close < 0) {
-            cur.charAt(i) match {
-              case '(' => depth += 1
-              case ')' => depth -= 1; if (depth == 0) close = i
-              case _ =>
-            }
-            i += 1
-          }
-          if (close > 0) {
-            val inner = cur.substring(open + 1, close).trim // SELECT <expr...>
-            val exprPart = inner.substring(6) // drop SELECT
-            val hasClause = {
-              var d = 0; var inStr = false; var found = false
-              var j = 0
-              val eUp = exprPart.toUpperCase
-              while (j < exprPart.length && !found) {
-                val c = exprPart.charAt(j)
-                if (inStr) { if (c == '\'') inStr = false }
-                else c match {
-                  case '\'' => inStr = true
-                  case '(' => d += 1
-                  case ')' => d -= 1
-                  case _ =>
-                    if (d == 0) found = Seq("FROM", "WHERE", "GROUP", "UNION",
-                      "INTERSECT", "EXCEPT").exists { w =>
-                      eUp.regionMatches(j, w, 0, w.length) &&
-                        (j == 0 || !exprPart.charAt(j - 1).isLetterOrDigit) &&
-                        (j + w.length >= exprPart.length ||
-                          !exprPart.charAt(j + w.length).isLetterOrDigit)
-                    }
-                }
-                j += 1
-              }
-              found
-            }
-            if (!hasClause && !exprPart.contains("(SELECT") &&
-              !exprPart.toUpperCase.contains("( SELECT")) {
-              val collapsed = collapseSingleRowAggs(exprPart.trim)
-              cur = cur.substring(0, open) + s"($collapsed)" + cur.substring(close + 1)
-              changed = true
-            }
-          }
-        }
-      }
-    }
-    cur
-  }
 
-  private def collapseSingleRowAggs(expr: String): String = {
-    val aggRe = "(?i)\\b(SUM|MIN|MAX|AVG|COUNT)\\s*\\(".r
-    var cur = expr
-    var changed = true
-    while (changed) {
-      changed = false
-      aggRe.findFirstMatchIn(cur).foreach { m =>
-        val open = m.end - 1
-        var depth = 0; var i = open; var close = -1
-        while (i < cur.length && close < 0) {
-          cur.charAt(i) match {
-            case '(' => depth += 1
-            case ')' => depth -= 1; if (depth == 0) close = i
-            case _ =>
-          }
-          i += 1
-        }
-        if (close > 0) {
-          val arg = cur.substring(open + 1, close).trim
-          val repl = m.group(1).toUpperCase match {
-            case "COUNT" if arg == "*" => "1"
-            case "COUNT" => s"(CASE WHEN ($arg) IS NULL THEN 0 ELSE 1 END)"
-            case "AVG" => s"(CAST(($arg) AS DOUBLE))"
-            case _ => s"($arg)"
-          }
-          cur = cur.substring(0, m.start) + repl + cur.substring(close + 1)
-          changed = true
-        }
-      }
-    }
-    cur
-  }
 
-  /** The reference follows Postgres null ordering (ASC → NULLS LAST, DESC →
-    * NULLS FIRST); Spark defaults to the opposite. Make every ORDER BY item
-    * explicit — including window-internal ones. */
-  private[slt] def explicitNullOrder(sql: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    var inStr = false
-    val up = sql.toUpperCase
-    while (i < sql.length) {
-      val c = sql.charAt(i)
-      if (!inStr && up.regionMatches(i, "ORDER BY", 0, 8)) {
-        sb.append(sql.substring(i, i + 8)); i += 8
-        // collect the clause: up to depth-(-1) close paren or top-level LIMIT
-        val start = i
-        var depth = 0
-        var end = sql.length
-        var j = i
-        var s2 = false
-        while (j < sql.length && end == sql.length) {
-          val ch = sql.charAt(j)
-          if (s2) { if (ch == '\'') s2 = false }
-          else ch match {
-            case '\'' => s2 = true
-            case '(' => depth += 1
-            case ')' => if (depth == 0) end = j else depth -= 1
-            case _ =>
-              def wordAt(w: String): Boolean =
-                up.regionMatches(j, w, 0, w.length) &&
-                  (j == 0 || sql.charAt(j - 1).isWhitespace) &&
-                  (j + w.length >= sql.length || !sql.charAt(j + w.length).isLetterOrDigit)
-              if (depth == 0 && (wordAt("LIMIT") || wordAt("OFFSET") ||
-                sql.startsWith("|>", j))) end = j
-          }
-          j += 1
-        }
-        val clause = sql.substring(start, end)
-        val items = graft.sqlsurface.PipeSql.splitTop(clause, ",").map { item =>
-          val t = item.trim
-          // insert before any trailing whitespace so the next token (e.g. a
-          // newline-separated LIMIT) stays separated
-          val core = item.replaceAll("\\s+$", "")
-          val trail = item.substring(core.length)
-          if (t.isEmpty || t.toUpperCase.contains("NULLS")) item
-          else if (t.toUpperCase.endsWith("DESC")) core + " NULLS FIRST" + trail
-          else core + " NULLS LAST" + trail
-        }
-        sb.append(items.mkString(","))
-        i = end
-      } else {
-        if (inStr) { if (c == '\'') inStr = false }
-        else if (c == '\'') inStr = true
-        sb.append(c)
-        i += 1
-      }
-    }
-    sb.toString
-  }
+  /** Postgres null ordering, delegated to the engine-side canonicalizer. */
+  private[slt] def explicitNullOrder(sql: String): String =
+    graft.sqlsurface.SqlCanonicalizer.pgNullOrder(sql)
 
   /** Quantified comparisons `expr <op> ANY|SOME|ALL (sub)` → EXISTS forms
     * (reference SubqueryType ANY/ALL, parsed_expression.h:495-502). Spark

@@ -175,7 +175,10 @@ object GraftSql {
     } else if (PipeSql.splitTop(s, "|>").length > 1) {
       PipeSql.sql(spark, s)
     } else {
-      spark.sql(s)
+      // engine-side canonicalization (outer-agg decomposition, deep-
+      // correlation hoisting, …) — every SQL entry point gets it, not just
+      // the sqllogictest harness
+      spark.sql(SqlCanonicalizer(s))
     }
   }
 }

@@ -65,6 +65,7 @@ def main():
             if str(gs[c].dtype) != str(es[c].dtype):
                 dtypes_note += f" [dtype {c}: {gs[c].dtype} vs {es[c].dtype}]"
         results[qname] = (mismatch or f"OK ({len(g)} rows)") + dtypes_note
+        print(f"[progress] {qname}: {results[qname][:80]}", file=sys.stderr, flush=True)
     bad = 0
     for k in sorted(results):
         ok = results[k].startswith("OK") or results[k].startswith("rows-only")
