@@ -73,6 +73,22 @@ class UdfSpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.getInt(0) == 10 && rows.head.getString(1) == "ten")
   }
 
+  test("engine-side canonicalization: GraftSql alone handles mixed-outer aggregates") {
+    // shapes from the reference's unnesting corpus (test/sqlite-small/
+    // unnesting.test:205,336) that Catalyst rejects outright — the rewrite
+    // must live in the engine front-end, not the test harness
+    import spark.implicits._
+    Seq(1, 2, 3).toDF("i").createOrReplaceTempView("canon_ints")
+    val q1 = "SELECT i, (SELECT MIN(i+2*i1.i) FROM canon_ints) AS m FROM canon_ints i1 ORDER BY i"
+    intercept[Exception](spark.sql(q1).collect()) // raw Catalyst can't
+    val r1 = GraftSql(spark, q1).collect()
+      .map(r => (r.getInt(0), r.getAs[Number](1).longValue))
+    assert(r1.toSeq == Seq((1, 3L), (2, 5L), (3, 7L)))
+    val q2 = "SELECT (SELECT SUM(i)+SUM(i1.i) FROM canon_ints) AS s FROM canon_ints i1 ORDER BY 1"
+    val r2 = GraftSql(spark, q2).collect().map(_.getAs[Number](0).longValue)
+    assert(r2.toSeq == Seq(9L, 12L, 15L))
+  }
+
   test("unsupported language rejected") {
     intercept[IllegalArgumentException](UdfSurface.execute(spark,
       "CREATE FUNCTION bad(x int) RETURNS int LANGUAGE cobol AS $$ x $$"))
