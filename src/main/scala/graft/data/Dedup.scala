@@ -104,24 +104,79 @@ object Dedup {
       .distinct()
   }
 
-  /** Candidate pairs from coordinate-sign LSH: band j (0..7) is the 8 sign
-    * bits of coordinates [8j+1 .. 8j+8] (1-based); a pair is a candidate iff
-    * it agrees on ANY band. Closed form — reproducible in plain SQL, so a
-    * DuckDB oracle can enumerate the identical set. Near-dup vectors flip few
-    * signs, so they collide on almost every band; random pairs collide on a
-    * given 8-bit band with p≈2⁻⁸. */
+  /** Candidate pairs from coordinate-sign LSH with single-bit multi-probe:
+    * band j (0..3) is the 16 sign bits of coordinates [16j+1 .. 16j+16]
+    * (1-based); a pair is a candidate iff some band agrees exactly OR
+    * differs in exactly one bit (probing). Closed form — reproducible in
+    * plain SQL, so a DuckDB oracle can enumerate the identical set.
+    *
+    * Scale: the round-2 scheme (8 bands × 8 bits) had a 256-value band
+    * keyspace, so buckets held ~n/256 vectors — a constant-factor
+    * sparsifier that saturated beyond n≈16k. 16-bit bands give a 65,536
+    * keyspace (buckets ~n·17/65536 after probe expansion), and the 1-bit
+    * probe buys back the recall that wider bands cost: a pair with k
+    * flipped signs collides iff some band holds ≤1 of the k flips —
+    * ≈0.996 for k=4, vs ~2⁻¹⁰ per-pair for random signs (≈4·17/2¹⁶).
+    * No bucket cap: nothing is silently dropped, so recall does not decay
+    * with n (verified at n=20k in DedupSpec). */
   private[graft] def signBandCandidates(emb: DataFrame): DataFrame = {
-    val bandVals = array((0 until 8).map { j =>
-      (0 until 8).map { r =>
-        when(element_at(col("embedding"), j * 8 + r + 1) >= 0f, lit(1 << r))
+    val bandVals = array((0 until 4).map { j =>
+      (0 until 16).map { r =>
+        when(element_at(col("embedding"), j * 16 + r + 1) >= 0f, lit(1 << r))
           .otherwise(lit(0))
       }.reduce(_ + _)
     }: _*)
     val bands = emb.select(col("vec_id"), posexplode(bandVals).as(Seq("j", "bv")))
+    // probe side: the exact value plus its 16 one-bit flips
+    val probes = bands.select(col("vec_id"), col("j"),
+      explode(array(col("bv") +:
+        (0 until 16).map(f => col("bv").bitwiseXOR(lit(1 << f))): _*)).as("pbv"))
+    // exact ⋈ probed finds every ≤1-bit band pair in both directions
     bands.toDF("a", "j", "bv")
-      .join(bands.toDF("b", "j", "bv"), Seq("j", "bv"))
+      .join(probes.toDF("b", "j", "bv"), Seq("j", "bv"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
+  }
+
+  /** SimHash blocking à la Manku/Jain/Sarma (WWW'07 near-duplicate
+    * detection): split the 64-bit signature into 6 blocks (11,11,10,11,11,10
+    * bits) and bucket each doc under every C(6,3)=20 choice of 3 blocks
+    * (a ~32-bit key). Any pair within hamming distance 3 leaves ≥3 blocks
+    * untouched, so some 3-block key matches exactly — candidate generation
+    * is COMPLETE for hamming≤3 by construction, at any corpus size.
+    *
+    * Scale: the round-2 scheme bucketed on single 16-bit chunks — a 65,536
+    * keyspace whose buckets grow linearly with n and hit the skew cap at
+    * corpus scale (silent recall collapse). The 20 3-block keys live in a
+    * ~2³² keyspace: buckets stay O(1) for random signatures (~n·20/2³²),
+    * and the cap remains only as a guard against degenerate skew (e.g.
+    * boilerplate corpora full of identical signatures, which exact dedup
+    * should have removed first). */
+  private[graft] val simhashBlocks: Seq[(Int, Int)] = // (shift, width)
+    Seq((0, 11), (11, 11), (22, 10), (32, 11), (43, 11), (54, 10))
+  private[graft] def simhashCandidates(sig: DataFrame, maxBucket: Int = 64): DataFrame = {
+    val combos = simhashBlocks.indices.combinations(3).toSeq
+    val keys = combos.zipWithIndex.map { case (c, ci) =>
+      concat_ws("_", lit(ci) +: c.map { bi =>
+        val (sh, w) = simhashBlocks(bi)
+        shiftrightunsigned(col("sig"), sh).bitwiseAND(lit((1L << w) - 1))
+      }: _*)
+    }
+    val buckets = sig.select(col("doc_id"),
+      explode(array(keys: _*)).as("bucket"))
+    pairsFromBuckets(buckets, maxBucket)
+  }
+
+  /** 64-bit simhash signature per doc: per-bit majority over shingle hashes. */
+  private[graft] def simhashSignatures(grams: DataFrame): DataFrame = {
+    val withH = grams.select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val bitSums = withH.groupBy(col("doc_id")).agg(
+      sum(when(col("h").bitwiseAND(lit(1L << 0)) =!= 0L, 1).otherwise(-1)).as("b0"),
+      (1 until 64).map(i =>
+        sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1)).as(s"b$i")): _*)
+    bitSums.select(col("doc_id"),
+      (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ bitwiseOR _).as("sig"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -172,30 +227,18 @@ object Dedup {
     }),
 
     // SimHash: 64-bit signature = per-bit majority over shingle hashes;
-    // candidates from 16-bit chunk collisions; hamming<=10 near-dups.
+    // candidates from Manku 3-of-6-block buckets (complete for hamming<=3);
+    // verified near-dups at hamming<=3.
     "dedup_simhash" -> ((s, d) => {
       val grams = dfCapped(shingles(t(s, d, "documents")))
-      val withH = grams.select(col("doc_id"), xxhash64(col("g")).as("h"))
-      val bitSums = withH.groupBy(col("doc_id")).agg(
-        sum(when(col("h").bitwiseAND(lit(1L << 0)) =!= 0L, 1).otherwise(-1)).as("b0"),
-        (1 until 64).map(i =>
-          sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1)).as(s"b$i")): _*)
-      val sig = bitSums.select(col("doc_id"),
-        (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ bitwiseOR _).as("sig"))
-      // single chunk-array explode — the signature aggregation runs once
-      val chunks = sig.select(col("doc_id"),
-        explode(array((0 until 4).map { c =>
-          concat_ws("_", lit(c),
-            shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)))
-        }: _*)).as("bucket"))
-      val cand = pairsFromBuckets(chunks)
+      val sig = simhashSignatures(grams)
+      val cand = simhashCandidates(sig)
       val sa = sig.toDF("a", "siga")
       val sb = sig.toDF("b", "sigb")
       cand.join(sa, "a").join(sb, "b")
         .select(col("a"), col("b"),
           bit_count(col("siga").bitwiseXOR(col("sigb"))).cast("long").as("hamming"))
-        .filter(col("hamming") <= 10)
+        .filter(col("hamming") <= 3)
         .orderBy("a", "b")
     }),
 
@@ -242,20 +285,23 @@ object Dedup {
          FROM ic JOIN sizes sa ON ic.a = sa.doc_id JOIN sizes sb ON ic.b = sb.doc_id
          WHERE CAST(ic AS DOUBLE) / CAST(sa.sz + sb.sz - ic AS DOUBLE) >= 0.1
          ORDER BY a, b""",
-    "dedup_embed_cos" ->
-      """WITH bands AS (
+    "dedup_embed_cos" -> {
+      // band value: 16 sign bits of coords [16j+1 .. 16j+16] — must mirror
+      // signBandCandidates bit-for-bit
+      val bandSum = (0 until 16)
+        .map(r => s"(CASE WHEN embedding[16*j+${r + 1}] >= 0 THEN ${1 << r} ELSE 0 END)")
+        .mkString(" +\n                     ")
+      val flipVals = (-1 to 15).map(f => s"($f)").mkString(",")
+      s"""WITH bands AS (
               SELECT vec_id, j,
-                     (CASE WHEN embedding[8*j+1] >= 0 THEN 1 ELSE 0 END) +
-                     (CASE WHEN embedding[8*j+2] >= 0 THEN 2 ELSE 0 END) +
-                     (CASE WHEN embedding[8*j+3] >= 0 THEN 4 ELSE 0 END) +
-                     (CASE WHEN embedding[8*j+4] >= 0 THEN 8 ELSE 0 END) +
-                     (CASE WHEN embedding[8*j+5] >= 0 THEN 16 ELSE 0 END) +
-                     (CASE WHEN embedding[8*j+6] >= 0 THEN 32 ELSE 0 END) +
-                     (CASE WHEN embedding[8*j+7] >= 0 THEN 64 ELSE 0 END) +
-                     (CASE WHEN embedding[8*j+8] >= 0 THEN 128 ELSE 0 END) AS bv
-              FROM embeddings CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS gen(j)),
-              cand AS (SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
-                       FROM bands a JOIN bands b ON a.j = b.j AND a.bv = b.bv AND a.vec_id < b.vec_id),
+                     $bandSum AS bv
+              FROM embeddings CROSS JOIN (VALUES (0),(1),(2),(3)) AS gen(j)),
+              probes AS (
+              SELECT vec_id, j,
+                     CASE WHEN f = -1 THEN bv ELSE xor(bv, 1 << f) END AS pbv
+              FROM bands CROSS JOIN (VALUES $flipVals) AS flips(f)),
+              cand AS (SELECT DISTINCT a.vec_id AS a, p.vec_id AS b
+                       FROM bands a JOIN probes p ON a.j = p.j AND a.bv = p.pbv AND a.vec_id < p.vec_id),
               e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
                            CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
               norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
@@ -266,5 +312,6 @@ object Dedup {
          SELECT a, b, round(dot / (na.nrm * nb.nrm), 4) AS sim
          FROM dots JOIN norms na ON dots.a = na.vec_id JOIN norms nb ON dots.b = nb.vec_id
          ORDER BY dot / (na.nrm * nb.nrm) DESC, a, b LIMIT 20"""
+    }
   )
 }

@@ -1,0 +1,92 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic benchmark scale-up: replicates the driver's sf0.1 testdata
+  * K× with key-offset remapping, preserving join cardinalities, filter
+  * selectivities, and per-key group sizes (each replica is a disjoint copy
+  * of the key graph, the same construction dbgen uses across scale factors:
+  * more customers/orders/parts, not bigger groups).
+  *
+  * Bench-only data (never a correctness input): the driver's oracle gate
+  * runs at sf0.01 on its own testdata; this exists so BENCH can run at sf1
+  * (~6M lineitem) and be compared against a DuckDB baseline on the SAME
+  * files (see BASELINE.md). Document text gets a per-replica suffix so text
+  * dedup doesn't degenerate into 10x exact duplicates.
+  *
+  * Usage: runMain graft.tools.ScaleUp [srcDir] [outDir] [k]
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val k = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${Runtime.getRuntime.availableProcessors}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def tbl(name: String): DataFrame =
+      spark.read.parquet(s"$src/$name.parquet")
+
+    /** K replicas of df with each key column in `offsets` shifted by
+      * replica*stride; strides are well above the key's 1x max so replica
+      * key spaces are disjoint. */
+    def replicate(df: DataFrame, offsets: (String, Long)*): DataFrame = {
+      val withR = df.withColumn("_r", explode(sequence(lit(0), lit(k - 1))))
+      offsets.foldLeft(withR) { case (d, (c, stride)) =>
+        d.withColumn(c, col(c) + col("_r") * stride)
+      }.drop("_r")
+    }
+
+    val CUST = 1000000L; val ORD = 10000000L; val PART = 1000000L
+    val SUPP = 100000L; val DOC = 1000000L; val VEC = 1000000L
+    val EV = 10000000L; val USER = 1000000L
+
+    val jobs: Seq[(String, DataFrame)] = Seq(
+      "region" -> tbl("region"),
+      "nation" -> tbl("nation"),
+      "customer" -> replicate(tbl("customer"), "c_custkey" -> CUST),
+      "supplier" -> replicate(tbl("supplier"), "s_suppkey" -> SUPP),
+      "part" -> replicate(tbl("part"), "p_partkey" -> PART),
+      "orders" -> replicate(tbl("orders"), "o_orderkey" -> ORD, "o_custkey" -> CUST),
+      "lineitem" -> replicate(tbl("lineitem"),
+        "l_orderkey" -> ORD, "l_partkey" -> PART, "l_suppkey" -> SUPP),
+      "events" -> replicate(tbl("events"), "event_id" -> EV, "user_id" -> USER),
+      "documents" -> {
+        val d = tbl("documents").withColumn("_r", explode(sequence(lit(0), lit(k - 1))))
+        d.withColumn("doc_id", col("doc_id") + col("_r") * DOC)
+          // perturb replica text so cross-replica docs are near- not exact-dups
+          .withColumn("text",
+            when(col("_r") === 0, col("text"))
+              .otherwise(concat(col("text"), lit(" replica "), col("_r"))))
+          .withColumn("n_chars", length(col("text")))
+          .drop("_r")
+      },
+      "embeddings" -> {
+        // flip a distinct per-replica sign pattern so replicas are near- not
+        // exact-duplicates: sign-identical copies would share every LSH band
+        // and quadratically multiply candidate pairs (real pipelines exact-
+        // dedup first; the bench should model post-exact-dedup data)
+        val d = tbl("embeddings").withColumn("_r", explode(sequence(lit(0), lit(k - 1))))
+        d.withColumn("vec_id", col("vec_id") + col("_r") * VEC)
+          .withColumn("embedding",
+            expr("transform(embedding, (x, i) -> CASE WHEN _r > 0 AND (i + _r) % 13 = 0 THEN -x ELSE x END)"))
+          .drop("_r")
+      })
+
+    new java.io.File(out).mkdirs()
+    jobs.foreach { case (name, df) =>
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      val n = spark.read.parquet(s"$out/$name.parquet").count()
+      println(f"[scaleup] $name%-12s $n%10d rows  ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+    }
+    spark.stop()
+  }
+}

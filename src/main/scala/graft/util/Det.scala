@@ -24,14 +24,56 @@ object Det {
   /** Exact 4-decimal cast with headroom for squared terms. */
   def dec4(c: Column): Column = c.cast(DecimalType(24, 4))
 
+  // -------------------------------------------------------- long-cents sums
+  //
+  // sum(decimal) in Spark leaves the compact-long fast path whenever the
+  // aggregation buffer exceeds 18 digits (buffer precision = input + 10), and
+  // the double→decimal CAST itself allocates a BigDecimal per row — together
+  // ~7× slower than a plain double sum (measured at sf1, tools/Q1Probe).
+  // Money-domain values are exact integers in sub-unit scale, so we scale to
+  // LONG (round(x·10^s), HALF_UP like both engines' decimal cast — exact
+  // because table doubles sit ~1e-9 from a sub-unit value, far from any
+  // rounding boundary), sum in pure codegen'd long arithmetic, and convert
+  // to decimal once per GROUP, not once per row.
+  //
+  // Long sums wrap silently at 2^63, so each value is split at 10^6 into
+  // (hi, lo) and the two parts are summed separately: |lo| < 10^6 and
+  // |hi| < |v|/10^6 keep both partial sums in-range past 10^12 rows per
+  // group at the audited per-row magnitudes (≤ ~10^12) — 100 TB headroom.
+  // The exact total is reassembled per group in decimal(38) and divided by
+  // 10^scale (exact: result scale ≥ input scale), so the final
+  // decimal→double conversion still rounds exactly once, preserving
+  // bit-parity with DuckDB's sum(decimal)::double.
+
+  private val Split = 1000000L
+
+  /** HALF_UP integer scaling of a money-domain double to a long.
+    * Per-row |x·10^s| must stay ≪ 2^53 (all audited callers ≤ ~10^12). */
+  private def scaledLong(c: Column, scale: Int): Column =
+    round(c * math.pow(10, scale).toLong).cast(LongType)
+
+  /** Exact order-independent total of integer-scaled longs, as a decimal in
+    * the original unit. */
+  private def exactScaledTotal(v: Column, scale: Int): Column = {
+    val lo = v % Split
+    // (v - lo) is a multiple of Split and |v| < 2^53, so the double division
+    // below is exact
+    val hi = ((v - lo) / Split).cast(LongType)
+    (sum(hi).cast(DecimalType(38, 0)) * lit(Split).cast(DecimalType(7, 0)) +
+      sum(lo).cast(DecimalType(38, 0))) /
+      lit(math.pow(10, scale).toLong).cast(DecimalType(7, 0))
+  }
+
   /** Order-independent sum of a double column, output double. */
-  def dsum(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+  def dsum(c: Column): Column =
+    exactScaledTotal(scaledLong(c, 2), 2).cast(DoubleType)
 
   /** Order-independent sum with 4-decimal precision (squares etc.). */
-  def dsum4(c: Column): Column = sum(dec4(c)).cast(DoubleType)
+  def dsum4(c: Column): Column =
+    exactScaledTotal(scaledLong(c, 4), 4).cast(DoubleType)
 
   /** Order-independent average: exact decimal sum / count, both engines agree. */
-  def davg(c: Column): Column = sum(dec2(c)).cast(DoubleType) / count(c)
+  def davg(c: Column): Column = dsum(c) / count(c)
 
   /** Narrow 2-decimal cast for factors of a product. Raw table doubles sit
     * within ~1e-9 of an exact cent value, so Spark's BigDecimal HALF_UP cast
@@ -42,9 +84,14 @@ object Det {
     * precision loss on either engine. */
   def money(c: Column): Column = c.cast(DecimalType(12, 2))
 
-  /** Order-independent sum of an exact decimal product of factors. */
+  /** Order-independent sum of an exact product of 2-decimal factors: the
+    * factors are scaled to cent longs, multiplied in long space (exact — the
+    * audited caller products stay ≤ ~10^12), and split-summed; the group
+    * total is reassembled in decimal at scale 2·n and converted to double
+    * once, identical to summing the decimal products directly. */
   def msum(factors: Column*): Column =
-    sum(factors.map(money).reduce(_ * _)).cast(DoubleType)
+    exactScaledTotal(factors.map(scaledLong(_, 2)).reduce(_ * _),
+      2 * factors.length).cast(DoubleType)
 
   /** Cast int-ish column to BIGINT — DuckDB `sum(int)` yields HUGEINT and
     * `count` yields BIGINT; standardizing every integer output on BIGINT keeps

@@ -18,7 +18,30 @@ class DedupSpec extends SparkSpec {
 
   test("simhash pairs respect the hamming threshold") {
     val rows = SparkEntry.queries("dedup_simhash")(spark, sf).collect()
-    assert(rows.forall(_.getAs[Long]("hamming") <= 10))
+    assert(rows.forall(_.getAs[Long]("hamming") <= 3))
+  }
+
+  test("simhash 3-of-6-block candidates are COMPLETE for hamming<=3 at n=20k") {
+    import spark.implicits._
+    // 20k random 64-bit signatures + 100 planted twins within hamming 3.
+    // Completeness is structural (any <=3 flips leave some 3-block key
+    // exact), so recall must be 1.0 — at any n. Candidate volume must stay
+    // ~linear: the 20 keys live in a ~2^32 space, so random collisions are
+    // O(n^2/2^32) ~ 0 here, unlike the old 16-bit chunks whose buckets grew
+    // with n and overflowed the skew cap.
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 20000).map(i => (i.toLong, rnd.nextLong()))
+    val planted = (0 until 100).map { i =>
+      val (id, s) = base(rnd.nextInt(20000))
+      val flips = rnd.shuffle((0 until 64).toList).take(1 + rnd.nextInt(3))
+      (id, 100000L + i, flips.foldLeft(s)((x, b) => x ^ (1L << b)))
+    }
+    val sigs = (base ++ planted.map(p => (p._2, p._3))).toDF("doc_id", "sig")
+    val cand = graft.data.Dedup.simhashCandidates(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = planted.map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    assert(want.subsetOf(cand), s"missed planted pairs: ${want -- cand}")
+    assert(cand.size < 20000, s"candidate volume ${cand.size} not ~linear at n=20k")
   }
 
   test("exact dedup: every group keeps its minimal doc_id") {
@@ -47,6 +70,31 @@ class DedupSpec extends SparkSpec {
     val randOnly = graft.data.Dedup.signBandCandidates(
       base.toDF("vec_id", "embedding").limit(n)).count()
     assert(randOnly < allPairs / 2, s"candidates $randOnly not sparse vs $allPairs")
+  }
+
+  test("sign-band candidates stay sparse AND high-recall at n=20k") {
+    import spark.implicits._
+    // The round-2 scheme (8-bit bands, 256-value keyspace) saturated near
+    // n=16k: buckets outgrew the cap and recall collapsed. The 16-bit
+    // multi-probe scheme has no cap and a 65,536-value keyspace — this
+    // fixture pins both properties at a scale the old scheme failed.
+    val rnd = new scala.util.Random(13)
+    val n = 20000
+    val base = (0 until n).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    // 100 planted near-dups: additive noise flips ~a few signs (coords near 0)
+    val twins = (0 until 100).map { i =>
+      val (_, v) = base(i)
+      (1000000L + i, v.map(x => x + (rnd.nextGaussian() * 0.1).toFloat))
+    }
+    val df = (base ++ twins).toDF("vec_id", "embedding")
+    val cand = graft.data.Dedup.signBandCandidates(df)
+    val candSet = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 100).map(i => (i.toLong, 1000000L + i)).toSet
+    val recall = planted.count(candSet.contains).toDouble / planted.size
+    assert(recall >= 0.9, s"recall $recall < 0.9; missed ${planted -- candSet}")
+    val allPairs = n.toLong * (n - 1) / 2
+    assert(candSet.size < allPairs / 50,
+      s"candidates ${candSet.size} not sparse vs $allPairs")
   }
 
   test("embed-cos top-20: every pair is a sign-band candidate with exact cosine") {
