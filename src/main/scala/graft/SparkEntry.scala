@@ -32,7 +32,8 @@ object SparkEntry {
       (graft.data.Events.queries, graft.data.Events.oracle),
       (graft.sqlsurface.PipeSqlQueries.queries, graft.sqlsurface.PipeSqlQueries.oracle),
       (graft.streaming.Streaming.queries, graft.streaming.Streaming.oracle),
-      (graft.tpcds.Tpcds.queries, graft.tpcds.Tpcds.oracle)
+      (graft.tpcds.Tpcds.queries, graft.tpcds.Tpcds.oracle),
+      (graft.job.Job.queries, graft.job.Job.oracle)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, IntegerType, LongType, ShortType}
 
 /** General decorrelation for scalar subqueries Catalyst rejects.
   *
@@ -167,29 +167,43 @@ object DecorrelateComplexAggs extends Rule[LogicalPlan] with PredicateHelper {
     * identity applies. */
   private def decomposeAgg(ae: AggregateExpression, child: LogicalPlan): Option[Expression] = {
     if (ae.isDistinct || ae.filter.isDefined) return None
-    def dbl(e: Expression): Expression = Cast(e, DoubleType)
+    // SUM identities route through LongType when every operand is integral —
+    // exact for int64 beyond 2^53, where the former DoubleType path silently
+    // rounded — and DoubleType otherwise (decimal stays with Catalyst).
+    def integral(dts: DataType*): Boolean = dts.forall {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    def wideFor(dts: DataType*): Expression => Expression = {
+      val t = if (integral(dts: _*)) LongType else DoubleType
+      e => Cast(e, t)
+    }
     val out: Option[Expression] = ae.aggregateFunction match {
       // NOTE: outer expressions stay OuterReference-wrapped here; the caller
       // strips wrappers once, when splicing into the outer plan.
       case Sum(e, _) if pureOuter(e) =>
         val cnt = countMini(child)
-        Some(guarded(cnt, Multiply(dbl(e), dbl(cnt)), ae))
+        val w = wideFor(e.dataType)
+        Some(guarded(cnt, Multiply(w(e), w(cnt)), ae))
       case Min(e) if pureOuter(e) => Some(guarded(countMini(child), e, ae))
       case Max(e) if pureOuter(e) => Some(guarded(countMini(child), e, ae))
       case Average(e, _) if pureOuter(e) => Some(guarded(countMini(child), e, ae))
       case Count(Seq(e)) if pureOuter(e) =>
         Some(If(IsNull(e), Literal(0L), countMini(child)))
       case Sum(Multiply(a, b, _), _) if pureOuter(a) && pureLocal(b) =>
-        Some(Multiply(dbl(a), dbl(aggMini(Sum(b).toAggregateExpression(), child))))
+        val w = wideFor(a.dataType, b.dataType)
+        Some(Multiply(w(a), w(aggMini(Sum(b).toAggregateExpression(), child))))
       case Sum(Multiply(a, b, _), _) if pureLocal(a) && pureOuter(b) =>
-        Some(Multiply(dbl(b), dbl(aggMini(Sum(a).toAggregateExpression(), child))))
+        val w = wideFor(a.dataType, b.dataType)
+        Some(Multiply(w(b), w(aggMini(Sum(a).toAggregateExpression(), child))))
       case Sum(e, _) =>
         additiveSplit(e).collect { case (Some(l), Some(o)) =>
           // SUM(l ⊕ o) = SUM(l) ⊕ o·COUNT(l): NULL-l terms are skipped on
           // both sides; NULL o nulls both sides.
-          Add(dbl(aggMini(Sum(l).toAggregateExpression(), child)),
-            Multiply(dbl(o),
-              dbl(aggMini(Count(l).toAggregateExpression(), child))))
+          val w = wideFor(e.dataType)
+          Add(w(aggMini(Sum(l).toAggregateExpression(), child)),
+            Multiply(w(o),
+              w(aggMini(Count(l).toAggregateExpression(), child))))
         }
       case Min(e) =>
         additiveSplit(e).collect {

@@ -18,8 +18,9 @@ object SqlCanonicalizer {
 
   /** Full pipeline, cheap no-op for SQL without subqueries. */
   def apply(sql: String): String =
-    rewriteNoFromScalar(hoistDeepCorrelation(decomposeOuterAggs(
-      joinOnSubqueryToWhere(existsNoFromToTrue(sql)))))
+    rewriteNoFromScalar(flattenDivision(hoistDeepCorrelation(
+      boolScalarFilterToExists(cmpScalarSubqueriesToFrom(decomposeOuterAggs(
+        joinOnSubqueryToWhere(existsNoFromToTrue(sql))))))))
 
   private val sqlKeywords = Set(
     "CASE", "WHEN", "THEN", "ELSE", "END", "IS", "NOT", "NULL", "AND", "OR",
@@ -536,6 +537,340 @@ object SqlCanonicalizer {
   /** The reference follows Postgres null ordering (ASC → NULLS LAST, DESC →
     * NULLS FIRST); Spark defaults to the opposite. Make every ORDER BY item
     * explicit — including window-internal ones. */
+  // ------------------------------------------------ structural scan helpers
+
+  /** Index of the matching close paren for the open paren at `open`. */
+  private def closeParenOf(text: String, open: Int): Int = {
+    var depth = 0; var j = open; var inStr = false
+    while (j < text.length) {
+      val c = text.charAt(j)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return j
+        case _ =>
+      }
+      j += 1
+    }
+    -1
+  }
+
+  /** All `(SELECT ...)` spans in `text` (open/close index pairs). */
+  private def selectBlocks(text: String): Seq[(Int, Int)] =
+    "(?i)\\(\\s*SELECT\\b".r.findAllMatchIn(text).map(_.start).toSeq
+      .map(o => (o, closeParenOf(text, o))).filter(_._2 > 0)
+
+  /** `(SELECT ...)` spans not nested inside another such span. */
+  private def outerSelectBlocks(text: String): Seq[(Int, Int)] = {
+    val bs = selectBlocks(text)
+    bs.filterNot(b => bs.exists(p => p._1 < b._1 && p._2 > b._2))
+  }
+
+  /** Position of the first depth-0 occurrence of keyword `word`, or -1. */
+  private def topLevelIndexOf(text: String, word: String): Int = {
+    var d = 0; var inStr = false
+    val up = text.toUpperCase
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => d += 1
+        case ')' => d -= 1
+        case _ =>
+          if (d == 0 && up.regionMatches(i, word, 0, word.length) &&
+            (i == 0 || !text.charAt(i - 1).isLetterOrDigit && text.charAt(i - 1) != '_') &&
+            (i + word.length >= text.length || !text.charAt(i + word.length).isLetterOrDigit))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private val clauseEnders =
+    Seq("GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT")
+
+  /** First depth-0 clause boundary at/after `from`, else text.length. */
+  private def clauseEndFrom(text: String, from: Int, extra: Seq[String] = Nil): Int = {
+    val enders = clauseEnders ++ extra
+    var d = 0; var inStr = false
+    val up = text.toUpperCase
+    var i = from
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => d += 1
+        case ')' => d -= 1
+        case _ =>
+          if (d == 0 && enders.exists(w => up.regionMatches(i, w, 0, w.length) &&
+            (i == 0 || !text.charAt(i - 1).isLetterOrDigit && text.charAt(i - 1) != '_') &&
+            (i + w.length >= text.length || !text.charAt(i + w.length).isLetterOrDigit)))
+            return i
+      }
+      i += 1
+    }
+    text.length
+  }
+
+  /** Top-level WHERE clause of `sql`: (whereKeywordStart, clauseEndExclusive). */
+  private def whereSpan(sql: String): Option[(Int, Int)] = {
+    val w = topLevelIndexOf(sql, "WHERE")
+    if (w < 0) None else Some((w, clauseEndFrom(sql, w + 5)))
+  }
+
+  /** Top-level FROM clause text span: (textStart, textEndExclusive). */
+  private def fromSpan(sql: String): Option[(Int, Int)] = {
+    val f = topLevelIndexOf(sql, "FROM")
+    if (f < 0) None else Some((f + 4, clauseEndFrom(sql, f + 4, Seq("WHERE"))))
+  }
+
+  private case class FromItem(text: String, alias: String)
+
+  /** Parse a comma-join FROM clause into items with aliases; None when the
+    * clause uses explicit JOIN syntax or an item's alias is unrecognizable. */
+  private def parseFromItems(fromText: String): Option[Seq[FromItem]] = {
+    if (topLevelIndexOf(fromText, "JOIN") >= 0) return None
+    val items = PipeSql.splitTop(fromText, ",").map(_.trim).filter(_.nonEmpty)
+    val parsed = items.map { it =>
+      var t = it
+      // strip a trailing column-name list `alias(c1, c2)` to find the alias
+      val colListRe = "(?s)^(.*?)\\b([A-Za-z_]\\w*)\\s*\\(\\s*\\w+(?:\\s*,\\s*\\w+)*\\s*\\)$".r
+      t match {
+        case colListRe(before, al) if before.trim.nonEmpty &&
+            !fromKeywords.contains(al.toUpperCase) =>
+          FromItem(it, al)
+        case _ =>
+          val wordRe = "(?s)^(.*?)\\s+(?:(?i)AS\\s+)?([A-Za-z_]\\w*)$".r
+          t match {
+            case wordRe(before, al) if !fromKeywords.contains(al.toUpperCase) &&
+                !before.trim.endsWith(",") =>
+              FromItem(it, al)
+            case _ if "^[A-Za-z_]\\w*$".r.findFirstIn(t).isDefined =>
+              FromItem(it, t)
+            case _ => FromItem(it, "")
+          }
+      }
+    }
+    if (parsed.exists(_.alias.isEmpty)) None else Some(parsed)
+  }
+
+  private val aggCallRe = "(?i)\\b(SUM|MIN|MAX|COUNT|AVG)\\s*\\(".r
+
+  // ------------------------------------- comparisons of two scalar subqueries
+
+  /** `WHERE (SELECT f(agg)·outer FROM t) = (SELECT g(agg)·outer FROM u)`:
+    * Spark never executes scalar subqueries that optimization pushes into
+    * hash-join keys ("Subquery ... has not finished"). Rewrite each side's
+    * uncorrelated aggregate core into a 1-row derived table in FROM (an
+    * aggregate without GROUP BY returns exactly one row, so the cross join
+    * is cardinality-preserving and exact, including the empty-input NULL),
+    * after pulling outer-alias factors out of the select expression:
+    *   (SELECT 2*SUM(i)*s1.i FROM t)  →  (s1.i) * __bsq0.__v,
+    *   FROM ... , (SELECT (2)*(SUM(i)) AS __v FROM t) __bsq0
+    * Triggered only when two subquery blocks sit in one comparison (no
+    * AND/OR between them) — the exact shape Spark cannot execute. */
+  def cmpScalarSubqueriesToFrom(sql: String): String = {
+    if (!sql.trim.toUpperCase.startsWith("SELECT")) return sql
+    val ws = whereSpan(sql).getOrElse(return sql)
+    val whereText = sql.substring(ws._1 + 5, ws._2)
+    val blocks = outerSelectBlocks(whereText).sortBy(_._1)
+    if (blocks.size < 2) return sql
+    val inCmp = blocks.sliding(2).collect {
+      case Seq(b1, b2)
+        if {
+          val between = whereText.substring(b1._2 + 1, b2._1)
+          between.exists(c => c == '=' || c == '<' || c == '>') &&
+            "(?i)\\b(AND|OR)\\b".r.findFirstIn(between).isEmpty
+        } => Seq(b1, b2)
+    }.flatten.toSeq.distinct
+    if (inCmp.size < 2) return sql
+    val fs0 = fromSpan(sql).getOrElse(return sql)
+    val fromText = sql.substring(fs0._1, fs0._2)
+    val items = parseFromItems(fromText).getOrElse(return sql)
+    val topAliases = items.map(_.alias).toSet
+    // plan every replacement before editing; abort wholesale on any miss
+    case class Repl(open: Int, close: Int, newExpr: String, derived: String)
+    val repls = inCmp.zipWithIndex.map { case ((open, close), k) =>
+      val body = whereText.substring(open + 1, close)
+      val fromAt = topLevelIndexOf(body, "FROM")
+      if (fromAt < 0) return sql
+      if (topLevelIndexOf(body, "GROUP") >= 0) return sql
+      val selStart = topLevelIndexOf(body, "SELECT")
+      if (selStart != body.indexWhere(!_.isWhitespace)) return sql
+      val selPart = body.substring(selStart + 6, fromAt).trim
+      val declRe = "(?i)(?:FROM|JOIN|,)\\s+(\\w+)(?:\\s+(\\w+))?".r
+      val own = declRe.findAllMatchIn(body)
+        .flatMap(m => Seq(Option(m.group(1)), Option(m.group(2))).flatten).toSet
+        .filterNot(w => fromKeywords.contains(w.toUpperCase))
+      val outer = topAliases -- own
+      val fsplit = factors(selPart)
+      val (outF, inF) = fsplit.partition(f => refsOuter(f, outer) && !refsLocal(f, outer))
+      if (inF.isEmpty || inF.exists(f => refsOuter(f, outer))) return sql
+      if (aggCallRe.findFirstIn(inF.mkString(" ")).isEmpty) return sql
+      // the body's FROM/WHERE tail must be uncorrelated to move into FROM
+      if (refsOuter(body.substring(fromAt), outer)) return sql
+      val alias = s"__bsq$k"
+      val derived =
+        s"(SELECT ${inF.map(f => s"($f)").mkString("*")} AS __v ${body.substring(fromAt)}) $alias"
+      val newExpr =
+        if (outF.isEmpty) s"$alias.__v"
+        else s"(${outF.map(f => s"($f)").mkString("*")}*$alias.__v)"
+      Repl(open, close, newExpr, derived)
+    }
+    val newWhere = repls.sortBy(-_.open).foldLeft(whereText) { (w, r) =>
+      w.substring(0, r.open) + r.newExpr + w.substring(r.close + 1)
+    }
+    // expand a bare `SELECT *` so the added derived tables stay invisible
+    val selEnd = topLevelIndexOf(sql, "FROM")
+    val selList = sql.substring(6, selEnd).trim
+    val newSelList =
+      if (selList == "*") items.map(i => s"${i.alias}.*").mkString(", ")
+      else selList
+    sql.substring(0, 6) + " " + newSelList + " FROM " +
+      fromText.trim + ", " + repls.map(_.derived).mkString(", ") + " WHERE " +
+      newWhere + sql.substring(ws._2)
+  }
+
+  // ------------------------------- correlated boolean scalar subquery filter
+
+  /** `WHERE (SELECT <bool over outer refs> FROM t WHERE p)` — Catalyst
+    * mis-resolves outer attributes appearing only in a correlated scalar
+    * subquery's select list when the predicate correlates on a different
+    * outer alias (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND). As a filter the
+    * scalar's value is TRUE / FALSE-or-NULL, so it is exactly
+    * `EXISTS (SELECT 1 FROM t WHERE (p) AND (<bool>))` whenever at most one
+    * row matches p (more would be a runtime error anyway — the rewrite
+    * widens that error case to ANY-row semantics, like the reference's mark
+    * joins). Triggered only when the whole WHERE clause is one subquery. */
+  def boolScalarFilterToExists(sql: String): String = {
+    val ws = whereSpan(sql).getOrElse(return sql)
+    val whereText = sql.substring(ws._1 + 5, ws._2)
+    val blocks = outerSelectBlocks(whereText)
+    if (blocks.size != 1) return sql
+    val (open, close) = blocks.head
+    if (whereText.substring(0, open).trim.nonEmpty ||
+      whereText.substring(close + 1).trim.nonEmpty) return sql
+    val body = whereText.substring(open + 1, close)
+    val fromAt = topLevelIndexOf(body, "FROM")
+    if (fromAt < 0) return sql
+    val selStart = topLevelIndexOf(body, "SELECT")
+    if (selStart != body.indexWhere(!_.isWhitespace)) return sql
+    val selPart = body.substring(selStart + 6, fromAt).trim
+    if (aggCallRe.findFirstIn(selPart).isDefined) return sql
+    val fs0 = fromSpan(sql).getOrElse(return sql)
+    val items = parseFromItems(sql.substring(fs0._1, fs0._2)).getOrElse(return sql)
+    val declRe = "(?i)(?:FROM|JOIN|,)\\s+(\\w+)(?:\\s+(\\w+))?".r
+    val own = declRe.findAllMatchIn(body)
+      .flatMap(m => Seq(Option(m.group(1)), Option(m.group(2))).flatten).toSet
+      .filterNot(w => fromKeywords.contains(w.toUpperCase))
+    val outer = items.map(_.alias).toSet -- own
+    if (!refsOuter(selPart, outer)) return sql
+    val rest = body.substring(fromAt) // FROM ... [WHERE ...] [...]
+    val bw = topLevelIndexOf(rest, "WHERE")
+    val newRest =
+      if (bw >= 0) {
+        val bwEnd = clauseEndFrom(rest, bw + 5)
+        rest.substring(0, bw) +
+          s"WHERE (${rest.substring(bw + 5, bwEnd).trim}) AND ($selPart)" +
+          rest.substring(bwEnd)
+      } else {
+        val end = clauseEndFrom(rest, 4)
+        rest.substring(0, end) + s" WHERE ($selPart)" + rest.substring(end)
+      }
+    sql.substring(0, ws._1) + s"WHERE EXISTS (SELECT 1 $newRest)" + sql.substring(ws._2)
+  }
+
+  // --------------------------------------- relational division (deep EXISTS)
+
+  /** Division-style nesting: `... FROM S s WHERE [NOT] EXISTS (SELECT ...
+    * WHERE ... (SELECT ... WHERE ... s.c ...))` — the inner block references
+    * `s` TWO scopes up, which Catalyst cannot resolve (outer references bind
+    * exactly one level; the reference's general unnesting handles arbitrary
+    * depth, Transforms/Unnesting.cpp). Exact flattening: the EXISTS body
+    * depends on `s` only through its referenced columns C, so join the body
+    * against the DISTINCT C-tuples of S — `(SELECT DISTINCT s.C FROM S s)
+    * __div` — rewrite every `s.` inside the body to `__div.`, and equate
+    * `__div.C <=> s.C` at the body's top level (depth-1 correlation,
+    * null-safe). Every remaining correlation is then single-level. */
+  def flattenDivision(sql: String): String = {
+    if (!sql.trim.toUpperCase.startsWith("SELECT")) return sql
+    val ws = whereSpan(sql).getOrElse(return sql)
+    val whereText = sql.substring(ws._1 + 5, ws._2)
+    val fs0 = fromSpan(sql).getOrElse(return sql)
+    val items = parseFromItems(sql.substring(fs0._1, fs0._2)).getOrElse(return sql)
+    val exRe = "(?i)\\bEXISTS\\s*\\(".r
+    for (m <- exRe.findAllMatchIn(whereText)) {
+      val open = whereText.indexOf('(', m.start)
+      val close = closeParenOf(whereText, open)
+      if (close > 0 && !whereText.substring(open + 1, close).contains("__div")) {
+        val body = whereText.substring(open + 1, close)
+        val declRe = "(?i)(?:FROM|JOIN|,)\\s+(\\w+)(?:\\s+(\\w+))?".r
+        val own = declRe.findAllMatchIn(body)
+          .flatMap(mm => Seq(Option(mm.group(1)), Option(mm.group(2))).flatten).toSet
+          .filterNot(w => fromKeywords.contains(w.toUpperCase))
+        // only nested subquery EXPRESSIONS break Catalyst's one-level outer
+        // resolution; a correlated derived table in FROM/JOIN position under
+        // EXISTS is decorrelated natively (lateral-style) — don't touch it
+        val nested = selectBlocks(body).filterNot { case (no, nc) =>
+          val before = body.substring(0, no).reverse.dropWhile(_.isWhitespace)
+          val prevWord = before.takeWhile(c => c.isLetterOrDigit || c == '_')
+            .reverse.toUpperCase
+          val after = body.substring(nc + 1).dropWhile(_.isWhitespace)
+          val nextWord = after.takeWhile(c => c.isLetterOrDigit || c == '_').toUpperCase
+          prevWord == "FROM" || prevWord == "JOIN" ||
+            (before.nonEmpty && before.head == ',') || nextWord == "AS"
+        }
+        for (item <- items if !own.exists(_.equalsIgnoreCase(item.alias))) {
+          val a = item.alias
+          val aRef = ("(?i)\\b" + java.util.regex.Pattern.quote(a) + "\\s*\\.").r
+          val deepRef = nested.exists { case (no, nc) =>
+            aRef.findFirstIn(body.substring(no, nc + 1)).isDefined
+          }
+          if (deepRef) {
+            val colRe = ("(?i)\\b" + java.util.regex.Pattern.quote(a) + "\\s*\\.\\s*(\\w+)").r
+            val corrCols = colRe.findAllMatchIn(body).map(_.group(1)).toSeq
+              .foldLeft(Vector.empty[String]) { (acc, c) =>
+                if (acc.exists(_.equalsIgnoreCase(c))) acc else acc :+ c
+              }
+            if (corrCols.nonEmpty) {
+              val divA = "__div"
+              val body2 = aRef.replaceAllIn(body, s"$divA.")
+              val bFrom = topLevelIndexOf(body2, "FROM")
+              if (bFrom >= 0) {
+                val derived = s"(SELECT DISTINCT ${corrCols.map(c => s"$a.$c").mkString(", ")} " +
+                  s"FROM ${item.text}) $divA"
+                val withDiv = body2.substring(0, bFrom + 4) + " " + derived + ", " +
+                  body2.substring(bFrom + 4).dropWhile(_.isWhitespace)
+                val conj = corrCols.map(c => s"$divA.$c <=> $a.$c").mkString(" AND ")
+                val bw = topLevelIndexOf(withDiv, "WHERE")
+                val newBody =
+                  if (bw >= 0) {
+                    val bwEnd = clauseEndFrom(withDiv, bw + 5)
+                    withDiv.substring(0, bw) +
+                      s"WHERE (${withDiv.substring(bw + 5, bwEnd).trim}) AND $conj" +
+                      withDiv.substring(bwEnd)
+                  } else {
+                    val end = clauseEndFrom(withDiv, bFrom + 4)
+                    withDiv.substring(0, end) + s" WHERE $conj" + withDiv.substring(end)
+                  }
+                val newWhere = whereText.substring(0, open + 1) + newBody +
+                  whereText.substring(close)
+                return flattenDivision(
+                  sql.substring(0, ws._1 + 5) + newWhere + sql.substring(ws._2))
+              }
+            }
+          }
+        }
+      }
+    }
+    sql
+  }
+
   def pgNullOrder(sql: String): String = {
     val sb = new StringBuilder
     var i = 0

@@ -48,6 +48,8 @@ object TpcdsGen {
     def dow(dte: String): String
     def dayName(dte: String): String
     def dom(dte: String): String
+    /** Arithmetic right shift of a non-negative bigint. */
+    def shr(e: String, n: Int): String
   }
 
   object SparkDia extends Dia {
@@ -63,6 +65,7 @@ object TpcdsGen {
     def dow(dte: String) = s"(dayofweek($dte) - 1)"
     def dayName(dte: String) = s"date_format($dte, 'EEEE')"
     def dom(dte: String) = s"day($dte)"
+    def shr(e: String, n: Int) = s"shiftright(cast($e as bigint), $n)"
   }
 
   object DuckDia extends Dia {
@@ -78,6 +81,7 @@ object TpcdsGen {
     def dow(dte: String) = s"dayofweek($dte)" // Sunday = 0
     def dayName(dte: String) = s"dayname($dte)"
     def dom(dte: String) = s"dayofmonth($dte)"
+    def shr(e: String, n: Int) = s"(cast($e as bigint) >> $n)"
   }
 
   private def q(s: String): String = "'" + s.replace("'", "''") + "'"

@@ -70,6 +70,66 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("Decorrelate: SUM identities stay exact past 2^53 for integral inputs") {
+    import spark.implicits._
+    val big = 9007199254740993L // 2^53 + 1, not representable in double
+    Seq(10L, 20L, 30L).toDF("v").createOrReplaceTempView("dc_big")
+    Seq(big, big + 2).toDF("c").createOrReplaceTempView("dc_t")
+    // SUM over a pure-outer argument: Catalyst alone mis-attributes it to
+    // the outer scope; DecorrelateComplexAggs rewrites it to o*COUNT(1)
+    // per the corpus's inner-scope semantics. The former DoubleType routing
+    // rounded 2^53+1 to 2^53 before multiplying.
+    val rows = spark.sql(
+      "SELECT c, (SELECT SUM(dc_t.c) FROM dc_big) AS s FROM dc_t GROUP BY c ORDER BY c").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((big, 3 * big), (big + 2, 3 * (big + 2))),
+      "expected exact long arithmetic, not double-rounded")
+  }
+
+  test("CBO: column stats flip a JOB-style multi-join order (ANALYZE TABLE)") {
+    // the reference reorders joins from sampled statistics (DPhyp,
+    // OptimizeJoinOrder.cpp:13-140); the Spark-native equivalent is
+    // ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS + cbo.joinReorder.
+    // Catalyst's reorder only fires on catalog tables with stats, so this is
+    // the engine capability test: same 5-table star query, stats on vs off,
+    // different join order.
+    val db = "cbo_flip_db"
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:") + s"/$db.db"))
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    import spark.implicits._
+    def save(name: String, n: Int, payload: Int): Unit =
+      (0 until n).map(i => (i.toLong, (i % payload).toLong))
+        .toDF(s"${name}_k", s"${name}_v")
+        .write.mode("overwrite").saveAsTable(s"$db.$name")
+    save("fact", 40000, 1000)
+    save("dim_big", 8000, 100)
+    save("dim_mid", 800, 50)
+    save("dim_small", 40, 10)
+    save("dim_tiny", 4, 2)
+    // join written worst-first: tiny last, so the written order is the
+    // no-stats order and a stats-driven planner must move it forward
+    val q =
+      s"""SELECT count(*) AS n FROM $db.fact f
+         |JOIN $db.dim_big b ON f.fact_v = b.dim_big_k
+         |JOIN $db.dim_mid m ON b.dim_big_v = m.dim_mid_k
+         |JOIN $db.dim_small s ON m.dim_mid_v = s.dim_small_k
+         |JOIN $db.dim_tiny t ON s.dim_small_v = t.dim_tiny_k""".stripMargin
+    def joinOrder(): Seq[String] = {
+      val plan = spark.sql(q).queryExecution.optimizedPlan.toString
+      s"$db\\.(\\w+)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    }
+    val before = joinOrder()
+    Seq("fact", "dim_big", "dim_mid", "dim_small", "dim_tiny").foreach { t =>
+      spark.sql(s"ANALYZE TABLE $db.$t COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    val after = joinOrder()
+    assert(before != after,
+      s"stats should change the join order; both were $before")
+  }
+
   test("custom expressions stay codegen-compatible (no fallback markers)") {
     val df = SparkEntry.queries("fn_erf")(spark, sf)
     df.collect() // AQE finalizes (and codegen-compiles) only on execution

@@ -89,6 +89,30 @@ class UdfSpec extends SparkSpec {
     assert(r2.toSeq == Seq(9L, 12L, 15L))
   }
 
+  test("canonicalization: join-condition subqueries and deep division (unnesting.test tail)") {
+    import spark.implicits._
+    Seq(1, 2, 3).toDF("i").createOrReplaceTempView("canon_ints")
+    // scalar subqueries on both sides of a join comparison: Spark never
+    // executes subqueries pushed into hash-join keys
+    val q1 = "SELECT * FROM canon_ints s1 INNER JOIN canon_ints s2 ON " +
+      "(SELECT 2*SUM(i)*s1.i FROM canon_ints)=(SELECT SUM(i)*s2.i FROM canon_ints) ORDER BY s1.i"
+    intercept[Exception](spark.sql(q1).collect())
+    assert(GraftSql(spark, q1).collect().map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((1, 2)))
+    // correlated boolean select-list over two outer aliases
+    val q2 = "SELECT * FROM canon_ints s1 INNER JOIN canon_ints s2 ON " +
+      "(SELECT s1.i=i FROM canon_ints WHERE s2.i=i) ORDER BY s1.i"
+    intercept[Exception](spark.sql(q2).collect())
+    assert(GraftSql(spark, q2).collect().map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((1, 1), (2, 2), (3, 3)))
+    // relational division: correlation two scopes deep
+    val q3 = "SELECT * FROM (VALUES (1),(2),(3)) s(m) WHERE NOT EXISTS (" +
+      "SELECT * FROM (VALUES (2),(3)) v(n) WHERE NOT EXISTS (" +
+      "SELECT * FROM (VALUES (1,2),(1,3),(2,2),(3,3)) h(m,n) WHERE h.m = s.m AND h.n = v.n))"
+    intercept[Exception](spark.sql(q3).collect())
+    assert(GraftSql(spark, q3).collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
   test("unsupported language rejected") {
     intercept[IllegalArgumentException](UdfSurface.execute(spark,
       "CREATE FUNCTION bad(x int) RETURNS int LANGUAGE cobol AS $$ x $$"))

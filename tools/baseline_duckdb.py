@@ -10,11 +10,18 @@ Runs each headline query's oracle SQL (the exact semantics the Spark side
 computes, from Verify's oracle_sql.json) over the SAME parquet files Bench
 reads, with the same protocol (1 warmup + 3 measured, median), all cores.
 
+Per-query timeout (default 300 s, TIMEOUT_S env to override): the reference's
+own benchmark harness caps each query at 60 s (tools/scripts/benchmark.py:35);
+a query that exceeds the cap is recorded as "timeout" rather than hanging the
+whole baseline run.
+
 Usage: baseline_duckdb.py <sfDir> <oracle_sql.json> [out.json]
 Dev-only tool (driver-side python stack); not part of the shipped library.
 """
-import json, sys, time, glob, os
+import json, sys, time, glob, os, threading
 import duckdb
+
+TIMEOUT_S = float(os.environ.get("TIMEOUT_S", "300"))
 
 HEADLINE = ["tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q10",
             "tpch_q21", "agg_rollup", "agg_groupjoin", "win_running_sum",
@@ -50,14 +57,22 @@ def main():
             continue
         sql = oracle[q]
         def once():
-            t0 = time.time()
-            con.execute(sql).fetchall()
-            return time.time() - t0
+            timer = threading.Timer(TIMEOUT_S, con.interrupt)
+            timer.start()
+            try:
+                t0 = time.time()
+                con.execute(sql).fetchall()
+                return time.time() - t0
+            finally:
+                timer.cancel()
         try:
             once()  # warmup
             runs = sorted(once() for _ in range(3))
             results[q] = round(runs[1], 4)
             print(f"[baseline] {q:24} {runs[1]:8.4f}s", file=sys.stderr)
+        except duckdb.InterruptException:
+            results[q] = f"TIMEOUT>{TIMEOUT_S}s"
+            print(f"[baseline] {q:24} TIMEOUT after {TIMEOUT_S}s", file=sys.stderr)
         except Exception as e:
             results[q] = f"ERROR: {e}"
             print(f"[baseline] {q:24} ERROR {e}", file=sys.stderr)
