@@ -170,6 +170,23 @@ object FunctionQueries {
         .orderBy("p_partkey")
     }),
 
+    // interpreted Python UDF (reference py_interp bridge; PyInterp.scala) —
+    // the oracle replays the same arithmetic/string semantics in plain SQL
+    "fn_py_udf" -> ((s, d) => {
+      graft.sqlsurface.UdfSurface.execute(s,
+        "CREATE OR REPLACE FUNCTION graft_py_tax(x int) RETURNS int AS $$\n" +
+          "def graft_py_tax(x):\n    t = 0\n    for i in range(1, 4):\n" +
+          "        t = t + x * i\n    return t\n$$ LANGUAGE python")
+      graft.sqlsurface.UdfSurface.execute(s,
+        "CREATE OR REPLACE FUNCTION graft_py_shout(s varchar) RETURNS varchar AS $$\n" +
+          "def graft_py_shout(s):\n    return s.upper()\n$$ LANGUAGE python")
+      t(s, d, "part").filter(col("p_partkey") <= 300)
+        .select(col("p_partkey"),
+          expr("graft_py_tax(p_size)").as("tax6"),
+          expr("graft_py_shout(p_brand)").as("brand_up"))
+        .orderBy("p_partkey")
+    }),
+
     // rolling_hash — custom fingerprint expression (rows-only; exercised with
     // an oracle via the dedup/text modules' md5 fingerprints instead).
     "fn_rolling_hash" -> ((s, d) =>
@@ -250,6 +267,10 @@ object FunctionQueries {
     "fn_udf_macro" ->
       """SELECT p_partkey, CAST(p_size + 1 AS INTEGER) AS size1,
                 p_retailprice * 2.0 + 1.0 AS scaled
+         FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""",
+    "fn_py_udf" ->
+      """SELECT p_partkey, CAST(p_size * 6 AS INTEGER) AS tax6,
+                upper(p_brand) AS brand_up
          FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""",
     "fn_hash" ->
       """SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha256

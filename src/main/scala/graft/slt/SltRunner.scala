@@ -106,9 +106,14 @@ object SltRunner {
 
 
 
-  /** Postgres `::text` cast synonym → Spark's string type. */
+  /** Postgres cast-type synonyms → Spark type names. */
   private[slt] def castTextSynonym(sql: String): String =
     sql.replaceAll("(?i)::text\\b", "::string")
+      .replaceAll("(?i)::float8\\b", "::double")
+      .replaceAll("(?i)::float4\\b", "::float")
+      .replaceAll("(?i)::int8\\b", "::bigint")
+      .replaceAll("(?i)::int4\\b", "::int")
+      .replaceAll("(?i)::int2\\b", "::smallint")
 
 
 

@@ -27,6 +27,10 @@ import scala.util.Try
 object UdfSurface {
   private val createFnRe =
     """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(\w+)\s*\(([^)]*)\)\s*RETURNS\s+(\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s+LANGUAGE\s+(\w+)\s+AS\s+\$\$(.*)\$\$\s*;?\s*$""".r
+  /** Postgres also accepts the clause order `AS $$...$$ LANGUAGE x` (the
+    * reference's python-udfs.test uses it). */
+  private val createFnRe2 =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(\w+)\s*\(([^)]*)\)\s*RETURNS\s+(\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s+AS\s+\$\$(.*)\$\$\s+LANGUAGE\s+(\w+)\s*;?\s*$""".r
 
   /** Reference/Postgres type aliases → Spark SQL type names. */
   private def normalizeType(t: String): String =
@@ -41,7 +45,8 @@ object UdfSurface {
       case other             => other
     }
 
-  def isCreateFunction(stmt: String): Boolean = createFnRe.findFirstIn(stmt).isDefined
+  def isCreateFunction(stmt: String): Boolean =
+    createFnRe.findFirstIn(stmt).isDefined || createFnRe2.findFirstIn(stmt).isDefined
 
   private val declRe = """^\w+\s+(\w+)\s*=\s*(.+)$""".r
   private val ifReturnRe = """(?s)^if\s*\((.+)\)\s*return\s+(.+)$""".r
@@ -81,8 +86,32 @@ object UdfSurface {
   }
 
   /** Parse + register as an expression macro; returns the function name. */
-  def execute(spark: SparkSession, stmt: String): String = stmt match {
+  def execute(spark: SparkSession, stmt: String): String = (stmt match {
     case createFnRe(name, argList, retType, language, body0) =>
+      (name, argList, retType, language, body0)
+    case createFnRe2(name, argList, retType, body0, language) =>
+      (name, argList, retType, language, body0)
+    case _ => throw new IllegalArgumentException("not a CREATE FUNCTION statement")
+  }) match {
+    case (name, argList, retType, language, body0) if language.equalsIgnoreCase("python") =>
+      // interpreted per row, like the reference's py_interp bridge —
+      // see graft.functions.PyInterp
+      val fn = graft.functions.PyInterp.parse(body0.stripPrefix("\n"))
+      val retDt = CatalystSqlParser.parseDataType(normalizeType(retType))
+      val argDts = (argList.trim match {
+        case "" => Seq.empty[String]
+        case l => l.split(",").toSeq.map(a => normalizeType(a.trim.split("\\s+", 2)(1)))
+      }).map(CatalystSqlParser.parseDataType)
+      val builder: Seq[Expression] => Expression = { exprs =>
+        require(exprs.length == argDts.length,
+          s"$name expects ${argDts.length} arguments, got ${exprs.length}")
+        val castArgs = exprs.zip(argDts).map { case (e, dt) => Cast(e, dt) }
+        graft.functions.PyUdfExpression(fn, retDt, castArgs)
+      }
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "python_udf")
+      name
+    case (name, argList, retType, language, body0) =>
       val body = language.toLowerCase match {
         case "sql" | "scala" => body0.trim
         case "c" => translateCBody(body0.trim)
@@ -113,7 +142,6 @@ object UdfSurface {
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "sql_udf")
       name
-    case _ => throw new IllegalArgumentException("not a CREATE FUNCTION statement")
   }
 }
 
