@@ -33,7 +33,8 @@ object SparkEntry {
       (graft.sqlsurface.PipeSqlQueries.queries, graft.sqlsurface.PipeSqlQueries.oracle),
       (graft.streaming.Streaming.queries, graft.streaming.Streaming.oracle),
       (graft.tpcds.Tpcds.queries, graft.tpcds.Tpcds.oracle),
-      (graft.job.Job.queries, graft.job.Job.oracle)
+      (graft.job.Job.queries, graft.job.Job.oracle),
+      (graft.ssb.Ssb.queries, graft.ssb.Ssb.oracle)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
