@@ -34,7 +34,8 @@ object SparkEntry {
       (graft.streaming.Streaming.queries, graft.streaming.Streaming.oracle),
       (graft.tpcds.Tpcds.queries, graft.tpcds.Tpcds.oracle),
       (graft.job.Job.queries, graft.job.Job.oracle),
-      (graft.ssb.Ssb.queries, graft.ssb.Ssb.oracle)
+      (graft.ssb.Ssb.queries, graft.ssb.Ssb.oracle),
+      (graft.clickbench.Clickbench.queries, graft.clickbench.Clickbench.oracle)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

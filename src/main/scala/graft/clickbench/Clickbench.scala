@@ -1,0 +1,198 @@
+package graft.clickbench
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+/** ClickBench surface: the reference's 43 query texts
+  * (resources/sql/clickbench/1.sql..43.sql) over [[ClickbenchGen]]'s
+  * closed-form `hits` table with a DuckDB oracle.
+  *
+  * Two suite-specific mechanisms keep the hash-compare well-defined:
+  *
+  *  - **Deterministic top-k**: most queries end `ORDER BY c DESC LIMIT 10
+  *    [OFFSET n]` — count ties at the cut would let each engine pick a
+  *    different (equally correct) row set. The group-by keys (or the unique
+  *    WatchID for ungrouped queries) are appended to the ORDER BY on BOTH
+  *    sides, a total order that refines, never contradicts, the query's
+  *    ordering. Query 18 (GROUP BY ... LIMIT with no ORDER BY at all) gets
+  *    an ORDER BY over its keys the same way.
+  *  - **Significant-digit normalization**: double outputs round to 10
+  *    significant digits (not fixed decimals) on both sides —
+  *    AVG(UserID) sums ~2^59 values in engine-specific accumulation orders
+  *    whose low-bit drift fixed-decimal rounding can't mask. */
+object Clickbench {
+
+  val qnames: Seq[String] = (1 to 43).map(_.toString)
+
+  private def sqlDir: String =
+    sys.env.getOrElse("GRAFT_CB_SQL", "/root/reference/resources/sql/clickbench")
+
+  def loadQuery(qn: String): String =
+    Files.readString(Paths.get(s"$sqlDir/$qn.sql")).trim.stripSuffix(";").trim
+
+  // --------------------------------------------------------- canonicalization
+
+  private def topLevelIndexOf(text: String, word: String): Int = {
+    var d = 0; var inStr = false
+    val up = text.toUpperCase
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => d += 1
+        case ')' => d -= 1
+        case _ =>
+          if (d == 0 && up.regionMatches(i, word, 0, word.length) &&
+            (i == 0 || !text.charAt(i - 1).isLetterOrDigit && text.charAt(i - 1) != '_') &&
+            (i + word.length >= text.length || !text.charAt(i + word.length).isLetterOrDigit))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private def splitTopCommas(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var start = 0; var inStr = false
+    for (i <- s.indices) s.charAt(i) match {
+      case '\'' => inStr = !inStr
+      case '(' if !inStr => depth += 1
+      case ')' if !inStr => depth -= 1
+      case ',' if !inStr && depth == 0 => out += s.substring(start, i); start = i + 1
+      case _ =>
+    }
+    out += s.substring(start)
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Append a refining total-order tiebreak to ORDER BY ... LIMIT queries
+    * (identically on both engines — see class doc). */
+  private[clickbench] def detOrder(sql: String): String = {
+    val limAt = topLevelIndexOf(sql, "LIMIT")
+    if (limAt < 0) return sql
+    val gAt = topLevelIndexOf(sql, "GROUP")
+    val ties: Seq[String] =
+      if (gAt >= 0) {
+        val gText = sql.substring(gAt)
+        val byAt = gText.toUpperCase.indexOf("BY")
+        val end = Seq("HAVING", "ORDER", "LIMIT", "OFFSET")
+          .map(w => topLevelIndexOf(gText, w)).filter(_ > byAt) match {
+          case Nil => gText.length
+          case xs => xs.min
+        }
+        splitTopCommas(gText.substring(byAt + 2, end))
+      } else Seq("WatchID")
+    val oAt = topLevelIndexOf(sql, "ORDER")
+    if (oAt >= 0) {
+      val existing = sql.substring(oAt, limAt).toUpperCase
+      val missing = ties.filterNot(t => existing.contains(t.toUpperCase))
+      if (missing.isEmpty) sql
+      else sql.substring(0, limAt) + ", " + missing.mkString(", ") + " " +
+        sql.substring(limAt)
+    } else {
+      sql.substring(0, limAt) + "ORDER BY " + ties.mkString(", ") + " " +
+        sql.substring(limAt)
+    }
+  }
+
+  /** Spark's regexp_replace is Java-regex: group references are $1, not \1. */
+  private def sparkRegexFix(sql: String): String =
+    sql.replace("'\\1'", "'$1'")
+
+  def sparkSql(sql: String): String =
+    sparkRegexFix(detOrder(sql)).replaceAll("(?i)\\bhits\\b", "cb_hits")
+
+  def duckSql(sql: String): String =
+    detOrder(sql).replaceAll("(?i)\\bhits\\b", "cb_hits")
+
+  // ------------------------------------------------------------ registration
+
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  private def dataDir: String = s"${sys.props("java.io.tmpdir")}/graft_cb_data"
+
+  def ensure(spark: SparkSession): Unit =
+    if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
+      val done = Paths.get(s"$dataDir/_ALL_TABLES_OK")
+      Clickbench.synchronized {
+        if (!Files.exists(done)) {
+          spark.sql(ClickbenchGen.hits(graft.tpcds.TpcdsGen.SparkDia))
+            .write.mode("overwrite").parquet(s"$dataDir/hits")
+          Files.createFile(done)
+        }
+      }
+      spark.read.parquet(s"$dataDir/hits").createOrReplaceTempView("cb_hits")
+    }
+
+  // ------------------------------------------------------------------ output
+
+  /** Round to 10 significant digits via scale-to-integer — expressible
+    * identically in both engines (Spark's round() needs a constant scale). */
+  private def sigRound(c: Column): Column = {
+    val d = c.cast("double")
+    val p = pow(lit(10.0), floor(log10(abs(d))) - 9)
+    when(d.isNull || d === 0.0, d).otherwise(round(d / p) * p)
+  }
+
+  private def wrap(df: DataFrame): DataFrame = {
+    val renamed = df.toDF((1 to df.schema.length).map("c" + _): _*)
+    val outs = renamed.schema.fields.map { f =>
+      f.dataType match {
+        case _: DecimalType | DoubleType | FloatType => sigRound(col(f.name)).as(f.name)
+        case ByteType | ShortType | IntegerType | LongType =>
+          col(f.name).cast("long").as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    renamed.select(outs.toIndexedSeq: _*)
+  }
+
+  def sigOf(df: DataFrame): String =
+    df.schema.fields.map { f =>
+      f.dataType match {
+        case _: DecimalType | DoubleType | FloatType => 'd'
+        case ByteType | ShortType | IntegerType | LongType => 'l'
+        case _ => 'r'
+      }
+    }.mkString
+
+  def run(spark: SparkSession, qn: String): DataFrame = {
+    ensure(spark)
+    wrap(spark.sql(sparkSql(loadQuery(qn))))
+  }
+
+  def oracleFor(qn: String, sig: String): String = {
+    val cols = (1 to sig.length).map("c" + _)
+    val sel = sig.zipWithIndex.map { case (ch, i) =>
+      val c = cols(i)
+      ch match {
+        case 'd' =>
+          s"CASE WHEN cast($c as double) IS NULL OR cast($c as double) = 0 " +
+            s"THEN cast($c as double) ELSE " +
+            s"round(cast($c as double) / pow(10, floor(log10(abs(cast($c as double)))) - 9)) * " +
+            s"pow(10, floor(log10(abs(cast($c as double)))) - 9) END AS $c"
+        case 'l' => s"cast($c as bigint) AS $c"
+        case _   => c
+      }
+    }.mkString(", ")
+    val ddl = s"CREATE TABLE IF NOT EXISTS cb_hits AS (" +
+      s"${ClickbenchGen.hits(graft.tpcds.TpcdsGen.DuckDia)});"
+    s"$ddl\nSELECT $sel FROM (\n${duckSql(loadQuery(qn))}\n) AS t(${cols.mkString(", ")})"
+  }
+
+  // ------------------------------------------------------- SparkEntry wiring
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    qnames.map(qn => s"cb_q$qn" ->
+      ((spark: SparkSession, _: String) => run(spark, qn))).toMap
+
+  def oracle: Map[String, String] =
+    ClickbenchSig.sigs.map { case (qn, sig) => s"cb_q$qn" -> oracleFor(qn, sig) }
+}
