@@ -35,7 +35,8 @@ object SparkEntry {
       (graft.tpcds.Tpcds.queries, graft.tpcds.Tpcds.oracle),
       (graft.job.Job.queries, graft.job.Job.oracle),
       (graft.ssb.Ssb.queries, graft.ssb.Ssb.oracle),
-      (graft.clickbench.Clickbench.queries, graft.clickbench.Clickbench.oracle)
+      (graft.clickbench.Clickbench.queries, graft.clickbench.Clickbench.oracle),
+      (graft.tpcds.Tpcxbb.queries, graft.tpcds.Tpcxbb.oracle)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

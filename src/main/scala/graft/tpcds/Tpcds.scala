@@ -84,7 +84,10 @@ object Tpcds {
     * `customer` exists in both schemas — on the shared Spark session and in
     * the oracle's DuckDB catalog. A consistent whole-word rename (aliases
     * included) is semantics-preserving. */
-  private[tpcds] def renameTables(sql: String): String = {
+  private[tpcds] def renameTables(sql: String): String =
+    renameTablesIn(sql, tableNames)
+
+  private[tpcds] def renameTablesIn(sql: String, names: Set[String]): String = {
     val sb = new StringBuilder(sql.length + 64)
     var i = 0
     var inStr = false
@@ -99,7 +102,7 @@ object Tpcds {
         // qualified members included: a column alias can shadow a table name
         // (q49 aliases a column `item`); renaming every occurrence keeps the
         // rename a pure, semantics-preserving alpha-rename
-        if (tableNames.contains(w.toLowerCase)) sb.append("tpcds_").append(w)
+        if (names.contains(w.toLowerCase)) sb.append("tpcds_").append(w)
         else sb.append(w)
         i = j
       } else { sb.append(c); i += 1 }
@@ -114,6 +117,14 @@ object Tpcds {
   def sparkSql(sql: String): String =
     SqlCanonicalizer.pgNullOrder(
       renameTables(uncolon(sql)).replaceAll("\"([^\"]+)\"", "`$1`"))
+
+  /** Tpcxbb shares the rename/dialect pipeline with an extended name set. */
+  private[tpcds] def sparkSqlText(sql: String, names: Set[String]): String =
+    SqlCanonicalizer.pgNullOrder(
+      renameTablesIn(uncolon(sql), names).replaceAll("\"([^\"]+)\"", "`$1`"))
+
+  private[tpcds] def duckSqlText(sql: String, names: Set[String]): String =
+    renameTablesIn(uncolon(sql, truncInt = true), names)
 
   /** Duck-only ORDER BY disambiguations: DuckDB binds ORDER BY names in the
     * input scope (ambiguous), Spark against the output columns; the picked
@@ -165,13 +176,22 @@ object Tpcds {
 
   /** Positional rename + deterministic numeric normalization (both sides of
     * the compare apply the same shape — see oracleFor). */
-  private def wrap(df: DataFrame): DataFrame = {
+  /** 3-decimal normalization with the tie boundary shifted by 1e-4:
+    * money averages concentrate EXACTLY on .0005 boundaries, where Spark's
+    * exact-decimal aggregation and DuckDB's double accumulation land on
+    * opposite sides of HALF_UP (q89 hit this) — floor(x·1000 + 0.5001)
+    * moves the cut to an unnatural value and is applied verbatim on both
+    * compare sides, so it cancels in the hash. */
+  private[tpcds] def round3(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c.cast("double") * 1000 + 0.5001) / 1000
+
+  private[tpcds] def wrap(df: DataFrame): DataFrame = {
     val n = df.schema.length
     val renamed = df.toDF((1 to n).map("c" + _): _*)
     val outs = renamed.schema.fields.map { f =>
       f.dataType match {
         case _: DecimalType | DoubleType | FloatType =>
-          round(col(f.name).cast("double"), 3).as(f.name)
+          round3(col(f.name)).as(f.name)
         case ByteType | ShortType | IntegerType | LongType =>
           col(f.name).cast("long").as(f.name)
         case _ => col(f.name)
@@ -217,7 +237,7 @@ object Tpcds {
     val sel = sig.zipWithIndex.map { case (ch, i) =>
       val c = cols(i)
       ch match {
-        case 'd' => s"round(cast($c as double), 3) AS $c"
+        case 'd' => s"floor(cast($c as double) * 1000 + 0.5001) / 1000 AS $c"
         case 'l' => s"cast($c as bigint) AS $c"
         case _   => c
       }

@@ -106,7 +106,7 @@ object TpcdsGen {
 
   // ------------------------------------------------------------------- sizes
 
-  val SoldDays = 1826L // 1998-01-01 .. 2002-12-31
+  val SoldDays = 2192L // 1998-01-01 .. 2003-12-31 (2003 feeds TPCx-BB windows)
   val NDateDim = 2922L // 1998-01-01 .. 2005-12-31 (returns/ship spill past sales)
   val NTimeDim = 86400L
   val NItem = 2000L
