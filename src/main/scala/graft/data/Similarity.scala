@@ -47,9 +47,14 @@ object Similarity {
         .orderBy("qid", "rnk")
     }),
 
-    // LSH-bucketed approximate NN: 6 fixed random hyperplanes → 64 buckets;
-    // each query probes only its bucket. Approximation → rows-only check;
-    // the spec asserts recall against the brute-force baseline.
+    // LSH-bucketed approximate NN: 6 fixed random hyperplanes → 64 buckets,
+    // with single-bit MULTI-PROBE — each query scans its own bucket plus the
+    // 6 one-bit-flip neighbors (the flips are exactly the buckets a true
+    // neighbor lands in when one hyperplane splits the pair), i.e. 7/64 of
+    // the corpus instead of 1/64 for ~2-3× the single-probe recall. The
+    // probe expansion rides the broadcast side, so the corpus still streams
+    // once with no shuffle. Approximation → rows-only check; the spec
+    // asserts recall against the brute-force baseline.
     "sim_ann_lsh" -> ((s, d) => {
       val dim = 64
       val nPlanes = 6
@@ -67,7 +72,9 @@ object Similarity {
         .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
           sigOf(col("embedding")).as("bucket"))
       val q = e.filter(col("vec_id") < 5).toDF("qid", "qv", "qn", "qbucket")
-      val pairs = e.join(broadcast(q), col("bucket") === col("qbucket"))
+        .withColumn("pbucket", explode(array(col("qbucket") +:
+          (0 until nPlanes).map(f => col("qbucket").bitwiseXOR(lit(1 << f))): _*)))
+      val pairs = e.join(broadcast(q), col("bucket") === col("pbucket"))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
           (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))

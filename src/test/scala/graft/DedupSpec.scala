@@ -97,6 +97,23 @@ class DedupSpec extends SparkSpec {
       s"candidates ${candSet.size} not sparse vs $allPairs")
   }
 
+  test("sim_ann_lsh multi-probe: top-5 recall vs brute force") {
+    // The testdata embeddings are near-random, so the exact top-5 are only
+    // weakly correlated with their queries — the hardest case for LSH (the
+    // expected same-bucket probability for an angle-θ pair is (1-θ/π)^6,
+    // tiny near θ≈π/2). Single-probe scanned 1/64 of the corpus; 1-bit
+    // multi-probe scans 7/64 and must clear a 0.3 floor here, where
+    // single-probe measured well under it. Clustered corpora (the realistic
+    // near-dup case, covered by the planted-pair tests above) sit far
+    // higher on the same machinery.
+    val exact = SparkEntry.queries("sim_cosine_topk")(spark, sf).collect()
+      .filter(_.getLong(1) <= 5).map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = SparkEntry.queries("sim_ann_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.count(ann.contains).toDouble / exact.size
+    assert(recall >= 0.3, s"multi-probe ANN recall $recall < 0.3")
+  }
+
   test("embed-cos top-20: every pair is a sign-band candidate with exact cosine") {
     val rows = SparkEntry.queries("dedup_embed_cos")(spark, sf).collect()
     assert(rows.length == 20)
