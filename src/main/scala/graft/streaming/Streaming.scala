@@ -30,12 +30,25 @@ object Streaming {
     // not a bare file path
     spark.readStream.schema(eventsSchema).parquet(s"$dir/events*.parquet")
 
-  /** Run a finite streaming query to completion into a memory sink. */
+  /** Run a finite streaming query to completion through a DISTRIBUTED sink:
+    * foreachBatch writes each micro-batch to parquet on the executors —
+    * Complete mode overwrites with the full snapshot, Append mode
+    * accumulates — and the result is read back as a table. This is the
+    * production sink shape (a driver-resident memory sink cannot hold a
+    * 100 TB aggregate); processAllAvailable makes the replay finite. */
   private def drain(df: DataFrame, mode: OutputMode): DataFrame = {
-    val name = s"__stream_${sinkCounter.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    val spark = df.sparkSession
+    val path = s"${sys.props("java.io.tmpdir")}/graft_stream_sink_" +
+      sinkCounter.incrementAndGet()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val overwrite = mode == OutputMode.Complete()
+    val q = df.writeStream.outputMode(mode)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode(if (overwrite) "overwrite" else "append").parquet(path)
+      }
+      .start()
     try q.processAllAvailable() finally q.stop()
-    df.sparkSession.table(name)
+    spark.read.parquet(path)
   }
 
   /** Watermarked tumbling-window aggregation (streaming twin of ev_hourly). */
