@@ -130,6 +130,22 @@ class PlanSpec extends SparkSpec {
       s"stats should change the join order; both were $before")
   }
 
+  test("JOB q1a: star joins broadcast the dimensions, no cartesian product") {
+    val df = SparkEntry.queries("job_q1a")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), "JOB joins must stay keyed")
+  }
+
+  test("ClickBench q21: URL LIKE filter reaches the parquet scan") {
+    val df = SparkEntry.queries("cb_q21")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // contains-LIKE pushes as a StringContains parquet filter; the scan must
+    // also prune to the one column the query touches
+    assert(p.contains("PushedFilters: [IsNotNull(URL), StringContains(URL,google)"), p)
+    assert(p.contains("ReadSchema: struct<URL:string>"), "scan must prune to URL")
+  }
+
   test("custom expressions stay codegen-compatible (no fallback markers)") {
     val df = SparkEntry.queries("fn_erf")(spark, sf)
     df.collect() // AQE finalizes (and codegen-compiles) only on execution
