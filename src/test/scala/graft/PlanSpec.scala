@@ -146,6 +146,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<URL:string>"), "scan must prune to URL")
   }
 
+  test("bucketing: co-located join runs with zero shuffle exchanges") {
+    // SURVEY §2.5: the reference's hash indexes map to broadcast joins for
+    // small sides and BUCKETING for fact-fact joins — both sides bucketed
+    // and sorted on the join key join with no Exchange at all, the plan
+    // shape that keeps a 100 TB fact-fact join shuffle-free.
+    val db = "bucket_db"
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:") + s"/$db.db"))
+    spark.sql(s"CREATE DATABASE $db")
+    import spark.implicits._
+    def save(name: String): Unit =
+      (0 until 50000).map(i => (i.toLong, i.toLong % 97)).toDF("k", "v")
+        .write.bucketBy(8, "k").sortBy("k").mode("overwrite")
+        .saveAsTable(s"$db.$name")
+    save("fact_a"); save("fact_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table(s"$db.fact_a")
+        .join(spark.table(s"$db.fact_b"), "k")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), "bucketed join must not shuffle:\n" + p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("custom expressions stay codegen-compatible (no fallback markers)") {
     val df = SparkEntry.queries("fn_erf")(spark, sf)
     df.collect() // AQE finalizes (and codegen-compiles) only on execution
