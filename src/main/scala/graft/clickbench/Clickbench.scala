@@ -120,7 +120,9 @@ object Clickbench {
 
   def ensure(spark: SparkSession): Unit =
     if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
-      val done = Paths.get(s"$dataDir/_ALL_TABLES_OK")
+      val ver = Integer.toHexString(
+        ClickbenchGen.hits(graft.tpcds.TpcdsGen.SparkDia).hashCode)
+      val done = Paths.get(s"$dataDir/_ALL_TABLES_OK_$ver")
       Clickbench.synchronized {
         if (!Files.exists(done)) {
           spark.sql(ClickbenchGen.hits(graft.tpcds.TpcdsGen.SparkDia))

@@ -87,7 +87,9 @@ object Job {
     * register parquet-backed views (same scheme as Tpcds.ensure). */
   def ensure(spark: SparkSession): Unit =
     if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
-      val done = Paths.get(s"$dataDir/_ALL_TABLES_OK")
+      val ver = Integer.toHexString(
+        JobGen.tables.map(_._2(graft.tpcds.TpcdsGen.SparkDia)).mkString.hashCode)
+      val done = Paths.get(s"$dataDir/_ALL_TABLES_OK_$ver")
       Job.synchronized {
         if (!Files.exists(done)) {
           JobGen.tables.foreach { case (name, gen) =>

@@ -64,7 +64,10 @@ object Ssb {
 
   def ensure(spark: SparkSession): Unit =
     if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
-      val done = Paths.get(s"$dataDir/_ALL_TABLES_OK")
+      val ver = Integer.toHexString(
+        (SsbGen.tables ++ SsbGen.tablesCoded)
+          .map(_._2(graft.tpcds.TpcdsGen.SparkDia)).mkString.hashCode)
+      val done = Paths.get(s"$dataDir/_ALL_TABLES_OK_$ver")
       Ssb.synchronized {
         if (!Files.exists(done)) {
           (SsbGen.tables.map(("ssb_", _)) ++ SsbGen.tablesCoded.map(("ssb2_", _)))

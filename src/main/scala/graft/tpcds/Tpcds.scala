@@ -156,7 +156,11 @@ object Tpcds {
     * references it through deduplicated branches. */
   def ensure(spark: SparkSession): Unit =
     if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
-      val done = Paths.get(s"$dataDir/_ALL_TABLES_OK")
+      // marker carries the generator-text hash: a changed closed form
+      // invalidates the parquet cache instead of silently serving stale rows
+      val ver = Integer.toHexString(
+        TpcdsGen.tables.map(_._2(TpcdsGen.SparkDia)).mkString.hashCode)
+      val done = Paths.get(s"$dataDir/_ALL_TABLES_OK_$ver")
       Tpcds.synchronized {
         if (!Files.exists(done)) {
           TpcdsGen.tables.foreach { case (name, gen) =>

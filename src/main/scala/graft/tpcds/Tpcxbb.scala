@@ -134,7 +134,9 @@ object Tpcxbb {
   def ensure(spark: SparkSession): Unit = {
     Tpcds.ensure(spark)
     if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
-      val done = Paths.get(s"$dataDir/_ALL_TABLES_OK")
+      val ver = Integer.toHexString(
+        extraTables.map(_._2(TpcdsGen.SparkDia)).mkString.hashCode)
+      val done = Paths.get(s"$dataDir/_ALL_TABLES_OK_$ver")
       Tpcxbb.synchronized {
         if (!Files.exists(done)) {
           extraTables.foreach { case (name, gen) =>
