@@ -56,17 +56,44 @@ object TextAnalysis {
           md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast("binary")).as("fp"))
         .orderBy("doc_id")),
 
-    // Rolling-hash fingerprint via the custom codegen expression
-    // (engine-defined hash → rows-only check; md5 variant above is the oracle).
+    // Rolling-hash fingerprint via the custom codegen expression. The oracle
+    // replays the exact 61-bit polynomial in DuckDB HUGEINT arithmetic
+    // (graft.util.OracleSql.rollingFp), so this is fully hash-checked.
     "text_fp_rolling" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"),
           GraftFunctions.rolling_hash(lower(col("text"))).as("fp"))
         .orderBy("doc_id")),
 
+    // Deterministic train/val/test split: bucket = content hash mod 100, so
+    // the assignment is a pure function of the text — stable across runs,
+    // clusters, and engines (the property a 100 TB pipeline needs: re-running
+    // the split can never leak val/test docs into train). 80/10/10.
+    "text_split_assign" -> ((s, d) => {
+      val bucket = GraftFunctions.rolling_hash(col("text")) % 100
+      t(s, d, "documents")
+        .select(col("doc_id"), bucket.as("bucket"),
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+            .as("split"))
+        .orderBy("doc_id")
+    }),
+
+    // Benchmark decontamination: flag corpus docs sharing any 3-word shingle
+    // with a held-out benchmark set (here: doc_id % 97 = 0 stands in for the
+    // eval suite). At 100 TB the benchmark gram set is tiny and broadcast, so
+    // the corpus never shuffles — a map-side semi-join per split.
+    "text_decontam" -> ((s, d) => {
+      val grams = Dedup.shingles(t(s, d, "documents"))
+      val bench = grams.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
+      grams.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), Seq("g"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+    }),
+
     // Language-ID: stopword-profile n-gram heuristic (argmax of per-language
-    // marker-token hits, deterministic priority on ties). Heuristic output →
-    // rows-only check; a spec asserts determinism and coverage.
+    // marker-token hits, deterministic priority on ties). The oracle mirrors
+    // the same profiles and tie order in DuckDB, so this is hash-checked.
     "text_langid" -> ((s, d) => {
       val profiles: Seq[(String, Seq[String])] = Seq(
         "en" -> Seq("the", "a", "of", "and", "is"),
@@ -106,6 +133,47 @@ object TextAnalysis {
          FROM documents ORDER BY doc_id""",
     "text_fp_md5" ->
       """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "text_fp_rolling" ->
+      s"""SELECT doc_id, fp FROM (${graft.util.OracleSql.rollingFp("lower(text)")}) t
+          ORDER BY doc_id""",
+    "text_split_assign" ->
+      s"""SELECT doc_id, fp % 100 AS bucket,
+                 CASE WHEN fp % 100 < 80 THEN 'train'
+                      WHEN fp % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (${graft.util.OracleSql.rollingFp("text")}) t
+          ORDER BY doc_id""",
+    "text_decontam" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                    WHERE len(string_split(text, ' ')) >= 3),
+              g0 AS (SELECT doc_id, unnest(generate_series(1, len(w) - 2)) AS i, w FROM w),
+              grams AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM g0),
+              bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+         SELECT doc_id, count(*) AS n_shared
+         FROM grams WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "text_langid" -> {
+      val profiles = Seq(
+        "en" -> Seq("the", "a", "of", "and", "is"),
+        "de" -> Seq("der", "die", "das", "und", "ist"),
+        "fr" -> Seq("le", "la", "les", "et", "est"),
+        "es" -> Seq("el", "los", "las", "y", "es"),
+        "zh" -> Seq("的", "是", "了", "在", "和"))
+      val scores = profiles.map { case (lang, ms) =>
+        s"len(list_filter(string_split(text, ' '), x -> x IN (${ms.map("'" + _ + "'").mkString(",")}))) AS s_$lang"
+      }.mkString(",\n                ")
+      val mx = s"greatest(${profiles.map("s_" + _._1).mkString(", ")})"
+      val cases = profiles.map { case (lang, _) =>
+        s"WHEN s_$lang = $mx THEN '$lang'"
+      }.mkString("\n                ")
+      s"""WITH sc AS (SELECT doc_id,
+                $scores
+           FROM documents)
+         SELECT doc_id, CASE WHEN $mx = 0 THEN 'und'
+                $cases
+                END AS pred_lang
+         FROM sc ORDER BY doc_id"""
+    }
   )
 }

@@ -187,8 +187,8 @@ object FunctionQueries {
         .orderBy("p_partkey")
     }),
 
-    // rolling_hash — custom fingerprint expression (rows-only; exercised with
-    // an oracle via the dedup/text modules' md5 fingerprints instead).
+    // rolling_hash — custom fingerprint expression, hash-checked against a
+    // DuckDB replay of the same 61-bit polynomial (util.OracleSql.rollingFp).
     "fn_rolling_hash" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), GraftFunctions.rolling_hash(col("text")).as("fp"))
@@ -274,6 +274,9 @@ object FunctionQueries {
          FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""",
     "fn_hash" ->
       """SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha256
-         FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey"""
+         FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""",
+    "fn_rolling_hash" ->
+      s"""SELECT doc_id, fp FROM (${graft.util.OracleSql.rollingFp("text")}) t
+          ORDER BY doc_id"""
   )
 }
