@@ -26,11 +26,8 @@ object Clickbench {
 
   val qnames: Seq[String] = (1 to 43).map(_.toString)
 
-  private def sqlDir: String =
-    sys.env.getOrElse("GRAFT_CB_SQL", "/root/reference/resources/sql/clickbench")
-
   def loadQuery(qn: String): String =
-    Files.readString(Paths.get(s"$sqlDir/$qn.sql")).trim.stripSuffix(";").trim
+    graft.util.SqlResources.loadQuery("clickbench", s"$qn.sql", "GRAFT_CB_SQL")
 
   // --------------------------------------------------------- canonicalization
 

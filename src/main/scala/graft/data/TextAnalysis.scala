@@ -81,7 +81,8 @@ object TextAnalysis {
     // Benchmark decontamination: flag corpus docs sharing any 3-word shingle
     // with a held-out benchmark set (here: doc_id % 97 = 0 stands in for the
     // eval suite). At 100 TB the benchmark gram set is tiny and broadcast, so
-    // the corpus never shuffles — a map-side semi-join per split.
+    // the contamination JOIN itself adds no shuffle (the shingle pipeline's
+    // per-doc distinct and the final per-doc count still shuffle once each).
     "text_decontam" -> ((s, d) => {
       val grams = Dedup.shingles(t(s, d, "documents"))
       val bench = grams.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
@@ -94,26 +95,30 @@ object TextAnalysis {
     // Language-ID: stopword-profile n-gram heuristic (argmax of per-language
     // marker-token hits, deterministic priority on ties). The oracle mirrors
     // the same profiles and tie order in DuckDB, so this is hash-checked.
-    "text_langid" -> ((s, d) => {
-      val profiles: Seq[(String, Seq[String])] = Seq(
-        "en" -> Seq("the", "a", "of", "and", "is"),
-        "de" -> Seq("der", "die", "das", "und", "ist"),
-        "fr" -> Seq("le", "la", "les", "et", "est"),
-        "es" -> Seq("el", "los", "las", "y", "es"),
-        "zh" -> Seq("的", "是", "了", "在", "和"))
-      val scored = profiles.foldLeft(t(s, d, "documents").select(col("doc_id"), toks.as("w"))) {
-        case (df, (lang, markers)) =>
-          df.withColumn(s"score_$lang",
-            size(filter(col("w"), x => x.isin(markers: _*))))
-      }
-      // argmax with fixed priority order (earlier profile wins ties)
-      val maxScore = greatest(profiles.map(p => col(s"score_${p._1}")): _*)
-      val pred = profiles.reverse.foldLeft(lit("und")) { case (acc, (lang, _)) =>
-        when(col(s"score_$lang") === maxScore && maxScore > 0, lang).otherwise(acc)
-      }
-      scored.select(col("doc_id"), pred.as("pred_lang")).orderBy("doc_id")
-    })
+    "text_langid" -> ((s, d) => langid(t(s, d, "documents")).orderBy("doc_id"))
   )
+
+  private[graft] val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  /** (doc_id, pred_lang) for any frame with doc_id + text columns. */
+  private[graft] def langid(docs: DataFrame): DataFrame = {
+    val scored = langProfiles.foldLeft(docs.select(col("doc_id"), toks.as("w"))) {
+      case (df, (lang, markers)) =>
+        df.withColumn(s"score_$lang",
+          size(filter(col("w"), x => x.isin(markers: _*))))
+    }
+    // argmax with fixed priority order (earlier profile wins ties)
+    val maxScore = greatest(langProfiles.map(p => col(s"score_${p._1}")): _*)
+    val pred = langProfiles.reverse.foldLeft(lit("und")) { case (acc, (lang, _)) =>
+      when(col(s"score_$lang") === maxScore && maxScore > 0, lang).otherwise(acc)
+    }
+    scored.select(col("doc_id"), pred.as("pred_lang"))
+  }
 
   val oracle: Map[String, String] = Map(
     "text_quality" ->
@@ -154,12 +159,7 @@ object TextAnalysis {
          FROM grams WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench)
          GROUP BY doc_id ORDER BY doc_id""",
     "text_langid" -> {
-      val profiles = Seq(
-        "en" -> Seq("the", "a", "of", "and", "is"),
-        "de" -> Seq("der", "die", "das", "und", "ist"),
-        "fr" -> Seq("le", "la", "les", "et", "est"),
-        "es" -> Seq("el", "los", "las", "y", "es"),
-        "zh" -> Seq("的", "是", "了", "在", "和"))
+      val profiles = langProfiles
       val scores = profiles.map { case (lang, ms) =>
         s"len(list_filter(string_split(text, ' '), x -> x IN (${ms.map("'" + _ + "'").mkString(",")}))) AS s_$lang"
       }.mkString(",\n                ")

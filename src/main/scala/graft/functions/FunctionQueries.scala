@@ -81,7 +81,7 @@ object FunctionQueries {
           last_day(col("o_orderdate").cast("date")).as("eom"))
         .orderBy("o_orderkey")),
 
-    // Math registry: Abs/Sqrt/Log/Exp/Sin/Cos (RuntimeFunctions.cpp:332-340).
+    // Math registry: Abs/Sqrt/Log/Exp/Sin/Cos/ASin (RuntimeFunctions.cpp:332-340).
     // Transcendentals rounded to 6 decimals — libm vs JDK may differ by 1 ulp.
     "fn_math" -> ((s, d) =>
       t(s, d, "part").filter(col("p_partkey") <= 500)
@@ -97,6 +97,7 @@ object FunctionQueries {
           round(exp(col("p_size").cast("double") / 10.0), 6).as("exp_p"),
           round(sin(col("p_size").cast("double")), 6).as("sin_sz"),
           round(cos(col("p_size").cast("double")), 6).as("cos_sz"),
+          round(asin(col("p_size").cast("double") / 50.0), 6).as("asin_sz"),
           signum(col("p_size") - 25).cast("int").as("sgn"),
           greatest(col("p_size"), lit(25)).cast("long").as("gr"),
           least(col("p_size"), lit(25)).cast("long").as("le"))
@@ -241,6 +242,7 @@ object FunctionQueries {
                 round(exp(CAST(p_size AS DOUBLE) / 10.0), 6) AS exp_p,
                 round(sin(CAST(p_size AS DOUBLE)), 6) AS sin_sz,
                 round(cos(CAST(p_size AS DOUBLE)), 6) AS cos_sz,
+                round(asin(CAST(p_size AS DOUBLE) / 50.0), 6) AS asin_sz,
                 CAST(sign(p_size - 25) AS INTEGER) AS sgn,
                 CAST(greatest(p_size, 25) AS BIGINT) AS gr,
                 CAST(least(p_size, 25) AS BIGINT) AS le

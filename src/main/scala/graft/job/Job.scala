@@ -32,11 +32,8 @@ object Job {
     (1 to 33).flatMap(i => variants(i).map(v => s"$i$v"))
   }
 
-  private def sqlDir: String =
-    sys.env.getOrElse("GRAFT_JOB_SQL", "/root/reference/resources/sql/job")
-
   def loadQuery(qn: String): String =
-    Files.readString(Paths.get(s"$sqlDir/$qn.sql")).trim.stripSuffix(";").trim
+    graft.util.SqlResources.loadQuery("job", s"$qn.sql", "GRAFT_JOB_SQL")
 
   private val tableNames: Set[String] = JobGen.tables.map(_._1).toSet
 

@@ -15,14 +15,10 @@ object Ssb {
   val qnames: Seq[String] = Seq("11", "12", "13", "21", "22", "23",
     "31", "32", "33", "34", "41", "42", "43")
 
-  private def sqlDir(simplified: Boolean): String =
-    if (simplified)
-      sys.env.getOrElse("GRAFT_SSB2_SQL", "/root/reference/resources/sql/ssb_simplified")
-    else sys.env.getOrElse("GRAFT_SSB_SQL", "/root/reference/resources/sql/ssb")
-
   def loadQuery(qn: String, simplified: Boolean): String =
-    Files.readString(Paths.get(s"${sqlDir(simplified)}/$qn.sql"))
-      .trim.stripSuffix(";").trim
+    if (simplified)
+      graft.util.SqlResources.loadQuery("ssb_simplified", s"$qn.sql", "GRAFT_SSB2_SQL")
+    else graft.util.SqlResources.loadQuery("ssb", s"$qn.sql", "GRAFT_SSB_SQL")
 
   private val tableNames = Set("date", "customer", "supplier", "part", "lineorder")
 

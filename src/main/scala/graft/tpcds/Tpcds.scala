@@ -25,13 +25,8 @@ object Tpcds {
     if (Set(14, 23, 24, 39)(i)) Seq(s"${i}a", s"${i}b") else Seq(i.toString)
   }
 
-  private def sqlDir: String =
-    sys.env.getOrElse("GRAFT_TPCDS_SQL", "/root/reference/resources/sql/tpcds")
-
-  def loadQuery(qn: String): String = {
-    val raw = Files.readString(Paths.get(s"$sqlDir/$qn.sql"))
-    raw.trim.stripSuffix(";").trim
-  }
+  def loadQuery(qn: String): String =
+    graft.util.SqlResources.loadQuery("tpcds", s"$qn.sql", "GRAFT_TPCDS_SQL")
 
   // -------------------------------------------------------- canonicalization
 

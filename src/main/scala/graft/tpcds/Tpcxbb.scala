@@ -20,8 +20,6 @@ object Tpcxbb {
   val qnames: Seq[String] = Seq("6", "7", "9", "11", "12", "13", "14", "15",
     "16", "17", "21", "22", "23", "24")
 
-  private def sqlDir: String =
-    sys.env.getOrElse("GRAFT_TPCXBB_SQL", "/root/reference/resources/sql/tpcxbb")
 
   /** days(1900-01-01 → 1998-01-01): 98 years incl. 24 leap days. */
   private val EpochShift = 35794L
@@ -41,8 +39,7 @@ object Tpcxbb {
     "24" -> Seq("i.i_item_sk = 10000" -> "i.i_item_sk = 1000"))
 
   def loadQuery(qn: String): String = {
-    val raw = Files.readString(Paths.get(s"$sqlDir/$qn.sql"))
-      .trim.stripSuffix(";").trim
+    val raw = graft.util.SqlResources.loadQuery("tpcxbb", s"$qn.sql", "GRAFT_TPCXBB_SQL")
     val fixed = qfix.getOrElse(qn, Nil)
       .foldLeft(raw) { case (s, (from, to)) => s.replace(from, to) }
     // shift BigBench day-since-1900 date_sk literals into our epoch

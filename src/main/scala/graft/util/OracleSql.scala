@@ -16,7 +16,9 @@ object OracleSql {
 
   /** SELECT doc_id, fp over `documents`, where fp is the 61-bit polynomial
     * rolling hash of `textExpr` (a SQL expression over documents' columns).
-    * Embeddable as a subquery: `FROM (<rollingFp(...)>) t`. */
+    * Embeddable as a subquery: `FROM (<rollingFp(...)>) t`.
+    * NULL text → NULL fp (matching the Catalyst expression's null-intolerant
+    * eval); empty text → 0 on both sides. */
   def rollingFp(textExpr: String): String =
     s"""WITH RECURSIVE pw(k, p) AS (
        |  SELECT 0, CAST(1 AS HUGEINT)
@@ -41,6 +43,8 @@ object OracleSql {
        |  FROM b JOIN pw ON pw.k = b.len - b.i
        |  GROUP BY b.doc_id
        |)
-       |SELECT d.doc_id, CAST(coalesce(s.acc % $Mod, 0) AS BIGINT) AS fp
+       |SELECT d.doc_id,
+       |       CASE WHEN $textExpr IS NULL THEN NULL
+       |            ELSE CAST(coalesce(s.acc % $Mod, 0) AS BIGINT) END AS fp
        |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin
 }

@@ -39,6 +39,33 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("rolling_hash: NULL text -> NULL fp, empty text -> 0 (oracle parity)") {
+    import spark.implicits._
+    val df = Seq(Some("abc"), None, Some("")).toDF("s")
+      .select(GraftFunctions.rolling_hash(col("s")).as("fp")).collect()
+    assert(!df(0).isNullAt(0))
+    assert(df(1).isNullAt(0), "NULL in must be NULL out (OracleSql mirrors this)")
+    assert(df(2).getLong(0) == 0L, "empty string hashes to 0 on both sides")
+  }
+
+  test("langid: multilingual profiles and the en>de>fr>es>zh tie order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat of the house is big"),          // en
+      (2L, "der hund und die katze ist da"),        // de
+      (3L, "le chat et la maison est grande"),      // fr
+      (4L, "el perro y los gatos es grande"),       // es
+      (5L, "的 是 了 在 和"),                        // zh
+      (6L, "xyzzy plugh qwfp"),                     // no markers -> und
+      (7L, "the der"),                              // en/de tie -> en (priority)
+      (8L, "und ist le la"),                        // de(2) vs fr(2) tie -> de
+      (9L, "y es el 的 是 了")                       // es(3) vs zh(3) tie -> es
+    ).toDF("doc_id", "text")
+    val got = graft.data.TextAnalysis.langid(docs)
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    assert(got == Seq("en", "de", "fr", "es", "zh", "und", "en", "de", "es"))
+  }
+
   test("rolling_hash agrees between interpreted and codegen paths") {
     import spark.implicits._
     val df = Seq("a", "spark native engine", "ü™✓ unicode").toDF("s")

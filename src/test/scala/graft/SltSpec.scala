@@ -2,12 +2,24 @@ package graft
 
 import graft.slt.SltRunner
 
-/** The engine runs the reference's own sqllogictest corpora
-  * (reference test/sqlite-small + test/sqlite; SURVEY §5 / M0). */
+/** The engine runs the reference's own sqllogictest corpora (SURVEY §5 / M0).
+  * The corpora are vendored under src/test/resources/slt so the suite is
+  * self-contained; the reference tree is only a fallback for ad-hoc runs.
+  *
+  * The full ~13.5k-statement sqlite corpus is CI-locked by a per-file exact
+  * count on select1 (the sampled subset) plus GRAFT_SLT_FULL=1 for the whole
+  * corpus (too slow for every `sbt test`).
+  */
 class SltSpec extends SparkSpec {
 
+  private def corpus(rel: String): String = {
+    val url = getClass.getResource(s"/slt/$rel")
+    if (url != null) java.nio.file.Paths.get(url.toURI).toString
+    else s"/root/reference/test/$rel"
+  }
+
   private def run(name: String) =
-    SltRunner.runFile(spark, s"/root/reference/test/sqlite-small/$name")
+    SltRunner.runFile(spark, corpus(s"sqlite-small/$name"))
 
   test("groupby.test: full pass") { val r = run("groupby.test"); assert(r.failed == 0, r.failures) }
   test("setops.test: full pass") { val r = run("setops.test"); assert(r.failed == 0, r.failures) }
@@ -15,11 +27,33 @@ class SltSpec extends SparkSpec {
   test("udf.test: full pass") { val r = run("udf.test"); assert(r.failed == 0, r.failures) }
   test("uni.test: full pass") { val r = run("uni.test"); assert(r.failed == 0, r.failures) }
 
-  test("unnesting.test: >= 96% (decorrelation rule + SQL adapters; the rest" +
-    " are subquery-in-join-condition planning limits and relational division)") {
+  test("unnesting.test: full pass (decorrelation rule + SQL adapters)") {
     val r = run("unnesting.test")
-    assert(r.passed >= 120, s"${r.passed}/${r.total}: ${r.failures.take(3)}")
+    assert(r.failed == 0, s"${r.passed}/${r.total}: ${r.failures.take(3)}")
   }
+
+  test("python-udfs.test: full pass (interpreted LANGUAGE python)") {
+    val r = SltRunner.runFile(spark, corpus("sqlite-small-python/python-udfs.test"))
+    assert(r.failed == 0, s"${r.passed}/${r.total}: ${r.failures.take(3)}")
+  }
+
+  test("sqlite select corpus: select1.test exact count (sampled CI lock)") {
+    val r = SltRunner.runFile(spark, corpus("sqlite/select1.test"))
+    assert(r.failed == 0 && r.passed == 1031, s"${r.passed}/${r.total}: ${r.failures.take(3)}")
+  }
+
+  // Full 13,522-statement corpus — run with GRAFT_SLT_FULL=1 sbt test.
+  if (sys.env.get("GRAFT_SLT_FULL").contains("1"))
+    test("sqlite select corpus: full 13,522/13,522") {
+      val files = Seq("select1.test", "select2.test", "select3.test", "select4.test",
+        "select5-1.test", "select5-2.test", "select5-3.test", "select5-4.test",
+        "select5-5.test")
+      val rs = files.map(f => SltRunner.runFile(spark, corpus(s"sqlite/$f")))
+      val passed = rs.map(_.passed).sum
+      val failed = rs.map(_.failed).sum
+      assert(failed == 0 && passed == 13522,
+        s"passed=$passed failed=$failed; ${rs.flatMap(_.failures).take(3)}")
+    }
 
   test("COPY-then-COPY appends into a declared table (SLT block)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_slt_copy")
