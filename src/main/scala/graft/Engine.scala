@@ -15,7 +15,7 @@ object Engine {
       master: String = s"local[${Runtime.getRuntime.availableProcessors}]",
       shufflePartitions: Int = Runtime.getRuntime.availableProcessors,
       appName: String = "graft"): SparkSession = {
-    val spark = SparkSession.builder()
+    val base = SparkSession.builder()
       .master(master)
       .appName(appName)
       // Neumann-style decorrelation beyond Catalyst's subquery support
@@ -30,9 +30,16 @@ object Engine {
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    functions.GraftFunctions.register(spark)
-    spark
+    // ad-hoc tuning overrides for bench A/B runs: "k=v;k=v"
+    val withExtra = sys.env.get("GRAFT_SPARK_EXTRA").iterator
+      .flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty)
+      .foldLeft(base) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k, v)
+      }
+    val built = withExtra.getOrCreate()
+    built.sparkContext.setLogLevel("WARN")
+    functions.GraftFunctions.register(built)
+    built
   }
 }

@@ -175,6 +175,32 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("ev_sessions: one user_id exchange feeds lag, running sum, AND the final agg") {
+    val df = SparkEntry.queries("ev_sessions")(spark, sf)
+    df.collect() // reuse and stage shapes are only visible in the executed plan
+    val p = df.queryExecution.executedPlan.toString
+    val finalPlan = p.split("== Initial Plan ==").head
+    // both window functions and the session aggregation are keyed by user_id:
+    // the plan must shuffle on user_id exactly once (lag and the running sum
+    // chain inside one Window sort; the groupBy reuses the same partitioning)
+    val userIdExchanges = """Exchange hashpartitioning\(user_id""".r
+      .findAllIn(finalPlan).length
+    assert(userIdExchanges == 1,
+      s"expected exactly one user_id exchange, found $userIdExchanges:\n$finalPlan")
+  }
+
+  test("dedup_minhash_lsh: verification path reuses the shingle exchange + broadcasts") {
+    val df = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalPlan = p.split("== Initial Plan ==").head
+    // the gb side and the sizes aggregate must read ga's distinct-shingle
+    // shuffle, not re-scan the corpus — the shape that keeps verification at
+    // one extra corpus pass total (PERF_r04.md §2)
+    assert(finalPlan.contains("ReusedExchange"),
+      "verification path must reuse the distinct-shingle exchange:\n" + finalPlan)
+  }
+
   test("custom expressions stay codegen-compatible (no fallback markers)") {
     val df = SparkEntry.queries("fn_erf")(spark, sf)
     df.collect() // AQE finalizes (and codegen-compiles) only on execution
