@@ -35,8 +35,11 @@ object Bench {
     val results: Seq[(String, Double)] = headline.filter(SparkEntry.queries.contains).map { name =>
       val t = try {
         once(name) // warmup: JIT + codegen + file-footer caches
-        val runs = Seq.fill(3)(once(name)).sorted
-        runs(1) // median
+        // 5 measured runs, median: per-query variance at small SFs is up to
+        // ±3x on shared hardware (PERF_r04.md §1) — a 3-run median still let
+        // one bad pair flag a phantom regression; 5 runs bound the damage
+        val runs = Seq.fill(5)(once(name)).sorted
+        runs(2) // median
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         -1.0

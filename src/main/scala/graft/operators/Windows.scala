@@ -88,6 +88,39 @@ object Windows {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // RANGE frame over a value domain (beyond the reference surface — its
+    // frames are constant-integer ROWS only, RelAlgOps.td:254): 30-day
+    // trailing spend per customer. Value-based frames include all peers of
+    // the current order value, so the result is deterministic without a
+    // tiebreaker; Spark plans this as the same one-shuffle WindowExec.
+    "win_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_days"))
+        .rangeBetween(-30, Window.currentRow)
+      t(s, d, "orders")
+        .filter(col("o_custkey") <= 100)
+        .withColumn("o_days",
+          datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")).cast("long"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_days"),
+          sum(dec2(col("o_totalprice"))).over(w).cast("double").as("spend_30d"),
+          count(lit(1)).over(w).as("n_30d"))
+        .orderBy("o_custkey", "o_days", "o_orderkey")
+    }),
+
+    // ntile / lead / first_value — the remaining ranking+navigation surface
+    // (beyond the reference's aggregates+rank+row_number, sql_analyzer.cpp:2646).
+    "win_ntile_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, d, "customer")
+        .filter(col("c_custkey") <= 500)
+        .select(col("c_mktsegment"), col("c_custkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          coalesce(lead(col("c_custkey"), 1).over(w), lit(-1L)).as("next_cust"),
+          first(col("c_custkey")).over(w).as("top_cust"))
+        .orderBy("c_mktsegment", "c_custkey")
+    }),
+
     // Whole-partition frame (no ORDER BY): share-of-partition.
     "win_share" -> ((s, d) => {
       val w = Window.partitionBy(col("c_mktsegment"))
@@ -132,6 +165,24 @@ object Windows {
                   CAST(lag(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
                   CAST(o_orderdate AS DATE)) AS BIGINT), -1) AS days_since_prev
          FROM orders WHERE o_custkey <= 100 ORDER BY o_custkey, o_orderkey""",
+    "win_range_frame" ->
+      """SELECT o_custkey, o_orderkey, o_days,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_30d,
+                count(*) OVER w AS n_30d
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                      CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS o_days
+               FROM orders WHERE o_custkey <= 100) t
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_days
+                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, o_days, o_orderkey""",
+    "win_ntile_lead" ->
+      """SELECT c_mktsegment, c_custkey,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                coalesce(lead(c_custkey, 1) OVER w, -1) AS next_cust,
+                first_value(c_custkey) OVER w AS top_cust
+         FROM customer WHERE c_custkey <= 500
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+         ORDER BY c_mktsegment, c_custkey""",
     "win_share" ->
       """SELECT * FROM (
            SELECT c_mktsegment, c_custkey,

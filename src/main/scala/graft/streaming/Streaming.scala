@@ -66,6 +66,27 @@ object Streaming {
       .orderBy("event_type", "day", "hour")
   }
 
+  /** Append-mode watermarked window — the production output mode for an
+    * unbounded pipeline: each window row is emitted exactly ONCE, when the
+    * watermark (max event time − 1 h, ms granularity) passes the window end,
+    * and state for it is dropped (bounded memory at 100 TB/day rates, unlike
+    * Complete mode's full-snapshot state). On the finite replay the trailing
+    * open windows are never emitted; the oracle applies the identical
+    * closed-window cutoff, so the result stays hash-checkable. */
+  def hourlyAppend(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_ts", "1 hour")
+      .groupBy(window(col("ts_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    drain(agg, OutputMode.Append())
+      .select(col("event_type"),
+        col("window.start").cast("date").as("day"),
+        hour(col("window.start")).cast("int").as("hour"),
+        col("n"), col("sum_value"))
+      .orderBy("event_type", "day", "hour")
+  }
+
   case class Ev(user_id: Long, event_id: Long, s: Long)
   case class UserSessions(user_id: Long, n_sessions: Long)
 
@@ -101,6 +122,7 @@ object Streaming {
 
   val queries: Map[String, Q] = Map(
     "stream_hourly" -> ((s, d) => hourly(s, d)),
+    "stream_hourly_append" -> ((s, d) => hourlyAppend(s, d)),
     "stream_sessions" -> ((s, d) => sessionCounts(s, d))
   )
 
@@ -113,6 +135,20 @@ object Streaming {
                 count(*) AS n,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2, 3 ORDER BY event_type, day, hour""",
+    "stream_hourly_append" ->
+      // Spark's watermark is max(event time)−delay at MILLISECOND granularity
+      // (EventTimeStats tracks ms); a window emits in Append mode when its
+      // end ≤ watermark. The cutoff below replays that rule exactly.
+      """WITH e AS (SELECT event_type, value, epoch_ns(ts) // 1000 AS us FROM events),
+              mx AS (SELECT max(us) AS max_us FROM e)
+         SELECT event_type,
+                DATE '1970-01-01' + CAST(us // 1000000 // 86400 AS INTEGER) AS day,
+                CAST(us // 1000000 % 86400 // 3600 AS INTEGER) AS hour,
+                count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM e, mx
+         WHERE (us // 3600000000 + 1) * 3600000000 <= (max_us // 1000) * 1000 - 3600000000
+         GROUP BY 1, 2, 3 ORDER BY event_type, day, hour""",
     "stream_sessions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS s FROM events),
               m AS (SELECT user_id, s,

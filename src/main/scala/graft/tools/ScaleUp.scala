@@ -80,9 +80,25 @@ object ScaleUp {
           .drop("_r")
       })
 
+    // Production-shaped file layout: multiple key-range-clustered files per
+    // table (parquet can only split scans at row-group boundaries, so the
+    // single-file output the replicate() lineage would otherwise inherit
+    // serializes EVERY scan to one task — in Spark and DuckDB alike). Range
+    // clustering on the primary key also gives real min/max footer stats,
+    // the layout a 100 TB table would have after ingest compaction.
+    val layout: Map[String, (Int, String)] = Map(
+      "customer" -> (8, "c_custkey"), "supplier" -> (2, "s_suppkey"),
+      "part" -> (4, "p_partkey"), "orders" -> (16, "o_orderkey"),
+      "lineitem" -> (32, "l_orderkey"), "events" -> (16, "ts"),
+      "documents" -> (8, "doc_id"), "embeddings" -> (8, "vec_id"))
+
     new java.io.File(out).mkdirs()
-    jobs.foreach { case (name, df) =>
+    jobs.foreach { case (name, df0) =>
       val t0 = System.nanoTime()
+      val df = layout.get(name) match {
+        case Some((n, key)) => df0.repartitionByRange(n, col(key))
+        case None => df0
+      }
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
       val n = spark.read.parquet(s"$out/$name.parquet").count()
       println(f"[scaleup] $name%-12s $n%10d rows  ${(System.nanoTime() - t0) / 1e9}%6.2fs")

@@ -12,6 +12,27 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("append-mode watermarked window equals batch ev_hourly minus open windows") {
+    val stream = streaming.Streaming.hourlyAppend(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    // batch twin with the same closed-window cutoff: window end (µs) must be
+    // <= watermark = ms-truncated max event time − 1 h
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("value"), expr("ts div 1000").as("us"))
+    val maxUs = ev.agg(max(col("us"))).collect().head.getLong(0)
+    val cutoff = (maxUs / 1000) * 1000 - 3600L * 1000000
+    val batch = ev
+      .filter((expr("us div 3600000000") + 1) * 3600000000L <= cutoff)
+      .select(col("event_type"), col("value"),
+        date_add(lit("1970-01-01").cast("date"),
+          expr("us div 1000000 div 86400").cast("int")).as("day"),
+        expr("us div 1000000 % 86400 div 3600").cast("int").as("hour"))
+      .groupBy(col("event_type"), col("day"), col("hour"))
+      .agg(count(lit(1)).as("n"), graft.util.Det.dsum(col("value")).as("sum_value"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(stream.nonEmpty && stream == batch)
+  }
+
   test("stateful streaming session counts equal batch sessionization") {
     val stream = streaming.Streaming.sessionCounts(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap

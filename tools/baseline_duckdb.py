@@ -8,7 +8,7 @@ class — is the explicit stand-in (recorded as such in BASELINE.md).
 
 Runs each headline query's oracle SQL (the exact semantics the Spark side
 computes, from Verify's oracle_sql.json) over the SAME parquet files Bench
-reads, with the same protocol (1 warmup + 3 measured, median), all cores.
+reads, with the same protocol (1 warmup + 5 measured, median), all cores.
 
 Per-query timeout (default 300 s, TIMEOUT_S env to override): the reference's
 own benchmark harness caps each query at 60 s (tools/scripts/benchmark.py:35);
@@ -67,9 +67,9 @@ def main():
                 timer.cancel()
         try:
             once()  # warmup
-            runs = sorted(once() for _ in range(3))
-            results[q] = round(runs[1], 4)
-            print(f"[baseline] {q:24} {runs[1]:8.4f}s", file=sys.stderr)
+            runs = sorted(once() for _ in range(5))
+            results[q] = round(runs[2], 4)
+            print(f"[baseline] {q:24} {runs[2]:8.4f}s", file=sys.stderr)
         except duckdb.InterruptException:
             results[q] = f"TIMEOUT>{TIMEOUT_S}s"
             print(f"[baseline] {q:24} TIMEOUT after {TIMEOUT_S}s", file=sys.stderr)
