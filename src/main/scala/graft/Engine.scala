@@ -22,6 +22,14 @@ object Engine {
       // (SURVEY §2.1 relalg unnesting; reference Transforms/Unnesting.cpp)
       .withExtensions(e => e.injectResolutionRule(_ => plans.DecorrelateComplexAggs))
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // Scan-split sizing for the bench SFs: tables here are MBs, not the
+      // 128MB+ files of a production lake, and the defaults (128MB budget,
+      // 4MB open cost) pack every small file into 1-2 scan partitions —
+      // serializing the map side on 32 cores. 4MB/512KB keeps one task per
+      // file at bench scale; at 100 TB these two lines are the knobs a
+      // deployment sizes to its file layout (default-sized files → defaults).
+      .config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (512 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

@@ -77,8 +77,22 @@ object GraftFunctions {
     GraftColumnBridge.column(RollingHash(GraftColumnBridge.expression(c.cast("string"))))
   def erf(name: String): Column = erf(col(name))
 
+  /** random_in_range(from, to) → uniform long in [from, to). Reference
+    * surface: `RandomInRange` (RuntimeFunctions.cpp:310, impl
+    * IntegerRuntime.cpp:26-30 — seeded mt19937, half-open range). The
+    * reference draws from ONE process-global generator; a distributed
+    * engine can't serialize rows through a single RNG, so this composes
+    * Spark's per-partition-seeded `rand` (the idiomatic distributed
+    * equivalent: deterministic per (seed, partition, row-position),
+    * embarrassingly parallel, stays in codegen). */
+  def random_in_range(from: Column, to: Column, seed: Long = 0L): Column = {
+    import org.apache.spark.sql.functions.{floor, rand}
+    (floor(rand(seed) * (to.cast("double") - from.cast("double"))) +
+      from.cast("double")).cast("long")
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Floor, Literal, Multiply, Rand, Subtract}
     val reg = spark.sessionState.functionRegistry
     // Explicit casts stand in for ImplicitCastInputTypes (private[sql] in
     // Spark 4): erf(1.0) parses as a Decimal literal otherwise.
@@ -86,5 +100,11 @@ object GraftFunctions {
       exprs => Erf(Cast(exprs.head, DoubleType)), "built-in")
     reg.createOrReplaceTempFunction("rolling_hash",
       exprs => RollingHash(Cast(exprs.head, StringType)), "built-in")
+    reg.createOrReplaceTempFunction("random_in_range",
+      exprs => {
+        val from = Cast(exprs(0), DoubleType)
+        val to = Cast(exprs(1), DoubleType)
+        Cast(Add(Floor(Multiply(new Rand(Literal(0L)), Subtract(to, from))), from), LongType)
+      }, "built-in")
   }
 }

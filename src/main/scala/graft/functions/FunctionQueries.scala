@@ -157,6 +157,14 @@ object FunctionQueries {
           GraftFunctions.erf(col("c_acctbal") / 10000.0).as("erf_bal"))
         .orderBy("c_custkey")),
 
+    // RandomInRange (RuntimeFunctions.cpp:310) — nondeterministic → rows-only;
+    // range + distribution contract locked by FunctionsSpec.
+    "fn_random_range" -> ((s, d) =>
+      t(s, d, "customer").filter(col("c_custkey") <= 200)
+        .select(col("c_custkey"),
+          GraftFunctions.random_in_range(lit(10), lit(20)).as("r"))
+        .orderBy("c_custkey")),
+
     // CREATE FUNCTION ... LANGUAGE sql/c → Catalyst expression macro
     // (graft.sqlsurface.UdfSurface; reference udf.test surface).
     "fn_udf_macro" -> ((s, d) => {

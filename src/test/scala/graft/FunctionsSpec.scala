@@ -66,6 +66,21 @@ class FunctionsSpec extends SparkSpec {
     assert(got == Seq("en", "de", "fr", "es", "zh", "und", "en", "de", "es"))
   }
 
+  test("random_in_range: half-open bounds, full coverage, SQL registration") {
+    import spark.implicits._
+    val n = 10000
+    val df = (1 to n).toDF("i")
+      .select(GraftFunctions.random_in_range(lit(10), lit(20)).as("r"))
+    val vals = df.groupBy("r").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(vals.keySet.min == 10L && vals.keySet.max == 19L, s"range must be [10, 20): $vals")
+    assert(vals.size == 10, "all 10 values of the half-open range must occur")
+    // uniformity sanity: each value within 3σ of n/10 (σ≈30 for p=0.1)
+    vals.values.foreach(c => assert(math.abs(c - n / 10) < 150, s"skewed: $vals"))
+    val sql = spark.sql(s"SELECT random_in_range(0, 3) AS r FROM range(1000)")
+      .groupBy("r").count().collect().map(_.getLong(0)).sorted
+    assert(sql.toSeq == Seq(0L, 1L, 2L), "SQL-registered function, [0, 3)")
+  }
+
   test("rolling_hash agrees between interpreted and codegen paths") {
     import spark.implicits._
     val df = Seq("a", "spark native engine", "ü™✓ unicode").toDF("s")
