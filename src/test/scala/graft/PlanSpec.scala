@@ -64,10 +64,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("tpch_q21: EXISTS/NOT EXISTS are semi/anti joins, no correlated re-execution") {
+  test("tpch_q21: groupjoin formulation — EXISTS pair folds to one per-order aggregate") {
     val p = planOf("tpch_q21")
-    assert(p.contains("LeftSemi"), p)
-    assert(p.contains("LeftAnti"), p)
+    // no self-join semi/anti (those shapes keep witnesses in tpch_q4/q20 and
+    // join_semi/join_anti) and no correlated re-execution
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"), p)
+    // the per-order dual-distinct aggregate plans as one Expand-based
+    // HashAggregate chain — exactly one lineitem-wide aggregate exchange
+    assert(p.contains("Expand"), p)
   }
 
   test("Decorrelate: SUM identities stay exact past 2^53 for integral inputs") {
