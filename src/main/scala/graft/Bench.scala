@@ -22,6 +22,8 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
+    // optional args: subset of headline query names (A/B iteration on one query)
+    val selected = if (args.nonEmpty) headline.filter(args.contains) else headline
     val spark = Engine.create(master = s"local[$cpus]", shufflePartitions = cpus.toInt,
       appName = "graft-bench")
 
@@ -32,7 +34,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results: Seq[(String, Double)] = headline.filter(SparkEntry.queries.contains).map { name =>
+    val results: Seq[(String, Double)] = selected.filter(SparkEntry.queries.contains).map { name =>
       val t = try {
         once(name) // warmup: JIT + codegen + file-footer caches
         // 5 measured runs, median: per-query variance at small SFs is up to

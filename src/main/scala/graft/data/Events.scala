@@ -68,6 +68,43 @@ object Events {
           sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"))
         .orderBy("user_id")),
 
+    // Exact discrete quantiles per event type, computed by rank selection
+    // (row_number + count over the group, pick rn = ceil(p*n)) — closed-form
+    // arithmetic the oracle mirrors exactly, so the result is hash-checked
+    // (built-in `percentile`/quantile_cont interpolate in engine-specific
+    // float order and can't be hash-compared). Exact quantiles sort each
+    // group through one window partition: right for bounded-cardinality
+    // groups; at 100 TB per-group volumes use ev_approx_stats' sketch path.
+    "ev_quantiles" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      val ranked = t(s, d, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      ranked.groupBy(col("event_type"))
+        .agg(
+          max(when(col("rn") === ceil(col("n") * lit(0.5)), col("value"))).as("p50"),
+          max(when(col("rn") === ceil(col("n") * lit(0.9)), col("value"))).as("p90"),
+          max(when(col("rn") === ceil(col("n") * lit(0.99)), col("value"))).as("p99"),
+          max(col("n")).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // Sketch-based statistics — the 100 TB path for cardinality and
+    // quantiles: HyperLogLog++ (approx_count_distinct) and KLL-style
+    // percentile_approx are mergeable partial aggregates (map-side combine,
+    // one small-state shuffle, no per-group sort). Engine-defined sketches →
+    // rows-only check; EventsSpec bounds the error against the exact values.
+    "ev_approx_stats" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("ap50"),
+          percentile_approx(col("value"), lit(0.99), lit(10000)).as("ap99"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
     // Top event per user by value with rank over exact values.
     "ev_top_value" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
@@ -111,6 +148,19 @@ object Events {
                 CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
                 CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
          FROM events GROUP BY 1 ORDER BY user_id""",
+    "ev_quantiles" ->
+      // mirrors the rank-selection arithmetic exactly (same IEEE ceil(n*p));
+      // ties in value don't matter: any row in the tie range has the value
+      """WITH r AS (SELECT event_type, value,
+                           row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+                           count(*) OVER (PARTITION BY event_type) AS n
+                    FROM events)
+         SELECT event_type,
+                max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS p50,
+                max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN value END) AS p90,
+                max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN value END) AS p99,
+                max(n) AS n
+         FROM r GROUP BY event_type ORDER BY event_type""",
     "ev_top_value" ->
       """SELECT user_id, rn, event_id, event_type, value FROM (
            SELECT user_id, event_id, event_type, value,

@@ -23,6 +23,32 @@ class PipelineSpec extends SparkSpec {
     assert(frames == meta)
   }
 
+  test("ev_approx_stats: sketch estimates stay within bounds of exact values") {
+    val approx = SparkEntry.queries("ev_approx_stats")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("approx_users"), r.getAs[Double]("ap50"), r.getAs[Double]("ap99"))).toMap
+    val ev = Tables.load(spark, sf, "events")
+    val exactUsers = ev.groupBy("event_type").agg(countDistinct("user_id").as("u"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("u")).toMap
+    assert(approx.keySet == exactUsers.keySet)
+    approx.foreach { case (et, (au, ap50, ap99)) =>
+      val eu = exactUsers(et)
+      // approx_count_distinct rsd=0.02 → 5σ bound 10%
+      assert(math.abs(au - eu).toDouble / eu < 0.10, s"$et: approx $au vs exact $eu")
+      assert(ap50 <= ap99, s"$et: quantile order")
+    }
+    // percentile_approx at accuracy 10000 on this cardinality is near-exact:
+    // compare against the exact rank-selected quantiles
+    val exactQ = SparkEntry.queries("ev_quantiles")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("p50")).toMap
+    approx.foreach { case (et, (_, ap50, _)) =>
+      val range = ev.filter(col("event_type") === et)
+        .agg(max("value").cast("double")).collect().head.getDouble(0)
+      assert(math.abs(ap50 - exactQ(et)) <= 0.05 * range,
+        s"$et: ap50 $ap50 vs exact ${exactQ(et)}")
+    }
+  }
+
   test("sessionization: session counts and bounds are sane") {
     val rows = SparkEntry.queries("ev_sessions")(spark, sf).collect()
     assert(rows.nonEmpty)

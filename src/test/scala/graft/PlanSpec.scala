@@ -69,9 +69,11 @@ class PlanSpec extends SparkSpec {
     // no self-join semi/anti (those shapes keep witnesses in tpch_q4/q20 and
     // join_semi/join_anti) and no correlated re-execution
     assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"), p)
-    // the per-order dual-distinct aggregate plans as one Expand-based
-    // HashAggregate chain — exactly one lineitem-wide aggregate exchange
-    assert(p.contains("Expand"), p)
+    // two-phase distinct: no Expand (a countDistinct pair would double every
+    // lineitem row pre-aggregation) — the distinct reduction happens in the
+    // (l_orderkey, l_suppkey) HashAggregate's map side
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("HashAggregate"), p)
   }
 
   test("Decorrelate: SUM identities stay exact past 2^53 for integral inputs") {

@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Render BASELINE.md's measured table from the committed artifacts/ JSON.
+
+Usage: python3 tools/baseline_table.py
+Reads artifacts/BENCH_{sf01,sf1,sf10}_r04.json and
+artifacts/BASELINE_duckdb_{sf01,sf1,sf10}_r04.json (missing files → column
+omitted) and prints the markdown table + comparable totals, so the table in
+BASELINE.md is a paste of this output, never hand-edited numbers.
+"""
+import json, os, sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+A = os.path.join(HERE, "artifacts")
+
+def load(name):
+    p = os.path.join(A, name)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+def fmt(v):
+    if v is None:
+        return "no-oracle"
+    if isinstance(v, str):  # "TIMEOUT>300.0s"
+        return "**timeout >300 s**"
+    return f"{v:.2f}"
+
+def main():
+    sfs = [s for s in ["sf01", "sf1", "sf10"]
+           if load(f"BENCH_{s}_r04.json") and load(f"BASELINE_duckdb_{s}_r04.json")]
+    bench = {s: load(f"BENCH_{s}_r04.json")["queries"] for s in sfs}
+    duck = {s: load(f"BASELINE_duckdb_{s}_r04.json")["queries"] for s in sfs}
+    queries = list(bench[sfs[0]].keys())
+
+    hdr = "| query |" + "".join(f" graft {s} | duckdb {s} |" for s in sfs)
+    sep = "|---|" + "---|---|" * len(sfs)
+    print(hdr)
+    print(sep)
+    comp = {s: [0.0, 0.0] for s in sfs}
+    for q in queries:
+        cells = []
+        for s in sfs:
+            g, d = bench[s].get(q), duck[s].get(q)
+            cells += [fmt(g), fmt(d)]
+            if isinstance(g, float) and isinstance(d, float):
+                comp[s][0] += g
+                comp[s][1] += d
+        print(f"| {q} | " + " | ".join(cells) + " |")
+    tot = "| **comparable total** |" + "".join(
+        f" **{comp[s][0]:.2f}** | **{comp[s][1]:.2f}** |" for s in sfs)
+    print(tot)
+    for s in sfs:
+        print(f"ratio {s}: {comp[s][0] / comp[s][1]:.2f}x", file=sys.stderr)
+
+if __name__ == "__main__":
+    main()
