@@ -87,6 +87,24 @@ object Streaming {
       .orderBy("event_type", "day", "hour")
   }
 
+  /** Stream-static enrichment — the standard production join: a streaming
+    * fact joined to a broadcast dimension (customer keyed by user_id), then
+    * aggregated per (segment, event_type). The dim is read ONCE per
+    * micro-batch planner cycle and broadcast — at 100 TB/day event rates the
+    * join adds no shuffle and no state (unlike stream-stream joins); Complete
+    * mode keeps the aggregate snapshot, which stays small (segments × types).
+    */
+  def enriched(spark: SparkSession, dir: String): DataFrame = {
+    val dim = graft.Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = eventsStream(spark, dir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    drain(agg, OutputMode.Complete())
+      .orderBy("c_mktsegment", "event_type")
+  }
+
   case class Ev(user_id: Long, event_id: Long, s: Long)
   case class UserSessions(user_id: Long, n_sessions: Long)
 
@@ -123,6 +141,7 @@ object Streaming {
   val queries: Map[String, Q] = Map(
     "stream_hourly" -> ((s, d) => hourly(s, d)),
     "stream_hourly_append" -> ((s, d) => hourlyAppend(s, d)),
+    "stream_enrich" -> ((s, d) => enriched(s, d)),
     "stream_sessions" -> ((s, d) => sessionCounts(s, d))
   )
 
@@ -149,6 +168,11 @@ object Streaming {
          FROM e, mx
          WHERE (us // 3600000000 + 1) * 3600000000 <= (max_us // 1000) * 1000 - 3600000000
          GROUP BY 1, 2, 3 ORDER BY event_type, day, hour""",
+    "stream_enrich" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""",
     "stream_sessions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS s FROM events),
               m AS (SELECT user_id, s,

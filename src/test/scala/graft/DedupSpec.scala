@@ -114,6 +114,20 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.3, s"multi-probe ANN recall $recall < 0.3")
   }
 
+  test("sim_ann_ivf: 2-of-16-cell probe recall vs brute force") {
+    // Same near-random worst case as the LSH test: cosine neighbors barely
+    // beat chance, so cell-locality is weak. nProbe=2 of 16 cells scans
+    // ~1/8 of the corpus; floor set where single-cell probing measured
+    // clearly below it. Clustered corpora sit far higher.
+    val exact = SparkEntry.queries("sim_cosine_topk")(spark, sf).collect()
+      .filter(_.getLong(1) <= 5).map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = SparkEntry.queries("sim_ann_ivf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.2, s"IVF ANN recall $recall < 0.2")
+    assert(ivf.size == 25, "5 queries x top-5")
+  }
+
   test("embed-cos top-20: every pair is a sign-band candidate with exact cosine") {
     val rows = SparkEntry.queries("dedup_embed_cos")(spark, sf).collect()
     assert(rows.length == 20)

@@ -33,6 +33,19 @@ class StreamingSpec extends SparkSpec {
     assert(stream.nonEmpty && stream == batch)
   }
 
+  test("stream-static enrichment join equals the batch join-aggregate") {
+    val stream = streaming.Streaming.enriched(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val dim = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val batch = Tables.load(spark, sf, "events")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.util.Det.dsum(col("value")).as("sum_value"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(stream.nonEmpty && stream == batch)
+  }
+
   test("stateful streaming session counts equal batch sessionization") {
     val stream = streaming.Streaming.sessionCounts(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap

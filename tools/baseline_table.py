@@ -33,6 +33,14 @@ def main():
     duck = {s: load(f"BASELINE_duckdb_{s}_r04.json")["queries"] for s in sfs}
     queries = list(bench[sfs[0]].keys())
 
+    # comparable set: queries BOTH engines complete at EVERY scale factor —
+    # one consistent set, so totals are comparable across the SF columns
+    # (embed_cos finishes at sf0.1 but times out beyond; minhash has no
+    # oracle — both excluded everywhere rather than per-column)
+    comparable = [q for q in queries if all(
+        isinstance(bench[s].get(q), float) and isinstance(duck[s].get(q), float)
+        for s in sfs)]
+
     hdr = "| query |" + "".join(f" graft {s} | duckdb {s} |" for s in sfs)
     sep = "|---|" + "---|---|" * len(sfs)
     print(hdr)
@@ -43,11 +51,11 @@ def main():
         for s in sfs:
             g, d = bench[s].get(q), duck[s].get(q)
             cells += [fmt(g), fmt(d)]
-            if isinstance(g, float) and isinstance(d, float):
+            if q in comparable:
                 comp[s][0] += g
                 comp[s][1] += d
         print(f"| {q} | " + " | ".join(cells) + " |")
-    tot = "| **comparable total** |" + "".join(
+    tot = f"| **comparable total ({len(comparable)})** |" + "".join(
         f" **{comp[s][0]:.2f}** | **{comp[s][1]:.2f}** |" for s in sfs)
     print(tot)
     for s in sfs:
