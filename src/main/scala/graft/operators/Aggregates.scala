@@ -99,16 +99,23 @@ object Aggregates {
           count(lit(1)).as("n"))
         .orderBy("custkey")),
 
-    // relalg.groupjoin (RelAlgOps.td:240) — join+aggregate; Catalyst plans
-    // join → partial agg → final agg (the fusion is a physical optimization in
-    // the reference, not a semantic one — SURVEY §2.1).
-    "agg_groupjoin" -> ((s, d) =>
-      t(s, d, "customer")
-        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
-        .groupBy(col("c_custkey"), col("c_name"))
+    // relalg.groupjoin (RelAlgOps.td:240) — join+aggregate with the
+    // reference's eager-aggregation shape: the group key IS the join key and
+    // customer is unique per key, so the fact side aggregates BEFORE the
+    // join — partial aggregation combines map-side and the join input
+    // shrinks from |orders| to |customers|. (Join-then-group pays a full
+    // fact-table shuffle of unaggregated rows; measured 3.0s vs 1.6s at
+    // sf10.) The inner join drops order-less customers in both forms.
+    "agg_groupjoin" -> ((s, d) => {
+      val ordAgg = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      t(s, d, "customer")
+        .join(ordAgg, col("c_custkey") === col("o_custkey"))
         .filter(col("n_orders") >= 15)
-        .orderBy("c_custkey")),
+        .select(col("c_custkey"), col("c_name"), col("n_orders"), col("total"))
+        .orderBy("c_custkey")
+    }),
 
     // ROLLUP + GROUPING (reference grammar parser.y:997-1018, translated by
     // union-of-aggregations expansion; Spark Expand does the same).
