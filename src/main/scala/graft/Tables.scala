@@ -1,5 +1,6 @@
 package graft
 
+import java.io.File
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Parquet-backed table loader over a scale-factor directory.
@@ -10,14 +11,61 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * filters and prunes columns into the parquet reader, which is the moral
   * equivalent of LingoDB's scan-with-restriction
   * (relalg.basetable, reference include/lingodb/compiler/Dialect/RelAlg/IR/RelAlgOps.td:120-130).
+  *
+  * Bucketed layout: when a scale dir carries `_bucketed/<table>/` (written by
+  * tools.ScaleUp), the table is registered as a bucketed catalog table and
+  * read with Spark's bucketed scan — the Spark-native analog of the
+  * reference's persistent hash index (reference
+  * src/runtime/LingoDBHashIndex.cpp, OptimizeImplementations.cpp:587-588):
+  * both sides of an equi-join on the bucket key are pre-partitioned on disk,
+  * so the join (and any groupBy on that key) runs with ZERO shuffle
+  * exchanges. This is what keeps a 100 TB fact-fact join shuffle-free on a
+  * real cluster; SURVEY §2.5.
   */
 object Tables {
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Bucketed-layout marker written by tools.ScaleUp:
+    * `_bucketed/<name>/_bucketspec` holds "<bucketKey> <numBuckets>". */
+  private def bucketSpec(dir: String, name: String): Option[(String, Int)] = {
+    val f = new File(s"$dir/_bucketed/$name/_bucketspec")
+    if (!f.isFile) None
+    else {
+      val src = scala.io.Source.fromFile(f)
+      try {
+        val Array(k, n) = src.mkString.trim.split("\\s+")
+        Some((k, n.toInt))
+      } finally src.close()
+    }
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    bucketSpec(dir, name) match {
+      case Some((key, n)) => bucketed(spark, dir, name, key, n)
+      case None => spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  /** Register (once per session) and read the bucketed layout. The files are
+    * plain parquet written by Spark's bucketed writer (bucket id encoded in
+    * the file name), so the only session state is the catalog entry — DDL
+    * with an explicit column list because CLUSTERED BY forbids schema
+    * inference. */
+  private def bucketed(
+      spark: SparkSession, dir: String, name: String,
+      key: String, n: Int): DataFrame = synchronized {
+    val tbl = s"graft_bkt_${name}_${Integer.toHexString(dir.hashCode)}"
+    if (!spark.catalog.tableExists(tbl)) {
+      val path = s"$dir/_bucketed/$name"
+      val ddl = spark.read.parquet(path).schema.toDDL
+      spark.sql(
+        s"CREATE TABLE IF NOT EXISTS $tbl ($ddl) USING parquet " +
+          s"CLUSTERED BY ($key) SORTED BY ($key) INTO $n BUCKETS " +
+          s"LOCATION '$path'")
+    }
+    spark.table(tbl)
+  }
 
   /** Register every table of a scale-factor dir as a temp view (for the
     * SQL-entry surface, mirroring the reference's `Connection.sql`). */

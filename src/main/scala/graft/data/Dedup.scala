@@ -33,7 +33,7 @@ object Dedup {
     * cache build serializes branches that otherwise run concurrently), and
     * at 100 TB it avoids pinning a corpus-sized shingle set in the cache —
     * shuffle files already live on local disk. PlanSpec asserts the reuse. */
-  private def sharedCapped(key: String, docs: DataFrame): DataFrame =
+  private def sharedCapped(docs: DataFrame): DataFrame =
     dfCapped(shingles(docs))
 
   /** Distinct (doc_id, 3-word-shingle) pairs. Guard size>=3: Spark's
@@ -208,7 +208,7 @@ object Dedup {
     // N-gram Jaccard near-dup with full DuckDB oracle. Pair generation via
     // shared-shingle join only.
     "dedup_ngram_jaccard" -> ((s, d) =>
-      jaccardPairs(sharedCapped("ngram_grams", t(s, d, "documents")))
+      jaccardPairs(sharedCapped(t(s, d, "documents")))
         .filter(col("jac") >= 0.1)
         .orderBy("a", "b")),
 
@@ -218,8 +218,10 @@ object Dedup {
     // rows-only check; recall spec in DedupSpec.
     "dedup_minhash_lsh" -> ((s, d) => {
       // shared by the signature pass AND both sides of the verification
-      // join — without the persist the shingle+df-cap pipeline runs 3×
-      val grams = sharedCapped("minhash_grams", t(s, d, "documents"))
+      // join — the identical subtrees let ReuseExchange compute the
+      // shingle+df-cap map work once (see sharedCapped's doc; PlanSpec
+      // asserts the ReusedExchange)
+      val grams = sharedCapped(t(s, d, "documents"))
       val nHash = 32
       // Double hashing (Kirsch-Mitzenmacher style, overflow-free for ANSI
       // mode): h_k = h1 XOR rot(h2, k) gives 32 independent-enough
@@ -250,7 +252,7 @@ object Dedup {
     // candidates from Manku 3-of-6-block buckets (complete for hamming<=3);
     // verified near-dups at hamming<=3.
     "dedup_simhash" -> ((s, d) => {
-      val grams = sharedCapped("simhash_grams", t(s, d, "documents"))
+      val grams = sharedCapped(t(s, d, "documents"))
       // sig feeds candidate generation and both hamming-join sides; its
       // subtrees are identical, so the shuffle map sides are reused (see
       // sharedCapped) — only the cheap post-shuffle agg repeats

@@ -76,7 +76,11 @@ object Events {
     // group through one window partition: right for bounded-cardinality
     // groups; at 100 TB per-group volumes use ev_approx_stats' sketch path.
     "ev_quantiles" -> ((s, d) => {
-      val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      // asc_nulls_last: DuckDB's ORDER BY default is NULLS LAST while
+      // Spark's is NULLS FIRST — the fixture has no null values today, but
+      // the rank arithmetic must not silently diverge the day it does.
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").asc_nulls_last, col("event_id"))
       val ranked = t(s, d, "events")
         .select(col("event_type"), col("event_id"), col("value"))
         .withColumn("rn", row_number().over(w).cast("long"))

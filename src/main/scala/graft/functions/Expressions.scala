@@ -102,9 +102,15 @@ object GraftFunctions {
       exprs => RollingHash(Cast(exprs.head, StringType)), "built-in")
     reg.createOrReplaceTempFunction("random_in_range",
       exprs => {
+        // arity 2 = unseeded, arity 3 = explicit seed (mirrors the Scala
+        // API); anything else is a user error, not something to ignore
+        if (exprs.length < 2 || exprs.length > 3)
+          throw new IllegalArgumentException(
+            s"random_in_range(from, to[, seed]) takes 2 or 3 arguments, got ${exprs.length}")
         val from = Cast(exprs(0), DoubleType)
         val to = Cast(exprs(1), DoubleType)
-        Cast(Add(Floor(Multiply(new Rand(Literal(0L)), Subtract(to, from))), from), LongType)
+        val seed = if (exprs.length == 3) Cast(exprs(2), LongType) else Literal(0L)
+        Cast(Add(Floor(Multiply(new Rand(seed), Subtract(to, from))), from), LongType)
       }, "built-in")
   }
 }

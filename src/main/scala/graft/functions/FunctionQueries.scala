@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.util.Det._
 
@@ -66,9 +67,21 @@ object FunctionQueries {
         .orderBy("doc_id")),
 
     // Date registry: Extract*/DateTrunc/DateDiff/DateAdd/DateSubtract
-    // (RuntimeFunctions.cpp:316-330).
-    "fn_date" -> ((s, d) =>
+    // (RuntimeFunctions.cpp:316-330). Unioned edge rows (negative keys, so
+    // they can't collide with data keys) exercise what the synthetic dates
+    // don't: leap days (2000/2024), the non-leap century boundary, a
+    // year-end rollover, and dates past 1999 (negative datediff).
+    "fn_date" -> ((s, d) => {
+      import s.implicits._
+      val edge = Seq(
+        (-5L, "2000-02-29 00:00:00"), (-4L, "1900-03-01 12:30:00"),
+        (-3L, "1999-12-31 23:59:59"), (-2L, "2024-02-29 06:00:00"),
+        (-1L, "2000-12-31 00:00:00"))
+        .toDF("o_orderkey", "ds")
+        .select(col("o_orderkey"), col("ds").cast("timestamp_ntz").as("o_orderdate"))
       t(s, d, "orders").filter(col("o_custkey") <= 50)
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .unionByName(edge)
         .select(
           col("o_orderkey"),
           year(col("o_orderdate")).cast("int").as("y"),
@@ -79,7 +92,8 @@ object FunctionQueries {
             .cast("long").as("days_to_99"),
           date_add(col("o_orderdate").cast("date"), 90).as("plus90"),
           last_day(col("o_orderdate").cast("date")).as("eom"))
-        .orderBy("o_orderkey")),
+        .orderBy("o_orderkey")
+    }),
 
     // Math registry: Abs/Sqrt/Log/Exp/Sin/Cos/ASin (RuntimeFunctions.cpp:332-340).
     // Transcendentals rounded to 6 decimals — libm vs JDK may differ by 1 ulp.
@@ -104,6 +118,11 @@ object FunctionQueries {
         .orderBy("p_partkey")),
 
     // Casts (db.cast, DBOps.td:547; string casts via runtime LowerToStd.cpp:300-372).
+    // Edge columns target the synthetic-data risk the table rows can't reach:
+    // max-precision decimal round-trip, HALF_UP decimal narrowing, decimal
+    // addition precision inference, whitespace-trimmed numeric parse,
+    // malformed parse (try_cast → NULL, both engines), int64 boundary, and
+    // the date domain ends.
     "fn_cast" -> ((s, d) =>
       t(s, d, "part").filter(col("p_partkey") <= 100)
         .select(
@@ -112,7 +131,18 @@ object FunctionQueries {
           col("p_size").cast("string").as("i2s"),
           lit("3.5").cast("double").as("s2d"),
           col("p_size").cast("double").as("i2d"),
-          lit("1998-03-15").cast("date").as("s2date"))
+          lit("1998-03-15").cast("date").as("s2date"),
+          lit("99999999999999999999999999999999999.999")
+            .cast(DecimalType(38, 3)).cast("string").as("dec38"),
+          lit("1.005").cast(DecimalType(10, 3)).cast(DecimalType(10, 2))
+            .cast("string").as("dec_round"),
+          (lit("2.5").cast(DecimalType(3, 1)) + lit("0.25").cast(DecimalType(3, 2)))
+            .cast("string").as("dec_add"),
+          lit(" -7.25 ").cast("double").as("s2d_trim"),
+          expr("try_cast('oops' AS double)").as("bad2d"),
+          lit("9223372036854775807").cast("long").as("maxlong"),
+          lit("0001-01-01").cast("date").as("dmin"),
+          lit("9999-12-31").cast("date").as("dmax"))
         .orderBy("p_partkey")),
 
     // CASE WHEN / COALESCE / NULLIF (sql_analyzer.cpp:2840; SURVEY §2.3).
@@ -201,7 +231,29 @@ object FunctionQueries {
     "fn_rolling_hash" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), GraftFunctions.rolling_hash(col("text")).as("fp"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // db.dict surface (reference DBOps.td:148-159) → Spark MapType: build,
+    // point lookup (element_at), key test, cardinality, key enumeration, a
+    // value fold, and per-entry iteration via explode — the oracle replays
+    // the same scalars in plain SQL (DuckDB's MAP returns list-wrapped
+    // lookups, so a literal map-to-map compare would test DuckDB's wrapping,
+    // not ours).
+    "fn_map" -> ((s, d) => {
+      val m = map(
+        lit("sz"), col("p_size").cast("long"),
+        lit("bkt"), pmod(col("p_partkey"), lit(7)))
+      t(s, d, "part").filter(col("p_partkey") <= 300)
+        .withColumn("m", m)
+        .select(col("p_partkey"), col("m"), explode(col("m")).as(Seq("mk", "mv")))
+        .select(col("p_partkey"), col("mk"), col("mv"),
+          element_at(col("m"), lit("sz")).as("v_sz"),
+          map_contains_key(col("m"), lit("bkt")).as("has_bkt"),
+          size(col("m")).as("n_keys"),
+          concat_ws(",", array_sort(map_keys(col("m")))).as("ks"),
+          aggregate(map_values(col("m")), lit(0L), (a, x) => a + x).as("total"))
+        .orderBy("p_partkey", "mk")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -231,14 +283,23 @@ object FunctionQueries {
                 string_split(text, ' ')[-1] AS last_tok
          FROM documents ORDER BY doc_id""",
     "fn_date" ->
-      """SELECT o_orderkey, CAST(extract(year FROM o_orderdate) AS INTEGER) AS y,
+      """WITH base AS (
+           SELECT o_orderkey, o_orderdate FROM orders WHERE o_custkey <= 50
+           UNION ALL
+           SELECT * FROM (VALUES
+             (CAST(-5 AS BIGINT), TIMESTAMP '2000-02-29 00:00:00'),
+             (CAST(-4 AS BIGINT), TIMESTAMP '1900-03-01 12:30:00'),
+             (CAST(-3 AS BIGINT), TIMESTAMP '1999-12-31 23:59:59'),
+             (CAST(-2 AS BIGINT), TIMESTAMP '2024-02-29 06:00:00'),
+             (CAST(-1 AS BIGINT), TIMESTAMP '2000-12-31 00:00:00')) v(o_orderkey, o_orderdate))
+         SELECT o_orderkey, CAST(extract(year FROM o_orderdate) AS INTEGER) AS y,
                 CAST(extract(month FROM o_orderdate) AS INTEGER) AS m,
                 CAST(extract(day FROM o_orderdate) AS INTEGER) AS dom,
                 CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
                 CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS BIGINT) AS days_to_99,
                 CAST(o_orderdate AS DATE) + 90 AS plus90,
                 last_day(CAST(o_orderdate AS DATE)) AS eom
-         FROM orders WHERE o_custkey <= 50 ORDER BY o_orderkey""",
+         FROM base ORDER BY o_orderkey""",
     "fn_math" ->
       """SELECT p_partkey, CAST(abs(p_size - 25) AS BIGINT) AS abs_sz,
                 sqrt(CAST(p_size AS DOUBLE)) AS sqrt_sz,
@@ -258,7 +319,15 @@ object FunctionQueries {
     "fn_cast" ->
       """SELECT p_partkey, CAST('42' AS BIGINT) AS s2i, CAST(p_size AS VARCHAR) AS i2s,
                 CAST('3.5' AS DOUBLE) AS s2d, CAST(p_size AS DOUBLE) AS i2d,
-                CAST('1998-03-15' AS DATE) AS s2date
+                CAST('1998-03-15' AS DATE) AS s2date,
+                CAST(CAST('99999999999999999999999999999999999.999' AS DECIMAL(38,3)) AS VARCHAR) AS dec38,
+                CAST(CAST(round(CAST('1.005' AS DECIMAL(10,3)), 2) AS DECIMAL(10,2)) AS VARCHAR) AS dec_round,
+                CAST(CAST('2.5' AS DECIMAL(3,1)) + CAST('0.25' AS DECIMAL(3,2)) AS VARCHAR) AS dec_add,
+                CAST(' -7.25 ' AS DOUBLE) AS s2d_trim,
+                TRY_CAST('oops' AS DOUBLE) AS bad2d,
+                CAST('9223372036854775807' AS BIGINT) AS maxlong,
+                CAST('0001-01-01' AS DATE) AS dmin,
+                CAST('9999-12-31' AS DATE) AS dmax
          FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""",
     "fn_case" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
@@ -287,6 +356,18 @@ object FunctionQueries {
          FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""",
     "fn_rolling_hash" ->
       s"""SELECT doc_id, fp FROM (${graft.util.OracleSql.rollingFp("text")}) t
-          ORDER BY doc_id"""
+          ORDER BY doc_id""",
+    "fn_map" ->
+      """WITH p AS (
+           SELECT p_partkey, CAST(p_size AS BIGINT) AS sz, p_partkey % 7 AS bkt
+           FROM part WHERE p_partkey <= 300),
+         e AS (
+           SELECT p_partkey, 'bkt' AS mk, bkt AS mv, sz, bkt FROM p
+           UNION ALL
+           SELECT p_partkey, 'sz' AS mk, sz AS mv, sz, bkt FROM p)
+         SELECT p_partkey, mk, mv,
+                sz AS v_sz, TRUE AS has_bkt, CAST(2 AS INTEGER) AS n_keys,
+                'bkt,sz' AS ks, sz + bkt AS total
+         FROM e ORDER BY p_partkey, mk"""
   )
 }

@@ -45,13 +45,19 @@ object TpchLike {
     "tpch_q1" -> (q1 _),
 
     // Q3 shipping-priority: 3-way join, filtered both sides, top-10 by revenue.
+    // Bucketing-aware shape: the filtered customer segment (selectivity ~1/5,
+    // key column only) broadcasts INTO orders, so the orders scan keeps its
+    // on-disk orderkey clustering and the orders⋈lineitem join runs with
+    // zero exchanges on the bucketed layout; joining customer⋈orders as a
+    // shuffle join first would re-partition orders on custkey and forfeit it.
     "tpch_q3" -> ((s, d) => {
       val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
       val ord = t(s, d, "orders")
         .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
       val li = t(s, d, "lineitem")
         .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01 00:00:00")))
-      cust.join(ord, col("c_custkey") === col("o_custkey"))
+      ord.join(broadcast(cust), col("c_custkey") === col("o_custkey"))
         .join(li, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(msum(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
@@ -63,15 +69,21 @@ object TpchLike {
 
     // Q5 local-supplier revenue: 6-way join incl. the c_nationkey = s_nationkey
     // locality condition, grouped by nation.
+    // Bucketing-aware shape (same reasoning as q3): region⋈nation⋈customer
+    // reduces to the ASIA customer keys + nation (3 narrow columns, ~1/5 of
+    // customer) and broadcasts into orders; the orders⋈lineitem join then
+    // runs on the bucketed layout with zero exchanges. The supplier join
+    // stays a broadcast after the fact join, preserving that property.
     "tpch_q5" -> ((s, d) => {
       val asia = t(s, d, "region").filter(col("r_name") === "ASIA")
-      val j = asia
+      val asiaCust = asia
         .join(t(s, d, "nation"), col("n_regionkey") === col("r_regionkey"))
         .join(t(s, d, "customer"), col("c_nationkey") === col("n_nationkey"))
-        .join(t(s, d, "orders")
-            .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
-              col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00"))),
-          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val j = t(s, d, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
         .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
         .join(t(s, d, "supplier"),
           col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))

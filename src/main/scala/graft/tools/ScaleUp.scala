@@ -103,6 +103,31 @@ object ScaleUp {
       val n = spark.read.parquet(s"$out/$name.parquet").count()
       println(f"[scaleup] $name%-12s $n%10d rows  ${(System.nanoTime() - t0) / 1e9}%6.2fs")
     }
+
+    // Bucketed layout for the order-key fact-fact join (Tables.load prefers it
+    // when present): lineitem+orders hash-clustered into the SAME bucket count
+    // on the order key, one file per bucket, sorted within. This is the layout
+    // a 100 TB lake chooses for this workload — the l_orderkey ⋈ o_orderkey
+    // join (tpch q3/q5/q8/q9/q10/q21) and every groupBy(l_orderkey) then run
+    // with zero shuffle exchanges (the Spark analog of the reference's
+    // persistent hash index, LingoDBHashIndex.cpp). 32 buckets match the
+    // bench machine's cores; a cluster deployment sizes this to executors
+    // (e.g. 4096) — the plan shape is identical.
+    val bucketJobs = Seq(("lineitem", "l_orderkey", 32), ("orders", "o_orderkey", 32))
+    bucketJobs.foreach { case (name, key, nb) =>
+      val t0 = System.nanoTime()
+      val path = s"$out/_bucketed/$name"
+      val tmp = s"graft_scaleup_bkt_$name"
+      spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      spark.read.parquet(s"$out/$name.parquet")
+        .repartition(nb, col(key)) // same murmur3 hash as bucketBy → 1 file/bucket
+        .write.bucketBy(nb, key).sortBy(key)
+        .option("path", path).mode("overwrite").saveAsTable(tmp)
+      spark.sql(s"DROP TABLE IF EXISTS $tmp") // external: files stay, catalog entry goes
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/_bucketspec"),
+        s"$key $nb".getBytes("UTF-8"))
+      println(f"[scaleup] $name%-12s bucketed($nb on $key)  ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+    }
     spark.stop()
   }
 }

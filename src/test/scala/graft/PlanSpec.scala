@@ -181,6 +181,45 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketed layout: q21's fact pipeline is exchange-free; results match plain layout") {
+    // Tables.load prefers a `_bucketed/<table>` layout (written by ScaleUp)
+    // and registers it as a bucketed catalog table — the Spark analog of the
+    // reference's persistent hash index (LingoDBHashIndex.cpp; SURVEY §2.5).
+    // On that layout tpch_q21's li⋈orders join, its per-order aggregate, and
+    // the ⋈ordStats join are all co-partitioned by the bucket key: the ONLY
+    // exchange left is the final dimension-sized s_name aggregation.
+    val dir = "/tmp/graft_test_bucketed"
+    val marker = new java.io.File(s"$dir/_bucketed/orders/_bucketspec")
+    if (!marker.isFile) {
+      Tables.all.foreach { n =>
+        spark.read.parquet(s"$sf/$n.parquet")
+          .write.mode("overwrite").parquet(s"$dir/$n.parquet")
+      }
+      Seq(("lineitem", "l_orderkey"), ("orders", "o_orderkey")).foreach { case (n, k) =>
+        val tmp = s"plan_spec_bkt_$n"
+        spark.sql(s"DROP TABLE IF EXISTS $tmp")
+        spark.read.parquet(s"$dir/$n.parquet")
+          .repartition(4, org.apache.spark.sql.functions.col(k))
+          .write.bucketBy(4, k).sortBy(k)
+          .option("path", s"$dir/_bucketed/$n").mode("overwrite").saveAsTable(tmp)
+        spark.sql(s"DROP TABLE IF EXISTS $tmp")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir/_bucketed/$n/_bucketspec"),
+          s"$k 4".getBytes("UTF-8"))
+      }
+    }
+    val bucketed = SparkEntry.queries("tpch_q21")(spark, dir)
+    val got = bucketed.collect()
+    val p = bucketed.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val exchanges = """Exchange hashpartitioning\(([a-z_#0-9]+)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.forall(_.startsWith("s_name")),
+      s"only the final s_name agg may exchange, found: $exchanges\n$p")
+    val want = SparkEntry.queries("tpch_q21")(spark, sf).collect()
+    assert(got.map(_.toString).toSeq == want.map(_.toString).toSeq,
+      "bucketed layout must not change results")
+  }
+
   test("ev_sessions: one user_id exchange feeds lag, running sum, AND the final agg") {
     val df = SparkEntry.queries("ev_sessions")(spark, sf)
     df.collect() // reuse and stage shapes are only visible in the executed plan

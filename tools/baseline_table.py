@@ -1,9 +1,9 @@
 #!/usr/bin/env python3
 """Render BASELINE.md's measured table from the committed artifacts/ JSON.
 
-Usage: python3 tools/baseline_table.py
-Reads artifacts/BENCH_{sf01,sf1,sf10}_r04.json and
-artifacts/BASELINE_duckdb_{sf01,sf1,sf10}_r04.json (missing files → column
+Usage: python3 tools/baseline_table.py [round_suffix]   (default: r05)
+Reads artifacts/BENCH_{sf01,sf1,sf10,sf100}_<round>.json and
+artifacts/BASELINE_duckdb_{...}_<round>.json (missing files → column
 omitted) and prints the markdown table + comparable totals, so the table in
 BASELINE.md is a paste of this output, never hand-edited numbers.
 """
@@ -19,18 +19,26 @@ def load(name):
     with open(p) as f:
         return json.load(f)
 
+def ok(v):
+    # Bench.scala records -1.0 for a query that FAILED; a failure must drop
+    # the query from the comparable set, not subtract a phantom second.
+    return isinstance(v, (int, float)) and not isinstance(v, bool) and v > 0
+
 def fmt(v):
     if v is None:
         return "no-oracle"
     if isinstance(v, str):  # "TIMEOUT>300.0s"
         return "**timeout >300 s**"
+    if not ok(v):
+        return "**failed**"
     return f"{v:.2f}"
 
 def main():
-    sfs = [s for s in ["sf01", "sf1", "sf10"]
-           if load(f"BENCH_{s}_r04.json") and load(f"BASELINE_duckdb_{s}_r04.json")]
-    bench = {s: load(f"BENCH_{s}_r04.json")["queries"] for s in sfs}
-    duck = {s: load(f"BASELINE_duckdb_{s}_r04.json")["queries"] for s in sfs}
+    rnd = sys.argv[1] if len(sys.argv) > 1 else "r05"
+    sfs = [s for s in ["sf01", "sf1", "sf10", "sf100"]
+           if load(f"BENCH_{s}_{rnd}.json") and load(f"BASELINE_duckdb_{s}_{rnd}.json")]
+    bench = {s: load(f"BENCH_{s}_{rnd}.json")["queries"] for s in sfs}
+    duck = {s: load(f"BASELINE_duckdb_{s}_{rnd}.json")["queries"] for s in sfs}
     queries = list(bench[sfs[0]].keys())
 
     # comparable set: queries BOTH engines complete at EVERY scale factor —
@@ -38,8 +46,7 @@ def main():
     # (embed_cos finishes at sf0.1 but times out beyond; minhash has no
     # oracle — both excluded everywhere rather than per-column)
     comparable = [q for q in queries if all(
-        isinstance(bench[s].get(q), float) and isinstance(duck[s].get(q), float)
-        for s in sfs)]
+        ok(bench[s].get(q)) and ok(duck[s].get(q)) for s in sfs)]
 
     hdr = "| query |" + "".join(f" graft {s} | duckdb {s} |" for s in sfs)
     sep = "|---|" + "---|---|" * len(sfs)
