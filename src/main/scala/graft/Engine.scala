@@ -20,7 +20,12 @@ object Engine {
       .appName(appName)
       // Neumann-style decorrelation beyond Catalyst's subquery support
       // (SURVEY §2.1 relalg unnesting; reference Transforms/Unnesting.cpp)
-      .withExtensions(e => e.injectResolutionRule(_ => plans.DecorrelateComplexAggs))
+      .withExtensions { e =>
+        e.injectResolutionRule(_ => plans.DecorrelateComplexAggs)
+        // sample-driven join reorder (reference QueryGraph.cpp:264-294);
+        // opt-in via spark.graft.sampleReorder.enabled — see its scaladoc
+        e.injectOptimizerRule(s => plans.SampleJoinReorder(s))
+      }
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       // Scan-split sizing for the bench SFs: tables here are MBs, not the
       // 128MB+ files of a production lake, and the defaults (128MB budget,

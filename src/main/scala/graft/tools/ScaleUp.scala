@@ -128,6 +128,23 @@ object ScaleUp {
         s"$key $nb".getBytes("UTF-8"))
       println(f"[scaleup] $name%-12s bucketed($nb on $key)  ${(System.nanoTime() - t0) / 1e9}%6.2fs")
     }
+
+    // Per-table planning samples (~2k rows, deterministic seed) + true row
+    // counts, consumed by plans.SampleJoinReorder — the stored-sample
+    // selectivity estimation the reference does with Arrow sample blocks
+    // (QueryGraph.cpp:264-294). Tiny by construction: this is planning
+    // metadata, like the reference's persisted samples, not data.
+    new java.io.File(s"$out/_samples").mkdirs()
+    jobs.map(_._1).foreach { name =>
+      val df = spark.read.parquet(s"$out/$name.parquet")
+      val total = df.count()
+      val frac = math.min(1.0, 2500.0 / math.max(total, 1L))
+      df.sample(withReplacement = false, frac, seed = 42).limit(2000)
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/_samples/$name.parquet")
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/_samples/$name.count"),
+        total.toString.getBytes("UTF-8"))
+      println(f"[scaleup] $name%-12s sample written ($total%d rows total)")
+    }
     spark.stop()
   }
 }

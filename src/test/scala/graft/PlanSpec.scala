@@ -181,6 +181,63 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("sample selectivity: complex-predicate join order flips with the rule ON, not OFF") {
+    // The reference evaluates predicates on stored samples before join
+    // ordering (QueryGraph.cpp:264-294); Catalyst's CBO histogram path
+    // (previous test) cannot see through a correlated two-column predicate.
+    // plans.SampleJoinReorder evaluates the pushed-down filter on the
+    // ScaleUp-persisted sample and moves the filtered table first.
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val dir = "/tmp/graft_test_samples"
+    import spark.implicits._
+    def save(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+      df.limit(2000).coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/_samples/$name.parquet")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/_samples/$name.count"),
+        df.count().toString.getBytes("UTF-8"))
+    }
+    save("s_fact", (0 until 40000)
+      .map(i => (i.toLong, (i % 1000).toLong)).toDF("fact_k", "fact_v"))
+    save("s_dim_big", (0 until 8000)
+      .map(i => (i.toLong, (i % 100).toLong, (i % 317).toLong, (i % 4).toLong))
+      .toDF("dim_big_k", "dim_big_v", "dim_big_w", "dim_big_u"))
+    save("s_dim_mid", (0 until 800)
+      .map(i => (i.toLong, (i % 50).toLong)).toDF("dim_mid_k", "dim_mid_v"))
+    def q(): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions.col
+      val fact = spark.read.parquet(s"$dir/s_fact.parquet")
+      // correlated complex predicate on NON-join columns (a join-column
+      // filter would be constraint-propagated to the other side and change
+      // the comparison): w=i%317, u=i%4 — the conjunction keeps ~0.1%,
+      // which no histogram-free planner can see but a sample measures
+      val big = spark.read.parquet(s"$dir/s_dim_big.parquet")
+        .filter(col("dim_big_w") === 0 && col("dim_big_u") === 1)
+      val mid = spark.read.parquet(s"$dir/s_dim_mid.parquet")
+      fact.join(big, col("fact_v") === col("dim_big_k"))
+        .join(mid, col("dim_big_v") === col("dim_mid_k"))
+    }
+    def leafOrder(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case l: LogicalRelation => l.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.head.getName
+        }
+      }
+    spark.conf.unset("spark.graft.sampleReorder.enabled")
+    val off = leafOrder(q())
+    val offRows = q().collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.graft.sampleReorder.enabled", "true")
+    try {
+      val on = leafOrder(q())
+      val onRows = q().collect().map(_.toString).sorted.toSeq
+      assert(off != on, s"sampled selectivity should flip the join order; both were $off")
+      assert(on.head == "s_dim_big.parquet",
+        s"the sampled ~1% filtered table must lead the join order, got $on")
+      assert(onRows == offRows, "reordering must not change results")
+    } finally spark.conf.unset("spark.graft.sampleReorder.enabled")
+  }
+
   test("bucketed layout: q21's fact pipeline is exchange-free; results match plain layout") {
     // Tables.load prefers a `_bucketed/<table>` layout (written by ScaleUp)
     // and registers it as a bucketed catalog table — the Spark analog of the
