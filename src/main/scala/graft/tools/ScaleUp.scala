@@ -36,9 +36,14 @@ object ScaleUp {
 
     /** K replicas of df with each key column in `offsets` shifted by
       * replica*stride; strides are well above the key's 1x max so replica
-      * key spaces are disjoint. */
+      * key spaces are disjoint. The source is spread across all cores first:
+      * the driver's sf0.1 tables are single parquet files, so without the
+      * repartition the k-fold explode (and everything downstream of it)
+      * runs in ONE task — at k=1000 that serializes a 600M-row expansion. */
+    def spread(df: DataFrame): DataFrame =
+      df.repartition(Runtime.getRuntime.availableProcessors)
     def replicate(df: DataFrame, offsets: (String, Long)*): DataFrame = {
-      val withR = df.withColumn("_r", explode(sequence(lit(0), lit(k - 1))))
+      val withR = spread(df).withColumn("_r", explode(sequence(lit(0), lit(k - 1))))
       offsets.foldLeft(withR) { case (d, (c, stride)) =>
         d.withColumn(c, col(c) + col("_r") * stride)
       }.drop("_r")
@@ -59,7 +64,7 @@ object ScaleUp {
         "l_orderkey" -> ORD, "l_partkey" -> PART, "l_suppkey" -> SUPP),
       "events" -> replicate(tbl("events"), "event_id" -> EV, "user_id" -> USER),
       "documents" -> {
-        val d = tbl("documents").withColumn("_r", explode(sequence(lit(0), lit(k - 1))))
+        val d = spread(tbl("documents")).withColumn("_r", explode(sequence(lit(0), lit(k - 1))))
         d.withColumn("doc_id", col("doc_id") + col("_r") * DOC)
           // perturb replica text so cross-replica docs are near- not exact-dups
           .withColumn("text",
@@ -73,7 +78,7 @@ object ScaleUp {
         // exact-duplicates: sign-identical copies would share every LSH band
         // and quadratically multiply candidate pairs (real pipelines exact-
         // dedup first; the bench should model post-exact-dedup data)
-        val d = tbl("embeddings").withColumn("_r", explode(sequence(lit(0), lit(k - 1))))
+        val d = spread(tbl("embeddings")).withColumn("_r", explode(sequence(lit(0), lit(k - 1))))
         d.withColumn("vec_id", col("vec_id") + col("_r") * VEC)
           .withColumn("embedding",
             expr("transform(embedding, (x, i) -> CASE WHEN _r > 0 AND (i + _r) % 13 = 0 THEN -x ELSE x END)"))

@@ -48,9 +48,21 @@ object Det {
   private val Split = 1000000L
 
   /** HALF_UP integer scaling of a money-domain double to a long.
-    * Per-row |x·10^s| must stay ≪ 2^53 (all audited callers ≤ ~10^12). */
-  private def scaledLong(c: Column, scale: Int): Column =
-    round(c * math.pow(10, scale).toLong).cast(LongType)
+    * Per-row |x·10^s| must stay ≪ 2^53 (all audited callers ≤ ~10^12).
+    *
+    * Not Spark's `round()`: Round on DoubleType round-trips through
+    * java.math.BigDecimal.valueOf(...).setScale(...) — one allocation per
+    * row per operand, and tpch_q1 evaluates ~10 operands per lineitem row
+    * (FloorProbe sf10: 39 CPU-s of task compute, the bench's dominant
+    * cost). Cast-truncation toward zero of scaled ± 0.5 is branch-only
+    * codegen and agrees with BigDecimal HALF_UP at every representable
+    * double: ties round away from zero in both, and off-tie values are
+    * ≥1 ulp from a boundary so the exact ±0.5 add (|x·10^s| ≪ 2^52)
+    * cannot cross it. */
+  private def scaledLong(c: Column, scale: Int): Column = {
+    val scaled = c * math.pow(10, scale).toLong
+    when(scaled >= 0, scaled + lit(0.5)).otherwise(scaled - lit(0.5)).cast(LongType)
+  }
 
   /** Exact order-independent total of integer-scaled longs, as a decimal in
     * the original unit. */
