@@ -109,6 +109,42 @@ object Events {
           count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    // As-of join: each click event picks up the user's most recent purchase
+    // at or before it (classic trades⋈quotes time-series lookup). Spark has
+    // no ASOF JOIN operator; a range-join formulation explodes to
+    // O(clicks × purchases) per user before aggregation. This is the
+    // scale-safe composition: tag both sides, union, and run ONE running
+    // last_value(ignoreNulls) window per user — a single user_id shuffle
+    // and a linear merge pass, never a pair blowup (the same merge an
+    // engine's dedicated ASOF operator does internally). Purchases are
+    // pre-aggregated to one row per (user, second) so the match value is
+    // deterministic on both engines; ref rows sort before probes at equal
+    // timestamps (side 0 < 1), making the match inclusive (ref.s ≤ probe.s).
+    "ev_asof" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), secs.as("s"),
+          col("event_type"), col("value"))
+      val probe = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("s"), col("value"),
+          lit(1).as("side"), lit(null).cast("double").as("ref_value"))
+      val ref = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("s"))
+        .agg(max(col("value")).as("ref_value"))
+        .select(col("user_id"), lit(null).cast("long").as("event_id"),
+          col("s"), lit(null).cast("double").as("value"),
+          lit(0).as("side"), col("ref_value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("s"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      probe.unionByName(ref)
+        .withColumn("asof_s", last(when(col("side") === 0, col("s")), ignoreNulls = true).over(w))
+        .withColumn("asof_value", last(when(col("side") === 0, col("ref_value")), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("user_id"), col("event_id"), col("s"), col("value"),
+          col("asof_s"), col("asof_value"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Top event per user by value with rank over exact values.
     "ev_top_value" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
@@ -165,6 +201,16 @@ object Events {
                 max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN value END) AS p99,
                 max(n) AS n
          FROM r GROUP BY event_type ORDER BY event_type""",
+    "ev_asof" ->
+      // DuckDB's native ASOF LEFT JOIN — the independent implementation of
+      // the same semantics (match = greatest ref.s with ref.s <= probe.s).
+      """WITH probe AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS s, value
+                        FROM events WHERE event_type = 'click'),
+              ref AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS s, max(value) AS ref_value
+                      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT p.user_id, p.event_id, p.s, p.value, r.s AS asof_s, r.ref_value AS asof_value
+         FROM probe p ASOF LEFT JOIN ref r ON p.user_id = r.user_id AND p.s >= r.s
+         ORDER BY p.user_id, p.event_id""",
     "ev_top_value" ->
       """SELECT user_id, rn, event_id, event_type, value FROM (
            SELECT user_id, event_id, event_type, value,

@@ -105,6 +105,25 @@ object Streaming {
       .orderBy("c_mktsegment", "event_type")
   }
 
+  /** Streaming deduplication — the pipeline-ingest building block:
+    * dropDuplicatesWithinWatermark keys state on (user_id, event_type) and
+    * drops it once the watermark passes, so memory stays bounded by the
+    * key-arrival rate × watermark horizon (a plain dropDuplicates would
+    * grow state forever on an unbounded stream). Only the key columns are
+    * emitted: which physical row represents a key is batch-order dependent,
+    * the key SET is not — that keeps the result hash-comparable to the
+    * batch DISTINCT oracle. The trailing distinct() collapses re-emissions
+    * of keys recurring beyond the watermark horizon (none on this replay,
+    * but the read-back must not depend on that). */
+  def dedupKeys(spark: SparkSession, dir: String): DataFrame = {
+    val st = eventsStream(spark, dir)
+      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    drain(st, OutputMode.Append()).distinct().orderBy("user_id", "event_type")
+  }
+
   case class Ev(user_id: Long, event_id: Long, s: Long)
   case class UserSessions(user_id: Long, n_sessions: Long)
 
@@ -142,7 +161,8 @@ object Streaming {
     "stream_hourly" -> ((s, d) => hourly(s, d)),
     "stream_hourly_append" -> ((s, d) => hourlyAppend(s, d)),
     "stream_enrich" -> ((s, d) => enriched(s, d)),
-    "stream_sessions" -> ((s, d) => sessionCounts(s, d))
+    "stream_sessions" -> ((s, d) => sessionCounts(s, d)),
+    "stream_dedup" -> ((s, d) => dedupKeys(s, d))
   )
 
   /** Oracles are the BATCH semantics — checking streaming/batch parity. */
@@ -180,6 +200,9 @@ object Streaming {
                     FROM e)
          SELECT user_id,
                 CAST(sum(CASE WHEN prev_s IS NULL OR s - prev_s > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
-         FROM m GROUP BY 1 ORDER BY user_id"""
+         FROM m GROUP BY 1 ORDER BY user_id""",
+    "stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type"""
   )
 }

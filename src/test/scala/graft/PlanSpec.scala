@@ -291,6 +291,19 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one user_id exchange, found $userIdExchanges:\n$finalPlan")
   }
 
+  test("ev_asof: merge-based as-of join — no join operator, no pair explosion") {
+    val df = SparkEntry.queries("ev_asof")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalPlan = p.split("== Initial Plan ==").head
+    // the as-of lookup must be the union + running-window merge, not a range
+    // join: any Join/CartesianProduct here means an O(clicks × purchases)
+    // per-user blowup that cannot scale
+    assert(!finalPlan.contains("Join"), s"as-of must not plan a join:\n$finalPlan")
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan)
+    assert(finalPlan.contains("Window"), s"expected the running-window merge:\n$finalPlan")
+  }
+
   test("dedup_minhash_lsh: verification path reuses the shingle exchange + broadcasts") {
     val df = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
     df.collect()
