@@ -46,6 +46,12 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         -1.0
       }
+      // release the finished query's shuffle files before the next one runs:
+      // the ContextCleaner only deletes them after the driver GCs the query's
+      // ShuffleDependency objects, and a large driver heap may otherwise not
+      // GC across the whole bench (measured: 17 queries × 6 runs of retained
+      // sf100 spill filled the disk)
+      System.gc()
       name -> t
     }
 

@@ -43,6 +43,13 @@ object Engine {
       // with >1 file per bucket Spark ignores the flag rather than
       // mis-sorting). Measured at sf10: tpch_q5 3.11→2.29s, q21 1.69→1.40s.
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // Long-lived sessions (bench loops, ETL services) accumulate shuffle
+      // files until the DRIVER garbage-collects the ShuffleDependency that
+      // owns them — with a large heap that can be never. The sf100 bench
+      // filled a 54 GB disk this way (17 queries × 6 runs of retained spill).
+      // ContextCleaner's periodic GC defaults to 30 min; 2 min bounds the
+      // retained-shuffle window at a negligible GC cost.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -15,24 +15,34 @@ own benchmark harness caps each query at 60 s (tools/scripts/benchmark.py:35);
 a query that exceeds the cap is recorded as "timeout" rather than hanging the
 whole baseline run.
 
+Each query runs in its OWN child process: at sf100 DuckDB can exceed the
+machine and be killed by the kernel OOM killer (observed on dedup_embed_cos),
+and in-process that would kill the whole baseline — with isolation it is
+recorded as "KILLED (OOM)" and the run continues. The child also sets an
+explicit memory_limit + temp_directory so DuckDB prefers spilling to dying.
+If the output file already exists, completed queries are skipped (resume).
+
 Usage: baseline_duckdb.py <sfDir> <oracle_sql.json> [out.json]
 Dev-only tool (driver-side python stack); not part of the shipped library.
 """
-import json, sys, time, glob, os, threading
-import duckdb
+import json, sys, time, os, threading, subprocess, tempfile
 
 TIMEOUT_S = float(os.environ.get("TIMEOUT_S", "300"))
+MEM_LIMIT = os.environ.get("DUCKDB_MEM", "96GB")
 
 HEADLINE = ["tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q10",
             "tpch_q21", "agg_rollup", "agg_groupjoin", "win_running_sum",
             "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
             "dedup_embed_cos", "sim_cosine_topk", "text_quality", "ev_sessions"]
 
-def main():
-    sf_dir, oracle_path = sys.argv[1], sys.argv[2]
-    out_path = sys.argv[3] if len(sys.argv) > 3 else None
+
+def connect(sf_dir):
+    import duckdb
     con = duckdb.connect()
     con.execute("SET threads TO %d" % os.cpu_count())
+    con.execute(f"SET memory_limit='{MEM_LIMIT}'")
+    tmp = tempfile.mkdtemp(prefix="duck_spill_")
+    con.execute(f"SET temp_directory='{tmp}'")
     for name in ["region", "nation", "customer", "supplier", "part", "orders",
                  "lineitem", "events", "documents", "embeddings"]:
         p = f"{sf_dir}/{name}.parquet"
@@ -48,41 +58,82 @@ def main():
                 con.execute("DROP VIEW events")
                 con.execute(f"CREATE VIEW events AS SELECT * REPLACE "
                             f"(make_timestamp(ts // 1000) AS ts) FROM {src}")
+    return con
+
+
+def run_one(sf_dir, sql):
+    """Child-process entry: 1 warmup + 5 measured, median → JSON on stdout."""
+    import duckdb
+    con = connect(sf_dir)
+
+    def once():
+        timer = threading.Timer(TIMEOUT_S, con.interrupt)
+        timer.start()
+        try:
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            return time.time() - t0
+        finally:
+            timer.cancel()
+    try:
+        once()  # warmup
+        runs = sorted(once() for _ in range(5))
+        print(json.dumps({"ok": round(runs[2], 4)}))
+    except duckdb.InterruptException:
+        print(json.dumps({"err": f"TIMEOUT>{TIMEOUT_S}s"}))
+    except Exception as e:
+        print(json.dumps({"err": f"ERROR: {e}"}))
+
+
+def main():
+    sf_dir, oracle_path = sys.argv[1], sys.argv[2]
+    out_path = sys.argv[3] if len(sys.argv) > 3 else None
     oracle = json.load(open(oracle_path))
     results = {}
+    if out_path and os.path.exists(out_path):  # resume a killed run
+        results = json.load(open(out_path)).get("queries", {})
+
+    def save():
+        total = sum(v for v in results.values() if isinstance(v, float))
+        out = {"engine": "duckdb-" + __import__("duckdb").__version__,
+               "sf": sf_dir, "threads": os.cpu_count(),
+               "total": round(total, 4), "queries": results}
+        if out_path:
+            json.dump(out, open(out_path, "w"), indent=1)
+        return out
+
     for q in HEADLINE:
+        if q in results and not (isinstance(results[q], str)
+                                 and results[q].startswith("KILLED")):
+            print(f"[baseline] {q:24} (resume: kept {results[q]})",
+                  file=sys.stderr)
+            continue
         if q not in oracle:
             results[q] = None
             print(f"[baseline] {q:24} no-oracle (skipped)", file=sys.stderr)
             continue
-        sql = oracle[q]
-        def once():
-            timer = threading.Timer(TIMEOUT_S, con.interrupt)
-            timer.start()
-            try:
-                t0 = time.time()
-                con.execute(sql).fetchall()
-                return time.time() - t0
-            finally:
-                timer.cancel()
-        try:
-            once()  # warmup
-            runs = sorted(once() for _ in range(5))
-            results[q] = round(runs[2], 4)
-            print(f"[baseline] {q:24} {runs[2]:8.4f}s", file=sys.stderr)
-        except duckdb.InterruptException:
-            results[q] = f"TIMEOUT>{TIMEOUT_S}s"
-            print(f"[baseline] {q:24} TIMEOUT after {TIMEOUT_S}s", file=sys.stderr)
-        except Exception as e:
-            results[q] = f"ERROR: {e}"
-            print(f"[baseline] {q:24} ERROR {e}", file=sys.stderr)
-    total = sum(v for v in results.values() if isinstance(v, float))
-    out = {"engine": "duckdb-" + duckdb.__version__, "sf": sf_dir,
-           "threads": os.cpu_count(), "total": round(total, 4),
-           "queries": results}
-    print(json.dumps(out))
-    if out_path:
-        json.dump(out, open(out_path, "w"), indent=1)
+        child = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), sf_dir, oracle_path,
+             "--one", q],
+            capture_output=True, text=True)
+        line = (child.stdout or "").strip().splitlines()
+        if child.returncode != 0 or not line:
+            # negative returncode = killed by signal (kernel OOM killer sends
+            # SIGKILL); anything else without output is a hard crash
+            results[q] = f"KILLED (rc={child.returncode}, likely OOM)"
+            print(f"[baseline] {q:24} KILLED rc={child.returncode}",
+                  file=sys.stderr)
+        else:
+            r = json.loads(line[-1])
+            results[q] = r.get("ok", r.get("err"))
+            print(f"[baseline] {q:24} {results[q]}", file=sys.stderr)
+        save()  # persist after every query so a later kill loses nothing
+    print(json.dumps(save()))
+
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 5 and sys.argv[3] == "--one":
+        oracle = json.load(open(sys.argv[2]))
+        run_one(sys.argv[1], oracle[sys.argv[4]])
+    else:
+        main()
