@@ -59,7 +59,12 @@ object Bench {
     val qs = results.map { case (k, v) => s""""$k":${f(v)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => s""""$k"""" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
+    // A query that errors means the bench total is not comparable across
+    // rounds — fail the run loudly rather than reporting a partial total.
+    if (results.exists(_._2 < 0)) sys.exit(1)
   }
 }

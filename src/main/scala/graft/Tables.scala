@@ -2,6 +2,8 @@ package graft
 
 import java.io.File
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Parquet-backed table loader over a scale-factor directory.
   *
@@ -42,9 +44,25 @@ object Tables {
   }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    bucketSpec(dir, name) match {
+    normalizeTs(bucketSpec(dir, name) match {
       case Some((key, n)) => bucketed(spark, dir, name, key, n)
       case None => spark.read.parquet(s"$dir/$name.parquet")
+    })
+
+  /** The driver's `events.ts` has shipped as TIMESTAMP(NANOS) (read as raw
+    * ns longs via the nanosAsLong session config) and as TIMESTAMP(MICROS)
+    * (read as TIMESTAMP_NTZ) across testdata revisions. All downstream time
+    * arithmetic is exact integer math on ns-since-epoch longs (matching
+    * DuckDB's epoch_ns), so normalize any timestamp-typed `ts` to that
+    * representation here — one map-side projection over the scan, no
+    * shuffle, and every consumer stays physical-type agnostic. Sessions run
+    * with spark.sql.session.timeZone=UTC, so the NTZ→instant cast is the
+    * identity mapping DuckDB applies to naive parquet timestamps. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampNTZType) | Some(TimestampType) =>
+        df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+      case _ => df
     }
 
   /** Register (once per session) and read the bucketed layout. The files are

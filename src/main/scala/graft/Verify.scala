@@ -15,8 +15,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet stores TIMESTAMP(NANOS); read as raw ns-since-epoch
-      // longs (exact, matches DuckDB's epoch_ns) instead of failing.
+      // TIMESTAMP(NANOS) testdata revisions read as raw ns-since-epoch longs
+      // instead of failing; MICROS revisions are normalized by
+      // Tables.normalizeTs (exact, matches DuckDB's epoch_ns) either way.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -27,6 +28,15 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Write an explicit error marker so the driver's compare records a
+        // FAILURE (schema mismatch) for this query instead of silently
+        // omitting it from the round's correctness artifact.
+        try {
+          import spark.implicits._
+          Seq(s"ERROR ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
+            .toDF("graft_query_error").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

