@@ -104,17 +104,28 @@ object TpchLike {
           count(lit(1)).as("n"))),
 
     // Q10 returned items: customer-level revenue loss from returns.
+    // Fact-first + eager aggregation (same reasoning as q3/q5/agg_groupjoin):
+    // joining customer⋈orders first re-partitions orders on custkey and
+    // forfeits the bucketed orderkey layout. Instead the orders⋈lineitem
+    // join runs zero-exchange on the buckets, revenue is aggregated down to
+    // one row per custkey (map-side combine; c_custkey is unique so grouping
+    // by o_custkey pre-join is exactly the post-join (c_custkey,c_name,
+    // n_name) grouping), and only then do customer and nation attach — the
+    // only remaining shuffle moves per-customer partials, not fact rows.
     "tpch_q10" -> ((s, d) => {
       val ord = t(s, d, "orders")
         .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
           col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        .select(col("o_orderkey"), col("o_custkey"))
       val li = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
-      t(s, d, "customer")
-        .join(ord, col("c_custkey") === col("o_custkey"))
-        .join(li, col("o_orderkey") === col("l_orderkey"))
-        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val rev = ord.join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"))
         .agg(msum(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
+      t(s, d, "customer")
+        .join(rev, col("c_custkey") === col("o_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"), col("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     })
