@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // System.gc() (ContextCleaner periodic GC) as a concurrent cycle, not a
+  // multi-second STW Full GC — see tools/run_main.sh
+  "-XX:+ExplicitGCInvokesConcurrent",
 )

@@ -40,8 +40,10 @@ object Bench {
         // 5 measured runs, median: per-query variance at small SFs is up to
         // ±3x on shared hardware (PERF_r04.md §1) — a 3-run median still let
         // one bad pair flag a phantom regression; 5 runs bound the damage
-        val runs = Seq.fill(5)(once(name)).sorted
-        runs(2) // median
+        val runs = Seq.fill(5)(once(name))
+        System.err.println(s"[bench] $name runs: " +
+          runs.map(r => f"$r%.2f").mkString(" "))
+        runs.sorted.apply(2) // median
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         -1.0

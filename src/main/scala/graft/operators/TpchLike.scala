@@ -122,8 +122,13 @@ object TpchLike {
       val rev = ord.join(li, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_custkey"))
         .agg(msum(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
+      // rev is ~|active customers| narrow rows: exchange both thin sides and
+      // hash-build on rev — NOT a broadcast (collecting a per-customer
+      // aggregate to the driver is exactly the 100 TB anti-pattern, and the
+      // measured local cost of broadcasting 1.5M customer rows was 4× the
+      // whole query).
       t(s, d, "customer")
-        .join(rev, col("c_custkey") === col("o_custkey"))
+        .join(rev.hint("shuffle_hash"), col("c_custkey") === col("o_custkey"))
         .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("c_name"), col("n_name"), col("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
