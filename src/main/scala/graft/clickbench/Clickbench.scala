@@ -116,18 +116,23 @@ object Clickbench {
   private def dataDir: String = s"${sys.props("java.io.tmpdir")}/graft_cb_data"
 
   def ensure(spark: SparkSession): Unit =
-    if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
-      val ver = Integer.toHexString(
-        ClickbenchGen.hits(graft.tpcds.TpcdsGen.SparkDia).hashCode)
-      val done = Paths.get(s"$dataDir/_ALL_TABLES_OK_$ver")
-      Clickbench.synchronized {
-        if (!Files.exists(done)) {
-          spark.sql(ClickbenchGen.hits(graft.tpcds.TpcdsGen.SparkDia))
-            .write.mode("overwrite").parquet(s"$dataDir/hits")
-          Files.createFile(done)
+    if (!registered.containsKey(spark)) Clickbench.synchronized {
+      if (!registered.containsKey(spark)) {
+        val ver = Integer.toHexString(
+          ClickbenchGen.hits(graft.tpcds.TpcdsGen.SparkDia).hashCode)
+        val done = Paths.get(s"$dataDir/_ALL_TABLES_OK_$ver")
+        graft.util.GenLock.withFileLock(s"$dataDir.lock") {
+          if (!Files.exists(done)) {
+            spark.sql(ClickbenchGen.hits(graft.tpcds.TpcdsGen.SparkDia))
+              .write.mode("overwrite").parquet(s"$dataDir/hits")
+            Files.createFile(done)
+          }
         }
+        spark.read.parquet(s"$dataDir/hits").createOrReplaceTempView("cb_hits")
+        // mark only after the view exists: a transient generation failure
+        // must retry on the next query, not poison the whole session
+        registered.put(spark, java.lang.Boolean.TRUE)
       }
-      spark.read.parquet(s"$dataDir/hits").createOrReplaceTempView("cb_hits")
     }
 
   // ------------------------------------------------------------------ output

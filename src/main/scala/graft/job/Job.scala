@@ -83,22 +83,27 @@ object Job {
   /** Materialize the closed-form tables to parquet once per machine, then
     * register parquet-backed views (same scheme as Tpcds.ensure). */
   def ensure(spark: SparkSession): Unit =
-    if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
-      val ver = Integer.toHexString(
-        JobGen.tables.map(_._2(graft.tpcds.TpcdsGen.SparkDia)).mkString.hashCode)
-      val done = Paths.get(s"$dataDir/_ALL_TABLES_OK_$ver")
-      Job.synchronized {
-        if (!Files.exists(done)) {
-          JobGen.tables.foreach { case (name, gen) =>
-            spark.sql(gen(graft.tpcds.TpcdsGen.SparkDia))
-              .write.mode("overwrite").parquet(s"$dataDir/$name")
+    if (!registered.containsKey(spark)) Job.synchronized {
+      if (!registered.containsKey(spark)) {
+        val ver = Integer.toHexString(
+          JobGen.tables.map(_._2(graft.tpcds.TpcdsGen.SparkDia)).mkString.hashCode)
+        val done = Paths.get(s"$dataDir/_ALL_TABLES_OK_$ver")
+        graft.util.GenLock.withFileLock(s"$dataDir.lock") {
+          if (!Files.exists(done)) {
+            JobGen.tables.foreach { case (name, gen) =>
+              spark.sql(gen(graft.tpcds.TpcdsGen.SparkDia))
+                .write.mode("overwrite").parquet(s"$dataDir/$name")
+            }
+            Files.createFile(done)
           }
-          Files.createFile(done)
         }
-      }
-      JobGen.tables.foreach { case (name, _) =>
-        spark.read.parquet(s"$dataDir/$name")
-          .createOrReplaceTempView(s"job_$name")
+        JobGen.tables.foreach { case (name, _) =>
+          spark.read.parquet(s"$dataDir/$name")
+            .createOrReplaceTempView(s"job_$name")
+        }
+        // mark only after the views exist: a transient generation failure
+        // must retry on the next query, not poison the whole session
+        registered.put(spark, java.lang.Boolean.TRUE)
       }
     }
 

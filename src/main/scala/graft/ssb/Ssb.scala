@@ -59,26 +59,31 @@ object Ssb {
   private def dataDir: String = s"${sys.props("java.io.tmpdir")}/graft_ssb_data"
 
   def ensure(spark: SparkSession): Unit =
-    if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
-      val ver = Integer.toHexString(
-        (SsbGen.tables ++ SsbGen.tablesCoded)
-          .map(_._2(graft.tpcds.TpcdsGen.SparkDia)).mkString.hashCode)
-      val done = Paths.get(s"$dataDir/_ALL_TABLES_OK_$ver")
-      Ssb.synchronized {
-        if (!Files.exists(done)) {
-          (SsbGen.tables.map(("ssb_", _)) ++ SsbGen.tablesCoded.map(("ssb2_", _)))
-            .foreach { case (pfx, (name, gen)) =>
-              spark.sql(gen(graft.tpcds.TpcdsGen.SparkDia))
-                .write.mode("overwrite").parquet(s"$dataDir/$pfx$name")
-            }
-          Files.createFile(done)
+    if (!registered.containsKey(spark)) Ssb.synchronized {
+      if (!registered.containsKey(spark)) {
+        val ver = Integer.toHexString(
+          (SsbGen.tables ++ SsbGen.tablesCoded)
+            .map(_._2(graft.tpcds.TpcdsGen.SparkDia)).mkString.hashCode)
+        val done = Paths.get(s"$dataDir/_ALL_TABLES_OK_$ver")
+        graft.util.GenLock.withFileLock(s"$dataDir.lock") {
+          if (!Files.exists(done)) {
+            (SsbGen.tables.map(("ssb_", _)) ++ SsbGen.tablesCoded.map(("ssb2_", _)))
+              .foreach { case (pfx, (name, gen)) =>
+                spark.sql(gen(graft.tpcds.TpcdsGen.SparkDia))
+                  .write.mode("overwrite").parquet(s"$dataDir/$pfx$name")
+              }
+            Files.createFile(done)
+          }
         }
+        (SsbGen.tables.map(("ssb_", _)) ++ SsbGen.tablesCoded.map(("ssb2_", _)))
+          .foreach { case (pfx, (name, _)) =>
+            spark.read.parquet(s"$dataDir/$pfx$name")
+              .createOrReplaceTempView(s"$pfx$name")
+          }
+        // mark only after the views exist: a transient generation failure
+        // must retry on the next query, not poison the whole session
+        registered.put(spark, java.lang.Boolean.TRUE)
       }
-      (SsbGen.tables.map(("ssb_", _)) ++ SsbGen.tablesCoded.map(("ssb2_", _)))
-        .foreach { case (pfx, (name, _)) =>
-          spark.read.parquet(s"$dataDir/$pfx$name")
-            .createOrReplaceTempView(s"$pfx$name")
-        }
     }
 
   // ------------------------------------------------------------------ output

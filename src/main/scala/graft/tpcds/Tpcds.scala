@@ -150,24 +150,29 @@ object Tpcds {
     * a cached generator view breaks attribute resolution when a WITH-CTE
     * references it through deduplicated branches. */
   def ensure(spark: SparkSession): Unit =
-    if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
-      // marker carries the generator-text hash: a changed closed form
-      // invalidates the parquet cache instead of silently serving stale rows
-      val ver = Integer.toHexString(
-        TpcdsGen.tables.map(_._2(TpcdsGen.SparkDia)).mkString.hashCode)
-      val done = Paths.get(s"$dataDir/_ALL_TABLES_OK_$ver")
-      Tpcds.synchronized {
-        if (!Files.exists(done)) {
-          TpcdsGen.tables.foreach { case (name, gen) =>
-            spark.sql(gen(TpcdsGen.SparkDia))
-              .write.mode("overwrite").parquet(s"$dataDir/$name")
+    if (!registered.containsKey(spark)) Tpcds.synchronized {
+      if (!registered.containsKey(spark)) {
+        // marker carries the generator-text hash: a changed closed form
+        // invalidates the parquet cache instead of silently serving stale rows
+        val ver = Integer.toHexString(
+          TpcdsGen.tables.map(_._2(TpcdsGen.SparkDia)).mkString.hashCode)
+        val done = Paths.get(s"$dataDir/_ALL_TABLES_OK_$ver")
+        graft.util.GenLock.withFileLock(s"$dataDir.lock") {
+          if (!Files.exists(done)) {
+            TpcdsGen.tables.foreach { case (name, gen) =>
+              spark.sql(gen(TpcdsGen.SparkDia))
+                .write.mode("overwrite").parquet(s"$dataDir/$name")
+            }
+            Files.createFile(done)
           }
-          Files.createFile(done)
         }
-      }
-      TpcdsGen.tables.foreach { case (name, _) =>
-        spark.read.parquet(s"$dataDir/$name")
-          .createOrReplaceTempView(s"tpcds_$name")
+        TpcdsGen.tables.foreach { case (name, _) =>
+          spark.read.parquet(s"$dataDir/$name")
+            .createOrReplaceTempView(s"tpcds_$name")
+        }
+        // mark only after the views exist: a transient generation failure
+        // must retry on the next query, not poison the whole session
+        registered.put(spark, java.lang.Boolean.TRUE)
       }
     }
 

@@ -130,22 +130,27 @@ object Tpcxbb {
 
   def ensure(spark: SparkSession): Unit = {
     Tpcds.ensure(spark)
-    if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
-      val ver = Integer.toHexString(
-        extraTables.map(_._2(TpcdsGen.SparkDia)).mkString.hashCode)
-      val done = Paths.get(s"$dataDir/_ALL_TABLES_OK_$ver")
-      Tpcxbb.synchronized {
-        if (!Files.exists(done)) {
-          extraTables.foreach { case (name, gen) =>
-            spark.sql(gen(TpcdsGen.SparkDia))
-              .write.mode("overwrite").parquet(s"$dataDir/$name")
+    if (!registered.containsKey(spark)) Tpcxbb.synchronized {
+      if (!registered.containsKey(spark)) {
+        val ver = Integer.toHexString(
+          extraTables.map(_._2(TpcdsGen.SparkDia)).mkString.hashCode)
+        val done = Paths.get(s"$dataDir/_ALL_TABLES_OK_$ver")
+        graft.util.GenLock.withFileLock(s"$dataDir.lock") {
+          if (!Files.exists(done)) {
+            extraTables.foreach { case (name, gen) =>
+              spark.sql(gen(TpcdsGen.SparkDia))
+                .write.mode("overwrite").parquet(s"$dataDir/$name")
+            }
+            Files.createFile(done)
           }
-          Files.createFile(done)
         }
-      }
-      extraTables.foreach { case (name, _) =>
-        spark.read.parquet(s"$dataDir/$name")
-          .createOrReplaceTempView(s"tpcds_$name")
+        extraTables.foreach { case (name, _) =>
+          spark.read.parquet(s"$dataDir/$name")
+            .createOrReplaceTempView(s"tpcds_$name")
+        }
+        // mark only after the views exist: a transient generation failure
+        // must retry on the next query, not poison the whole session
+        registered.put(spark, java.lang.Boolean.TRUE)
       }
     }
   }
