@@ -27,6 +27,10 @@ object ScaleUp {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // shuffle files live until the driver GCs their ShuffleDependency;
+      // at k=1000 the per-table replication shuffles retained ~39 GB of
+      // spill across tables and blew the disk before the bucketed phase
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -107,6 +111,7 @@ object ScaleUp {
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
       val n = spark.read.parquet(s"$out/$name.parquet").count()
       println(f"[scaleup] $name%-12s $n%10d rows  ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+      System.gc() // let ContextCleaner delete the finished table's shuffle files
     }
 
     // Bucketed layout for the order-key fact-fact join (Tables.load prefers it
@@ -132,6 +137,7 @@ object ScaleUp {
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/_bucketspec"),
         s"$key $nb".getBytes("UTF-8"))
       println(f"[scaleup] $name%-12s bucketed($nb on $key)  ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+      System.gc() // let ContextCleaner delete the finished table's shuffle files
     }
 
     // Per-table planning samples (~2k rows, deterministic seed) + true row
