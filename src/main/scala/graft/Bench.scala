@@ -25,7 +25,7 @@ object Bench {
     // optional args: subset of headline query names (A/B iteration on one query)
     val selected = if (args.nonEmpty) headline.filter(args.contains) else headline
     val spark = Engine.create(master = s"local[$cpus]", shufflePartitions = cpus.toInt,
-      appName = "graft-bench")
+      appName = "graft-bench", dataDir = Some(sfDir))
 
     def once(name: String): Double = {
       val t0 = System.nanoTime()
@@ -39,8 +39,12 @@ object Bench {
         once(name) // warmup: JIT + codegen + file-footer caches
         // 5 measured runs, median: per-query variance at small SFs is up to
         // ±3x on shared hardware (PERF_r04.md §1) — a 3-run median still let
-        // one bad pair flag a phantom regression; 5 runs bound the damage
-        val runs = Seq.fill(5)(once(name))
+        // one bad pair flag a phantom regression; 5 runs bound the damage.
+        // GC after EVERY run (concurrent, after the clock stops): one sf100
+        // run of a shingle-heavy query spills >10 GB, and six runs' retained
+        // shuffle files exhausted the disk mid-query before the per-query
+        // cleanup below ever ran
+        val runs = Seq.fill(5) { val r = once(name); System.gc(); r }
         System.err.println(s"[bench] $name runs: " +
           runs.map(r => f"$r%.2f").mkString(" "))
         runs.sorted.apply(2) // median

@@ -11,10 +11,36 @@ import org.apache.spark.sql.SparkSession
   * re-optimizer standing in for sample-driven DPhyp join ordering (SURVEY §4.1).
   */
 object Engine {
+  /** Scan-split sizing derived from the data directory's actual file layout.
+    *
+    * Parquet scans split at [maxPartitionBytes] boundaries; the right value
+    * is a function of file size, not scale factor. The driver's small-SF
+    * testdata is MB-sized single files — the production defaults (128 MB
+    * budget, 4 MB open cost) pack every one into 1-2 scan partitions and
+    * serialize the map side on 32 cores, so small layouts get 4 MB/512 KB
+    * (one task per file). sf100's files are 100 MB-1 GB — production-shaped
+    * — and there the 4 MB setting over-splits into thousands of tiny tasks
+    * (measured at sf100: tpch_q6 2.23→1.23 s, q1 5.68→4.32 s moving to
+    * 128 MB). Threshold: any table part-file ≥64 MB → production defaults.
+    */
+  def scanSplitConf(dataDir: String): (Long, Long) = {
+    val root = new java.io.File(dataDir)
+    val parts = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.endsWith(".parquet"))
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .filter(_.getName.endsWith(".parquet"))
+    val maxBytes = if (parts.isEmpty) 0L else parts.map(_.length).max
+    if (maxBytes >= 64L * 1024 * 1024) (128L * 1024 * 1024, 4L * 1024 * 1024)
+    else (4L * 1024 * 1024, 512L * 1024)
+  }
+
   def create(
       master: String = s"local[${Runtime.getRuntime.availableProcessors}]",
       shufflePartitions: Int = Runtime.getRuntime.availableProcessors,
-      appName: String = "graft"): SparkSession = {
+      appName: String = "graft",
+      dataDir: Option[String] = None): SparkSession = {
+    val (splitBytes, openCost) = dataDir.map(scanSplitConf)
+      .getOrElse((4L * 1024 * 1024, 512L * 1024))
     val base = SparkSession.builder()
       .master(master)
       .appName(appName)
@@ -27,14 +53,9 @@ object Engine {
         e.injectOptimizerRule(s => plans.SampleJoinReorder(s))
       }
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      // Scan-split sizing for the bench SFs: tables here are MBs, not the
-      // 128MB+ files of a production lake, and the defaults (128MB budget,
-      // 4MB open cost) pack every small file into 1-2 scan partitions —
-      // serializing the map side on 32 cores. 4MB/512KB keeps one task per
-      // file at bench scale; at 100 TB these two lines are the knobs a
-      // deployment sizes to its file layout (default-sized files → defaults).
-      .config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
-      .config("spark.sql.files.openCostInBytes", (512 * 1024).toString)
+      // Scan-split sizing — derived from the file layout, see scanSplitConf
+      .config("spark.sql.files.maxPartitionBytes", splitBytes.toString)
+      .config("spark.sql.files.openCostInBytes", openCost.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Bucketed scans report their on-disk sort order so co-located

@@ -95,8 +95,69 @@ object TextAnalysis {
     // Language-ID: stopword-profile n-gram heuristic (argmax of per-language
     // marker-token hits, deterministic priority on ties). The oracle mirrors
     // the same profiles and tie order in DuckDB, so this is hash-checked.
-    "text_langid" -> ((s, d) => langid(t(s, d, "documents")).orderBy("doc_id"))
+    "text_langid" -> ((s, d) => langid(t(s, d, "documents")).orderBy("doc_id")),
+
+    // PII scrubbing: redact emails / phone-shaped numbers / IPv4s before a
+    // corpus ships to training. Pure map stage (regexp_replace chains are
+    // codegen'd), so it scales with input splits like every other narrow
+    // transform here. The synthetic corpus has no organic PII, so a
+    // deterministic PII-bearing suffix (a function of doc_id alone) is
+    // appended on BOTH engines before scrubbing — the redaction paths are
+    // genuinely exercised, and counts land in the output for the contract.
+    "text_pii_scrub" -> ((s, d) => {
+      val injected = concat(col("text"),
+        lit(" contact user"), (col("doc_id") % 1000).cast("string"),
+        lit("@example.com or +1 555-01"),
+        format_string("%02d", col("doc_id") % 100),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+        lit("."), (col("doc_id") % 97).cast("string"))
+      val scrubbed = regexp_replace(regexp_replace(regexp_replace(injected,
+        PiiEmail, "<EMAIL>"), PiiPhone, "<PHONE>"), PiiIp, "<IP>")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(injected, lit(PiiEmail), lit(0))).cast("long").as("n_email"),
+          size(regexp_extract_all(injected, lit(PiiPhone), lit(0))).cast("long").as("n_phone"),
+          md5(scrubbed.cast("binary")).as("scrubbed_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Fixed-size token chunking with overlap (chunk 64, stride 48) — the
+    // shape every context-window-bounded training pipeline needs. posexplode
+    // over the chunk starts is map-side only: no shuffle, each input split
+    // chunks independently, output order pinned by (doc_id, chunk_id).
+    "text_chunk" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), toks.as("w"))
+        .select(col("doc_id"),
+          posexplode(sequence(lit(1), greatest(size(col("w")) - ChunkOverlap, lit(1)),
+            lit(ChunkStride))).as(Seq("chunk_id", "start")),
+          col("w"))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          array_join(slice(col("w"), col("start"), lit(ChunkSize)), " ").as("chunk_text"),
+          least(size(col("w")) - col("start") + 1, lit(ChunkSize)).cast("long")
+            .as("n_chunk_tokens"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // Corpus vocabulary: global token frequencies, top 100. One shuffle on
+    // the token key with full map-side partial aggregation — the exploded
+    // token stream never moves, only (token, partial-count) pairs do; the
+    // top-k is a bounded heap (TakeOrderedAndProject), not a global sort.
+    "text_vocab" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(toks).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(100))
   )
+
+  // PII patterns — the subset of regex syntax Java and RE2 (DuckDB) agree on
+  private[graft] val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PiiPhone = "\\+[0-9][0-9 -]{7,}[0-9]"
+  private[graft] val PiiIp = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  private[graft] val ChunkSize = 64
+  private[graft] val ChunkStride = 48
+  private[graft] val ChunkOverlap = ChunkSize - ChunkStride
 
   private[graft] val langProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),
@@ -158,6 +219,32 @@ object TextAnalysis {
          SELECT doc_id, count(*) AS n_shared
          FROM grams WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench)
          GROUP BY doc_id ORDER BY doc_id""",
+    "text_pii_scrub" -> {
+      val injected = "text || ' contact user' || CAST(doc_id % 1000 AS VARCHAR)" +
+        " || '@example.com or +1 555-01' || printf('%02d', doc_id % 100)" +
+        " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 97 AS VARCHAR)"
+      s"""WITH inj AS (SELECT doc_id, $injected AS it FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(it, '$PiiEmail')) AS BIGINT) AS n_email,
+                CAST(len(regexp_extract_all(it, '$PiiPhone')) AS BIGINT) AS n_phone,
+                md5(regexp_replace(regexp_replace(regexp_replace(it,
+                  '$PiiEmail', '<EMAIL>', 'g'), '$PiiPhone', '<PHONE>', 'g'),
+                  '$PiiIp', '<IP>', 'g')) AS scrubbed_md5
+         FROM inj ORDER BY doc_id"""
+    },
+    "text_chunk" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              st AS (SELECT doc_id, w,
+                            unnest(generate_series(1, greatest(len(w) - $ChunkOverlap, 1), $ChunkStride)) AS start
+                     FROM w)
+         SELECT doc_id, CAST((start - 1) // $ChunkStride AS BIGINT) AS chunk_id,
+                array_to_string(list_slice(w, start, start + ${ChunkSize - 1}), ' ') AS chunk_text,
+                CAST(least(len(w) - start + 1, $ChunkSize) AS BIGINT) AS n_chunk_tokens
+         FROM st ORDER BY doc_id, chunk_id""",
+    "text_vocab" ->
+      """SELECT token, count(*) AS freq
+         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+         GROUP BY token ORDER BY freq DESC, token LIMIT 100""",
     "text_langid" -> {
       val profiles = langProfiles
       val scores = profiles.map { case (lang, ms) =>

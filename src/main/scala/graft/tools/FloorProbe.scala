@@ -23,7 +23,7 @@ object FloorProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString).toInt
     val spark = graft.Engine.create(master = s"local[$cpus]",
-      shufflePartitions = cpus, appName = "graft-floor")
+      shufflePartitions = cpus, appName = "graft-floor", dataDir = Some(sfDir))
 
     // task-level metrics: split execution wall time into parallel compute
     // (Σ executorRunTime / cores = the ideal wall clock) vs everything else

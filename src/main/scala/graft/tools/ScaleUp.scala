@@ -15,13 +15,17 @@ import org.apache.spark.sql.functions._
   * files (see BASELINE.md). Document text gets a per-replica suffix so text
   * dedup doesn't degenerate into 10x exact duplicates.
   *
-  * Usage: runMain graft.tools.ScaleUp [srcDir] [outDir] [k]
+  * Usage: runMain graft.tools.ScaleUp [srcDir] [outDir] [k] [tables,csv]
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val k = if (args.length > 2) args(2).toInt else 10
+    // optional table filter for partial regeneration (bucketed/sample steps
+    // are filtered the same way)
+    val tableFilter: String => Boolean =
+      if (args.length > 3) args(3).split(",").toSet else _ => true
     val spark = SparkSession.builder()
       .master(s"local[${Runtime.getRuntime.availableProcessors}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -81,11 +85,17 @@ object ScaleUp {
         // flip a distinct per-replica sign pattern so replicas are near- not
         // exact-duplicates: sign-identical copies would share every LSH band
         // and quadratically multiply candidate pairs (real pipelines exact-
-        // dedup first; the bench should model post-exact-dedup data)
+        // dedup first; the bench should model post-exact-dedup data).
+        // The pattern is r's BIT pattern tiled over the dimensions — distinct
+        // for every r < 1024. The earlier (i + r) % 13 form repeated every 13
+        // replicas, so k=1000 produced ~77 sign-IDENTICAL copies per base
+        // vector and the LSH candidate join blew up quadratically (~78M
+        // pairs, >50 GB shuffle): exactly the degenerate input the
+        // perturbation exists to rule out.
         val d = spread(tbl("embeddings")).withColumn("_r", explode(sequence(lit(0), lit(k - 1))))
         d.withColumn("vec_id", col("vec_id") + col("_r") * VEC)
           .withColumn("embedding",
-            expr("transform(embedding, (x, i) -> CASE WHEN _r > 0 AND (i + _r) % 13 = 0 THEN -x ELSE x END)"))
+            expr("transform(embedding, (x, i) -> CASE WHEN _r > 0 AND ((_r >> (i % 10)) & 1) = 1 THEN -x ELSE x END)"))
           .drop("_r")
       })
 
@@ -102,7 +112,7 @@ object ScaleUp {
       "documents" -> (8, "doc_id"), "embeddings" -> (8, "vec_id"))
 
     new java.io.File(out).mkdirs()
-    jobs.foreach { case (name, df0) =>
+    jobs.filter(j => tableFilter(j._1)).foreach { case (name, df0) =>
       val t0 = System.nanoTime()
       val df = layout.get(name) match {
         case Some((n, key)) => df0.repartitionByRange(n, col(key))
@@ -124,7 +134,7 @@ object ScaleUp {
     // bench machine's cores; a cluster deployment sizes this to executors
     // (e.g. 4096) — the plan shape is identical.
     val bucketJobs = Seq(("lineitem", "l_orderkey", 32), ("orders", "o_orderkey", 32))
-    bucketJobs.foreach { case (name, key, nb) =>
+    bucketJobs.filter(b => tableFilter(b._1)).foreach { case (name, key, nb) =>
       val t0 = System.nanoTime()
       val path = s"$out/_bucketed/$name"
       val tmp = s"graft_scaleup_bkt_$name"
@@ -146,7 +156,7 @@ object ScaleUp {
     // (QueryGraph.cpp:264-294). Tiny by construction: this is planning
     // metadata, like the reference's persisted samples, not data.
     new java.io.File(s"$out/_samples").mkdirs()
-    jobs.map(_._1).foreach { name =>
+    jobs.map(_._1).filter(tableFilter).foreach { name =>
       val df = spark.read.parquet(s"$out/$name.parquet")
       val total = df.count()
       val frac = math.min(1.0, 2500.0 / math.max(total, 1L))

@@ -96,6 +96,51 @@ class PipelineSpec extends SparkSpec {
     assert(n == Tables.load(spark, sf, "documents").count())
   }
 
+  test("pii scrub: injected email/phone are found and redacted") {
+    val rows = SparkEntry.queries("text_pii_scrub")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every doc gets exactly one injected email + phone appended; organic
+    // matches in the synthetic text would only add to the counts
+    assert(rows.forall(_.getAs[Long]("n_email") >= 1))
+    assert(rows.forall(_.getAs[Long]("n_phone") >= 1))
+  }
+
+  test("chunking: stride/size invariants and exact reassembly") {
+    import graft.data.TextAnalysis.{ChunkOverlap, ChunkSize, ChunkStride}
+    val docs = Tables.load(spark, sf, "documents").filter(col("doc_id") < 50)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val chunks = SparkEntry.queries("text_chunk")(spark, sf)
+      .filter(col("doc_id") < 50).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("chunk_id"))
+        .map(_.getAs[String]("chunk_text")).toSeq).toMap
+    assert(chunks.keySet == docs.keySet)
+    docs.foreach { case (id, toks) =>
+      val expected = (1 to math.max(toks.size - ChunkOverlap, 1) by ChunkStride)
+        .map(s => toks.slice(s - 1, s - 1 + ChunkSize).mkString(" "))
+      assert(chunks(id) == expected, s"doc $id")
+      // overlap-aware reassembly: chunk 0 + the tail of every later chunk
+      val reassembled = (expected.head.split(" ", -1).toSeq ++
+        expected.tail.flatMap(_.split(" ", -1).drop(ChunkOverlap))).mkString(" ")
+      assert(reassembled == toks.mkString(" "), s"doc $id reassembly")
+    }
+  }
+
+  test("vocab: top-k rows, frequencies descending, counts match a manual count") {
+    val rows = SparkEntry.queries("text_vocab")(spark, sf).collect()
+    val vocabSize = Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("tok")).distinct().count()
+    assert(rows.length == math.min(100L, vocabSize))
+    val freqs = rows.map(_.getAs[Long]("freq"))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
+    val top = rows.head
+    val manual = Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") === top.getAs[String]("token")).count()
+    assert(top.getAs[Long]("freq") == manual)
+  }
+
   test("cosine top-k: k rows per query, sims descending within query") {
     val rows = SparkEntry.queries("sim_cosine_topk")(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("qid"))
