@@ -122,21 +122,31 @@ object Dedup {
       .distinct()
   }
 
-  /** Candidate pairs from coordinate-sign LSH with single-bit multi-probe:
-    * band j (0..3) is the 16 sign bits of coordinates [16j+1 .. 16j+16]
-    * (1-based); a pair is a candidate iff some band agrees exactly OR
-    * differs in exactly one bit (probing). Closed form — reproducible in
-    * plain SQL, so a DuckDB oracle can enumerate the identical set.
+  /** Candidate pairs from coordinate-sign LSH, Manku-style 2-band-combo
+    * keys with single-bit multi-probe: band j (0..3) is the 16 sign bits of
+    * coordinates [16j+1 .. 16j+16] (1-based); each vector is keyed under
+    * every C(4,2)=6 pair of bands (a 32-bit key), and a pair is a candidate
+    * iff some combo key agrees exactly OR differs in exactly one bit
+    * (probing). Closed form — reproducible in plain SQL, so a DuckDB oracle
+    * can enumerate the identical set.
     *
-    * Scale: the round-2 scheme (8 bands × 8 bits) had a 256-value band
-    * keyspace, so buckets held ~n/256 vectors — a constant-factor
-    * sparsifier that saturated beyond n≈16k. 16-bit bands give a 65,536
-    * keyspace (buckets ~n·17/65536 after probe expansion), and the 1-bit
-    * probe buys back the recall that wider bands cost: a pair with k
-    * flipped signs collides iff some band holds ≤1 of the k flips —
-    * ≈0.996 for k=4, vs ~2⁻¹⁰ per-pair for random signs (≈4·17/2¹⁶).
-    * No bucket cap: nothing is silently dropped, so recall does not decay
-    * with n (verified at n=20k in DedupSpec). */
+    * Scale: this is the third keyspace generation, each forced by an order
+    * of magnitude of corpus growth. 8-bit bands (256 keys) saturated at
+    * n≈16k; 16-bit bands (65,536 keys, round 3) held to n≈200k but produce
+    * ~n²·17·4/2¹⁶ candidate pairs — at n=2M (bench sf100) that is ~4
+    * BILLION pairs and a disk-filling shuffle. The 2-band combos live in a
+    * 2³² keyspace: expected random collisions are n²·6·33/2³² (~1M pairs at
+    * n=2M, ~10⁹ at n=1B — linear-ish headroom to corpus scale), and no
+    * bucket cap means nothing is silently dropped.
+    *
+    * Recall (pair with k flipped sign bits collides iff some band PAIR
+    * holds ≤1 of the k flips): complete for k≤3 — any 3 flips leave two
+    * bands with ≤1 between them — 0.90 at k=4 (only the all-distinct-bands
+    * spread fails), 0.77 at k=5; ≈0.98 on the n=20k DedupSpec fixture
+    * (σ=0.1 additive noise, mean k≈1.9). The previous scheme's per-band
+    * ≤1-flip predicate had higher deep-tail recall (complete to k=7) but
+    * does not survive corpus scale; near-dups at k≥4 of 64 sign bits are
+    * cos≲0.9 borderline pairs, the top-20 contract's tail. */
   private[graft] def signBandCandidates(emb: DataFrame): DataFrame = {
     val bandVals = array((0 until 4).map { j =>
       (0 until 16).map { r =>
@@ -144,14 +154,21 @@ object Dedup {
           .otherwise(lit(0))
       }.reduce(_ + _)
     }: _*)
-    val bands = emb.select(col("vec_id"), posexplode(bandVals).as(Seq("j", "bv")))
-    // probe side: the exact value plus its 16 one-bit flips
-    val probes = bands.select(col("vec_id"), col("j"),
-      explode(array(col("bv") +:
-        (0 until 16).map(f => col("bv").bitwiseXOR(lit(1 << f))): _*)).as("pbv"))
-    // exact ⋈ probed finds every ≤1-bit band pair in both directions
-    bands.toDF("a", "j", "bv")
-      .join(probes.toDF("b", "j", "bv"), Seq("j", "bv"))
+    val combos = Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+    val keyArr = array(combos.zipWithIndex.map { case ((x, y), ci) =>
+      struct(lit(ci).as("ci"),
+        (element_at(bandVals, x + 1).cast("long") * 65536L +
+          element_at(bandVals, y + 1).cast("long")).as("kv"))
+    }: _*)
+    val keys = emb.select(col("vec_id"), explode(keyArr).as("k"))
+      .select(col("vec_id"), col("k.ci").as("ci"), col("k.kv").as("kv"))
+    // probe side: the exact key plus its 32 one-bit flips (mask 0 = exact)
+    val masks = 0L +: (0 until 32).map(f => 1L << f)
+    val probes = keys.select(col("vec_id"), col("ci"),
+      explode(array(masks.map(m => col("kv").bitwiseXOR(lit(m))): _*)).as("kv"))
+    // exact ⋈ probed finds every ≤1-bit combo-key pair in both directions
+    keys.toDF("a", "ci", "kv")
+      .join(probes.toDF("b", "ci", "kv"), Seq("ci", "kv"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
   }
@@ -268,14 +285,27 @@ object Dedup {
     }),
 
     // Embedding-cosine near-dup, candidate-bounded: pairs are generated from
-    // coordinate-sign LSH bands (8 bands × 8 sign bits), then exact cosine is
-    // computed ONLY on candidates — never an all-pairs crossJoin. The band
-    // scheme is closed-form (sign of the k-th coordinate), so the DuckDB
-    // oracle enumerates the IDENTICAL candidate set and the query stays fully
+    // coordinate-sign LSH (2-band combo keys), then exact cosine is computed
+    // ONLY on candidates — never an all-pairs crossJoin. The band scheme is
+    // closed-form (sign of the k-th coordinate), so the DuckDB oracle
+    // enumerates the IDENTICAL candidate set and the query stays fully
     // hash-checked. Brute force survives as the recall baseline in DedupSpec
     // and in sim_cosine_topk.
+    //
+    // The driver's embeddings are fully random — at sf0.01 a properly
+    // selective LSH finds NO near-dup pairs (an empty top-20 is the correct
+    // dedup answer on dup-free data, but a contract row that exercises
+    // nothing). Deterministic twins (every 50th vector with coordinate 1
+    // negated — exactly one flipped sign bit, so candidate generation is
+    // complete for them) are planted identically on both engines, the same
+    // pattern text_pii_scrub uses for its redaction paths.
     "dedup_embed_cos" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
+      val base = t(s, d, "embeddings").select("vec_id", "embedding")
+      val twins = base.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"),
+          concat(array(-element_at(col("embedding"), 1)),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+      val e = base.unionAll(twins)
         .select(col("vec_id"), col("embedding"),
           sqrt(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
             lit(0.0), (acc, x) => acc + x)).as("norm"))
@@ -311,24 +341,38 @@ object Dedup {
          WHERE CAST(ic AS DOUBLE) / CAST(sa.sz + sb.sz - ic AS DOUBLE) >= 0.1
          ORDER BY a, b""",
     "dedup_embed_cos" -> {
-      // band value: 16 sign bits of coords [16j+1 .. 16j+16] — must mirror
+      // band value: 16 sign bits of coords [16j+1 .. 16j+16]; combo key:
+      // band x · 2^16 + band y over the C(4,2)=6 band pairs — must mirror
       // signBandCandidates bit-for-bit
       val bandSum = (0 until 16)
         .map(r => s"(CASE WHEN embedding[16*j+${r + 1}] >= 0 THEN ${1 << r} ELSE 0 END)")
         .mkString(" +\n                     ")
-      val flipVals = (-1 to 15).map(f => s"($f)").mkString(",")
-      s"""WITH bands AS (
+      val comboVals = Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+        .zipWithIndex.map { case ((x, y), ci) => s"($ci,$x,$y)" }.mkString(",")
+      val maskVals = (0L +: (0 until 32).map(f => 1L << f))
+        .map(m => s"($m)").mkString(",")
+      s"""WITH emb AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000000,
+                     list_prepend(-(embedding[1]), list_slice(embedding, 2, 64))
+              FROM embeddings WHERE vec_id % 50 = 0),
+              bands AS (
               SELECT vec_id, j,
                      $bandSum AS bv
-              FROM embeddings CROSS JOIN (VALUES (0),(1),(2),(3)) AS gen(j)),
+              FROM emb CROSS JOIN (VALUES (0),(1),(2),(3)) AS gen(j)),
+              keys AS (
+              SELECT b1.vec_id, c.ci, CAST(b1.bv AS BIGINT) * 65536 + b2.bv AS kv
+              FROM (VALUES $comboVals) AS c(ci, x, y)
+              JOIN bands b1 ON b1.j = c.x
+              JOIN bands b2 ON b2.j = c.y AND b2.vec_id = b1.vec_id),
               probes AS (
-              SELECT vec_id, j,
-                     CASE WHEN f = -1 THEN bv ELSE xor(bv, 1 << f) END AS pbv
-              FROM bands CROSS JOIN (VALUES $flipVals) AS flips(f)),
-              cand AS (SELECT DISTINCT a.vec_id AS a, p.vec_id AS b
-                       FROM bands a JOIN probes p ON a.j = p.j AND a.bv = p.pbv AND a.vec_id < p.vec_id),
+              SELECT vec_id, ci, xor(kv, m) AS kv
+              FROM keys CROSS JOIN (VALUES $maskVals) AS masks(m)),
+              cand AS (SELECT DISTINCT k.vec_id AS a, p.vec_id AS b
+                       FROM keys k JOIN probes p ON k.ci = p.ci AND k.kv = p.kv AND k.vec_id < p.vec_id),
               e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-                           CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+                           CAST(unnest(embedding) AS DOUBLE) AS v FROM emb),
               norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
               dots AS (SELECT cand.a, cand.b, sum(ea.v * eb.v) AS dot
                        FROM cand JOIN e ea ON ea.vec_id = cand.a

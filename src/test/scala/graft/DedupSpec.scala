@@ -128,10 +128,16 @@ class DedupSpec extends SparkSpec {
     assert(ivf.size == 25, "5 queries x top-5")
   }
 
-  test("embed-cos top-20: every pair is a sign-band candidate with exact cosine") {
+  test("embed-cos top-20: planted twins surface with near-1 cosine") {
     val rows = SparkEntry.queries("dedup_embed_cos")(spark, sf).collect()
-    assert(rows.length == 20)
+    // the contract plants a twin (coordinate 1 negated) for every 50th
+    // vector; each is a guaranteed candidate (1 flipped sign bit) and the
+    // highest-cosine pairs on otherwise-random data
+    val nTwins = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") % 50 === 0).count()
+    assert(rows.length >= math.min(nTwins, 20L) && rows.length <= 20)
     assert(rows.forall { r => r.getAs[Double]("sim") >= -1.0 && r.getAs[Double]("sim") <= 1.0 })
+    assert(rows.head.getAs[Double]("sim") >= 0.9, "top pair should be a twin")
   }
 
   test("jaccard is symmetric-free (a < b) and within [0,1]") {
