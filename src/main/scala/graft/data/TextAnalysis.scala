@@ -1,6 +1,7 @@
 package graft.data
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.GraftFunctions
@@ -138,6 +139,59 @@ object TextAnalysis {
             .as("n_chunk_tokens"))
         .orderBy("doc_id", "chunk_id")),
 
+    // Repetition signals (the Gopher/RefinedWeb quality rules): duplicate-word
+    // fraction, most-frequent-word fraction, and most-frequent-bigram fraction
+    // per document. Counting goes through (doc_id, token) partial aggregation
+    // — the exploded token stream combines map-side, so only (doc, token,
+    // partial-count) triples shuffle, then a doc_id-keyed rollup; the bigram
+    // branch reuses the doc_id shuffle for its final join. No per-doc
+    // quadratic HOF scans (transform×filter over the token array would be
+    // O(distinct·n) per doc — a job-killer on 10k-token documents).
+    "text_repetition" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val wa = docs.select(col("doc_id"), explode(toks).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum("c").as("n_words"), count(lit(1)).as("n_distinct"),
+          max("c").as("top_c"))
+      val bigrams = zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (x, y) => concat(x, lit(" "), y))
+      val ba = docs.filter(size(toks) >= 2)
+        .select(col("doc_id"), explode(bigrams).as("b"))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum("c").as("n_bigrams"), max("c").as("top_bc"))
+      wa.join(ba, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("n_words").cast("long").as("n_words"),
+          col("n_distinct").cast("long").as("n_distinct"),
+          ((col("n_words") - col("n_distinct")).cast("double") /
+            col("n_words").cast("double")).as("dup_word_frac"),
+          (col("top_c").cast("double") / col("n_words").cast("double"))
+            .as("top_word_frac"),
+          coalesce(col("n_bigrams"), lit(0L)).cast("long").as("n_bigrams"),
+          coalesce(col("top_bc").cast("double") / col("n_bigrams").cast("double"),
+            lit(0.0)).as("top_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic stratified sampling: top-N documents per language by
+    // content-hash order. The hash IS the random order (stable across runs,
+    // engines, and cluster layouts — re-sampling a 100 TB corpus yields the
+    // same subset), and per-stratum top-N is one lang-keyed window — on a
+    // cluster each stratum sorts locally after a single shuffle.
+    "text_stratified_sample" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          GraftFunctions.rolling_hash(col("text")).as("fp"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("fp"), col("doc_id"))))
+        .filter(col("rk") <= StratumN)
+        .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+        .orderBy("lang", "rk")),
+
     // Corpus vocabulary: global token frequencies, top 100. One shuffle on
     // the token key with full map-side partial aggregation — the exploded
     // token stream never moves, only (token, partial-count) pairs do; the
@@ -158,6 +212,8 @@ object TextAnalysis {
   private[graft] val ChunkSize = 64
   private[graft] val ChunkStride = 48
   private[graft] val ChunkOverlap = ChunkSize - ChunkStride
+
+  private[graft] val StratumN = 20
 
   private[graft] val langProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),
@@ -241,6 +297,33 @@ object TextAnalysis {
                 array_to_string(list_slice(w, start, start + ${ChunkSize - 1}), ' ') AS chunk_text,
                 CAST(least(len(w) - start + 1, $ChunkSize) AS BIGINT) AS n_chunk_tokens
          FROM st ORDER BY doc_id, chunk_id""",
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+              wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+              wa AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct, max(c) AS top_c
+                     FROM wc GROUP BY 1),
+              ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                     WHERE len(string_split(text, ' ')) >= 2),
+              b0 AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 1)) AS i, ws FROM ws),
+              bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b FROM b0),
+              bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+              ba AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bc FROM bc GROUP BY 1)
+         SELECT wa.doc_id,
+                CAST(wa.n_words AS BIGINT) AS n_words,
+                CAST(wa.n_distinct AS BIGINT) AS n_distinct,
+                CAST(wa.n_words - wa.n_distinct AS DOUBLE) / CAST(wa.n_words AS DOUBLE) AS dup_word_frac,
+                CAST(wa.top_c AS DOUBLE) / CAST(wa.n_words AS DOUBLE) AS top_word_frac,
+                CAST(coalesce(ba.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                coalesce(CAST(ba.top_bc AS DOUBLE) / CAST(ba.n_bigrams AS DOUBLE), 0.0) AS top_bigram_frac
+         FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id
+         ORDER BY wa.doc_id""",
+    "text_stratified_sample" ->
+      s"""SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM (
+            SELECT d.doc_id, d.lang,
+                   row_number() OVER (PARTITION BY d.lang ORDER BY t.fp, d.doc_id) AS rk
+            FROM documents d JOIN (${graft.util.OracleSql.rollingFp("text")}) t
+              ON d.doc_id = t.doc_id) r
+          WHERE rk <= $StratumN ORDER BY lang, rk""",
     "text_vocab" ->
       """SELECT token, count(*) AS freq
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t

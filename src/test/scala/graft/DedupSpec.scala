@@ -140,6 +140,21 @@ class DedupSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("sim") >= 0.9, "top pair should be a twin")
   }
 
+  test("cluster labels are a fixpoint consistent with the pair graph") {
+    val lbl = SparkEntry.queries("dedup_cluster")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep")).toMap
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(lbl.size.toLong == nDocs, "every document gets exactly one label")
+    // rep is the component min: always <= member, and itself labeled by itself
+    assert(lbl.forall { case (v, l) => l <= v && lbl(l) == l })
+    // every scored near-dup pair landed in one component
+    val pairs = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+      .filter(col("jac") >= 0.5).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => lbl(a) == lbl(b) },
+      "pair endpoints must share a cluster rep")
+  }
+
   test("jaccard is symmetric-free (a < b) and within [0,1]") {
     val rows = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf).collect()
     assert(rows.forall { r =>

@@ -127,6 +127,51 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("repetition signals match a hand count and stay in bounds") {
+    val byId = SparkEntry.queries("text_repetition")(spark, sf)
+      .filter(col("doc_id") < 50).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val docs = Tables.load(spark, sf, "documents").filter(col("doc_id") < 50)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    assert(byId.keySet == docs.keySet)
+    docs.foreach { case (id, toks) =>
+      val r = byId(id)
+      val counts = toks.groupBy(identity).view.mapValues(_.size)
+      assert(r.getAs[Long]("n_words") == toks.size)
+      assert(r.getAs[Long]("n_distinct") == counts.size)
+      assert(r.getAs[Double]("top_word_frac") ==
+        counts.values.max.toDouble / toks.size, s"doc $id top word")
+      val bigrams = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      assert(r.getAs[Long]("n_bigrams") == bigrams.size)
+      if (bigrams.nonEmpty) {
+        val bc = bigrams.groupBy(identity).view.mapValues(_.size)
+        assert(r.getAs[Double]("top_bigram_frac") ==
+          bc.values.max.toDouble / bigrams.size, s"doc $id top bigram")
+      }
+      val dup = r.getAs[Double]("dup_word_frac")
+      assert(dup >= 0.0 && dup < 1.0)
+    }
+  }
+
+  test("stratified sample: per-stratum cap, hash-ordered, run-stable") {
+    import graft.data.TextAnalysis.StratumN
+    val a = SparkEntry.queries("text_stratified_sample")(spark, sf).collect()
+    val perLang = a.groupBy(_.getAs[String]("lang"))
+    val langCounts = Tables.load(spark, sf, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, rows) =>
+      assert(rows.length == math.min(StratumN.toLong, langCounts(lang)),
+        s"stratum $lang takes min(N, stratum size)")
+      assert(rows.map(_.getAs[Long]("rk")).sorted.toSeq ==
+        (1L to rows.length).toSeq, s"stratum $lang ranks are dense")
+    }
+    // content-hash order => re-running yields the identical subset
+    val b = SparkEntry.queries("text_stratified_sample")(spark, sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
   test("vocab: top-k rows, frequencies descending, counts match a manual count") {
     val rows = SparkEntry.queries("text_vocab")(spark, sf).collect()
     val vocabSize = Tables.load(spark, sf, "documents")
