@@ -138,6 +138,8 @@ object PipeSql {
           case ("intersect", false) => df.intersect(other)
           case ("except", true)     => df.exceptAll(other)
           case ("except", false)    => df.except(other)
+          case unexpected => throw new IllegalStateException(
+            s"unreachable set-op combination: $unexpected") // op is one of the three literals above
         })
       case _ => joinRe.findFirstMatchIn(stage) match {
         case Some(m) =>
