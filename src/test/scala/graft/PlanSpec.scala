@@ -59,6 +59,20 @@ class PlanSpec extends SparkSpec {
       "embedding dedup must be candidate-bounded, not all-pairs")
   }
 
+  test("dedup_cluster: label propagation stays equi-join, no all-pairs") {
+    val p = planOf("dedup_cluster")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "component labeling must join edges to labels by key, not cross-multiply")
+  }
+
+  test("text_repetition: token counting is two-phase (map-side partial agg)") {
+    val p = planOf("text_repetition")
+    assert("partial_count|partial|HashAggregate".r.findFirstIn(p).isDefined, p)
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "expected partial+final agg on both the (doc, token) and doc rollup levels")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("tpch_q8: fact joins broadcast the dimension sides") {
     val p = planOf("tpch_q8")
     assert(p.contains("BroadcastHashJoin"), p)
