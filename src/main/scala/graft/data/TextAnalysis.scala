@@ -25,6 +25,12 @@ object TextAnalysis {
 
   val queries: Map[String, Q] = Map(
     // Quality scoring: length, token count, stopword ratio, mean token length.
+    // Array-HOF formulation, A/B-measured best of three at sf10 (3.65 s):
+    // staged named-column projections tied it (3.75 s — codegen subexpr
+    // elimination already dedupes the split), and an "all-codegen" rewrite
+    // (lookaround regexp_count for stopwords + length(translate) for token
+    // lengths) was 2× WORSE (7.2 s) — Java regex alternation with
+    // lookarounds costs more per char than interpreted array lambdas.
     "text_quality" -> ((s, d) =>
       t(s, d, "documents")
         .select(
