@@ -198,6 +198,26 @@ object TextAnalysis {
         .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
         .orderBy("lang", "rk")),
 
+    // Sequence packing (GPT-pretraining style): documents are concatenated
+    // in a deterministic order and cut into fixed token windows; each doc
+    // reports its token offset range and the first/last window it lands in.
+    // Packing is per hash-bucket so a cluster packs 64 independent streams:
+    // one bucket-keyed shuffle + a running-sum window, no sequential driver
+    // pass — the packed corpus layout a 100 TB pretraining run feeds from.
+    "text_pack" -> ((s, d) => {
+      val w = Window.partitionBy("bucket").orderBy("doc_id")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          pmod(col("doc_id"), lit(PackBuckets)).cast("long").as("bucket"))
+        .withColumn("end_off", sum("n_tokens").over(w))
+        .select(col("doc_id"), col("bucket"), col("n_tokens"),
+          (col("end_off") - col("n_tokens")).as("start_off"),
+          floor((col("end_off") - col("n_tokens")) / PackWindow).cast("long").as("first_seq"),
+          floor((col("end_off") - 1) / PackWindow).cast("long").as("last_seq"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus vocabulary: global token frequencies, top 100. One shuffle on
     // the token key with full map-side partial aggregation — the exploded
     // token stream never moves, only (token, partial-count) pairs do; the
@@ -220,6 +240,9 @@ object TextAnalysis {
   private[graft] val ChunkOverlap = ChunkSize - ChunkStride
 
   private[graft] val StratumN = 20
+
+  private[graft] val PackWindow = 2048
+  private[graft] val PackBuckets = 64
 
   private[graft] val langProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),
@@ -330,6 +353,18 @@ object TextAnalysis {
             FROM documents d JOIN (${graft.util.OracleSql.rollingFp("text")}) t
               ON d.doc_id = t.doc_id) r
           WHERE rk <= $StratumN ORDER BY lang, rk""",
+    "text_pack" ->
+      s"""WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                            doc_id % $PackBuckets AS bucket FROM documents),
+              o AS (SELECT doc_id, bucket, n_tokens,
+                           sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) AS end_off
+                    FROM d)
+         SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+                CAST(n_tokens AS BIGINT) AS n_tokens,
+                CAST(end_off - n_tokens AS BIGINT) AS start_off,
+                CAST((end_off - n_tokens) // $PackWindow AS BIGINT) AS first_seq,
+                CAST((end_off - 1) // $PackWindow AS BIGINT) AS last_seq
+         FROM o ORDER BY doc_id""",
     "text_vocab" ->
       """SELECT token, count(*) AS freq
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t

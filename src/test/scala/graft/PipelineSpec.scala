@@ -172,6 +172,24 @@ class PipelineSpec extends SparkSpec {
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
 
+  test("packing: contiguous offsets per bucket, window arithmetic consistent") {
+    import graft.data.TextAnalysis.PackWindow
+    val rows = SparkEntry.queries("text_pack")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("bucket")).foreach { case (b, rs) =>
+      val ordered = rs.sortBy(_.getAs[Long]("doc_id"))
+      var expectedStart = 0L
+      ordered.foreach { r =>
+        val (st, n) = (r.getAs[Long]("start_off"), r.getAs[Long]("n_tokens"))
+        assert(st == expectedStart, s"bucket $b: gap/overlap at doc ${r.getAs[Long]("doc_id")}")
+        assert(r.getAs[Long]("first_seq") == st / PackWindow)
+        assert(r.getAs[Long]("last_seq") == (st + n - 1) / PackWindow)
+        assert(r.getAs[Long]("first_seq") <= r.getAs[Long]("last_seq"))
+        expectedStart = st + n
+      }
+    }
+  }
+
   test("vocab: top-k rows, frequencies descending, counts match a manual count") {
     val rows = SparkEntry.queries("text_vocab")(spark, sf).collect()
     val vocabSize = Tables.load(spark, sf, "documents")
