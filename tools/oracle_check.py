@@ -17,9 +17,28 @@ def main():
     con = duckdb.connect()
     for name in ["region","nation","customer","supplier","part","orders",
                  "lineitem","events","documents","embeddings"]:
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')")
+        # driver testdata = single files; ScaleUp data = <table>.parquet DIRS
+        # of part files with events.ts stored as raw ns-since-epoch BIGINTs
+        # (same handling as baseline_duckdb.connect)
+        p = f"{sf_dir}/{name}.parquet"
+        src = f"read_parquet('{p}')" if os.path.isfile(p) \
+            else f"parquet_scan('{p}/*.parquet')"
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM {src}")
+        if name == "events":
+            t = con.execute("SELECT typeof(ts) FROM events LIMIT 1").fetchone()[0]
+            if t == "BIGINT":
+                con.execute("DROP VIEW events")
+                con.execute(f"CREATE VIEW events AS SELECT * REPLACE "
+                            f"(make_timestamp(ts // 1000) AS ts) FROM {src}")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
+    # per-oracle interrupt cap for above-sf0.01 runs: some oracles are known
+    # DuckDB scale cliffs (dedup_embed_cos mirrors the LSH closed form and
+    # exceeds 300 s from sf1 up — recorded as a timeout by the BENCH
+    # baseline; here it would just hang the gate)
+    timeout_s = float(os.environ.get("ORACLE_TIMEOUT_S", "120"))
+    skip = set(filter(None, os.environ.get("ORACLE_SKIP", "").split(",")))
+    import threading
     for qname in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, qname)
         if not os.path.isdir(qdir):
@@ -30,14 +49,18 @@ def main():
             continue
         got = duckdb.connect().execute(
             f"SELECT * FROM read_parquet({files!r})").fetchdf()
-        if qname not in oracle:
+        if qname not in oracle or qname in skip:
             results[qname] = f"rows-only ({len(got)} rows)"
             continue
+        timer = threading.Timer(timeout_s, con.interrupt)
+        timer.start()
         try:
             exp = con.execute(oracle[qname]).fetchdf()
         except Exception as e:
             results[qname] = f"ORACLE-SQL-ERROR: {e}"
             continue
+        finally:
+            timer.cancel()
         g = got.reindex(sorted(got.columns), axis=1)
         e = exp.reindex(sorted(exp.columns), axis=1)
         if list(g.columns) != list(e.columns):
