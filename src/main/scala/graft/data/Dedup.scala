@@ -332,35 +332,48 @@ object Dedup {
     // localCheckpoint truncates the per-round lineage (else round k replays
     // rounds 1..k-1); convergence is detected by the label sum, which is
     // strictly decreasing until fixpoint under min-propagation.
-    "dedup_cluster" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val pairs = jaccardPairs(sharedCapped(docs))
-        .filter(col("jac") >= 0.5).select(col("a"), col("b"))
-      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-        .localCheckpoint() // score pairs once, not once per round
-      var lbl = docs.select(col("doc_id").as("v"), col("doc_id").as("l"))
-        .localCheckpoint()
-      def lblSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("l").cast("decimal(38,0)"))).head.getDecimal(0)
-      var prev = lblSum(lbl)
-      var iter = 0
-      var converged = false
-      while (!converged && iter < MaxCcRounds) {
-        val nbr = edges.join(lbl, col("dst") === col("v"))
-          .select(col("src").as("v"), col("l"))
-        val next = lbl.union(nbr).groupBy("v").agg(min("l").as("l"))
-          .localCheckpoint()
-        val cur = lblSum(next)
-        converged = cur.compareTo(prev) == 0
-        prev = cur
-        lbl = next
-        iter += 1
-      }
-      lbl.select(col("v").as("doc_id"), col("l").as("cluster_rep"))
-        .orderBy("doc_id")
-    })
+    "dedup_cluster" -> ((s, d) =>
+      clusterLabels(t(s, d, "documents")).orderBy("doc_id")),
+
+    // The dedup DECISION applied: keep exactly one document per near-dup
+    // component (the min-doc_id representative) — the corpus a pipeline
+    // actually ships to training after near-dedup.
+    "dedup_apply" -> ((s, d) =>
+      clusterLabels(t(s, d, "documents"))
+        .filter(col("cluster_rep") === col("doc_id"))
+        .select(col("doc_id"))
+        .orderBy("doc_id"))
   )
+
+  /** (doc_id, cluster_rep) for every document: connected components over the
+    * jaccard>=0.5 near-dup pair graph via iterative min-label propagation
+    * (see the dedup_cluster scaladoc above for the 100 TB analysis). */
+  private[data] def clusterLabels(docs: DataFrame): DataFrame = {
+    val pairs = jaccardPairs(sharedCapped(docs))
+      .filter(col("jac") >= 0.5).select(col("a"), col("b"))
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint() // score pairs once, not once per round
+    var lbl = docs.select(col("doc_id").as("v"), col("doc_id").as("l"))
+      .localCheckpoint()
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("l").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prev = lblSum(lbl)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < MaxCcRounds) {
+      val nbr = edges.join(lbl, col("dst") === col("v"))
+        .select(col("src").as("v"), col("l"))
+      val next = lbl.union(nbr).groupBy("v").agg(min("l").as("l"))
+        .localCheckpoint()
+      val cur = lblSum(next)
+      converged = cur.compareTo(prev) == 0
+      prev = cur
+      lbl = next
+      iter += 1
+    }
+    lbl.select(col("v").as("doc_id"), col("l").as("cluster_rep"))
+  }
 
   /** Min-label propagation round cap: components from near-dup chains have
     * tiny diameter; the cap only guards pathological inputs. (A 100 TB
@@ -453,6 +466,27 @@ object Dedup {
                 UNION
                 SELECT e.src, r.l FROM e JOIN reach r ON e.dst = r.v)
          SELECT CAST(v AS BIGINT) AS doc_id, CAST(min(l) AS BIGINT) AS cluster_rep
-         FROM reach GROUP BY v ORDER BY doc_id"""
+         FROM reach GROUP BY v ORDER BY doc_id""",
+    "dedup_apply" ->
+      """WITH RECURSIVE
+              w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3),
+              g0 AS (SELECT doc_id, unnest(generate_series(1, len(w) - 2)) AS i, w FROM w),
+              grams0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM g0),
+              grams AS (SELECT doc_id, g FROM grams0
+                        WHERE g IN (SELECT g FROM grams0 GROUP BY g HAVING count(*) <= 64)),
+              sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+              ic AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ic
+                     FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2),
+              pairs AS (SELECT a, b FROM ic
+                        JOIN sizes sa ON ic.a = sa.doc_id JOIN sizes sb ON ic.b = sb.doc_id
+                        WHERE CAST(ic AS DOUBLE) / CAST(sa.sz + sb.sz - ic AS DOUBLE) >= 0.5),
+              e AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+              reach(v, l) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.src, r.l FROM e JOIN reach r ON e.dst = r.v)
+         SELECT CAST(v AS BIGINT) AS doc_id
+         FROM reach GROUP BY v HAVING min(l) = v ORDER BY doc_id"""
   )
 }
