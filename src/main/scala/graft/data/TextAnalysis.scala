@@ -25,23 +25,28 @@ object TextAnalysis {
 
   val queries: Map[String, Q] = Map(
     // Quality scoring: length, token count, stopword ratio, mean token length.
-    // Array-HOF formulation, A/B-measured best of three at sf10 (3.65 s):
-    // staged named-column projections tied it (3.75 s — codegen subexpr
-    // elimination already dedupes the split), and an "all-codegen" rewrite
-    // (lookaround regexp_count for stopwords + length(translate) for token
-    // lengths) was 2× WORSE (7.2 s) — Java regex alternation with
-    // lookarounds costs more per char than interpreted array lambdas.
+    // Formulation history (A/B at sf10): array-HOF 3.65 s; staged named-column
+    // projections tied it (3.75 s — codegen subexpr elimination already
+    // dedupes the split); an "all-codegen" regex rewrite (lookaround
+    // regexp_count + length(translate)) was 2× WORSE (7.2 s). Current form:
+    // the custom TextStats expression — ONE byte scan per document computes
+    // all four counters with zero token-array materialization (the HOF form
+    // allocates a UTF8String per token per lambda pass); semantics contract
+    // vs the HOF form is pinned in ExprUtil.textStats's doc + PipelineSpec's
+    // equivalence fixture (empty/multi-space/multibyte/stopword-edge rows).
     "text_quality" -> ((s, d) =>
       t(s, d, "documents")
+        .select(col("doc_id"),
+          GraftFunctions.text_stats(col("text"), stopwords).as("ts"))
         .select(
           col("doc_id"),
-          length(col("text")).cast("long").as("n_chars"),
-          size(toks).cast("long").as("n_tokens"),
-          size(filter(toks, x => x.isin(stopwords: _*))).cast("long").as("n_stop"),
-          (size(filter(toks, x => x.isin(stopwords: _*))).cast("double") /
-            size(toks).cast("double")).as("stop_ratio"),
-          (aggregate(transform(toks, x => length(x)), lit(0), (acc, x) => acc + x)
-            .cast("double") / size(toks).cast("double")).as("avg_tok_len"))
+          col("ts.n_chars").as("n_chars"),
+          col("ts.n_tokens").as("n_tokens"),
+          col("ts.n_stop").as("n_stop"),
+          (col("ts.n_stop").cast("double") /
+            col("ts.n_tokens").cast("double")).as("stop_ratio"),
+          (col("ts.sum_tok_len").cast("double") /
+            col("ts.n_tokens").cast("double")).as("avg_tok_len"))
         .orderBy("doc_id")),
 
     // Token statistics: total/distinct counts (vocabulary richness).

@@ -31,6 +31,51 @@ object ExprUtil {
     if (r >= HashMod) r - HashMod else r
   }
 
+  /** One-pass text statistics over the raw UTF-8 bytes, replicating the exact
+    * semantics of the array-HOF formulation (`split(text, ' ')` with Spark's
+    * keep-empty-tokens default, character = codepoint):
+    *   n_chars     = length(text)
+    *   n_tokens    = size(split(text,' '))          = #spaces + 1
+    *   n_stop      = size(filter(tokens, _ in stopwords))   (byte-exact match)
+    *   sum_tok_len = aggregate(transform(tokens, length), 0, +)
+    *               = n_chars - #spaces   (each delimiter is exactly one char)
+    * No token array is ever materialized: the HOF form allocates a UTF8String
+    * per token per lambda pass; this is a single scan counting non-continuation
+    * bytes (codepoints) and matching stopword byte slices at token boundaries.
+    * 0x20 can only encode the space codepoint in UTF-8 (continuation bytes are
+    * >= 0x80), so the byte scan is exact for multibyte text. */
+  def textStats(s: UTF8String, stops: Array[Array[Byte]]): org.apache.spark.sql.catalyst.InternalRow = {
+    val b = s.getBytes
+    val n = b.length
+    var nChars = 0L
+    var nSpaces = 0L
+    var nStop = 0L
+    var tokStart = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || b(i) == 0x20) {
+        val len = i - tokStart
+        var k = 0
+        var matched = false
+        while (k < stops.length && !matched) {
+          val st = stops(k)
+          if (st.length == len) {
+            var j = 0
+            while (j < len && b(tokStart + j) == st(j)) j += 1
+            if (j == len) { nStop += 1; matched = true }
+          }
+          k += 1
+        }
+        if (i < n) nSpaces += 1
+        tokStart = i + 1
+      }
+      if (i < n && (b(i) & 0xc0) != 0x80) nChars += 1
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nChars, nSpaces + 1L, nStop, nChars - nSpaces))
+  }
+
   def rollingHash(s: UTF8String): Long = {
     val bytes = s.getBytes
     var h = 0L
@@ -68,6 +113,28 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): RollingHash = copy(child = c)
 }
 
+/** text_stats(str, stopwords) → struct<n_chars, n_tokens, n_stop, sum_tok_len>
+  * — the quality-scoring signals of SURVEY's text-analysis pillar in one
+  * codegen-native byte scan (see ExprUtil.textStats for the exact semantics
+  * contract vs the split/filter/aggregate HOF formulation it replaces). */
+case class TextStats(child: Expression, stopwords: Seq[String]) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_chars", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_tokens", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_stop", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("sum_tok_len", LongType, nullable = false)))
+  override def prettyName: String = "text_stats"
+  @transient private lazy val stopBytes: Array[Array[Byte]] =
+    stopwords.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+  override def nullSafeEval(v: Any): Any =
+    ExprUtil.textStats(v.asInstanceOf[UTF8String], stopBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val stopsRef = ctx.addReferenceObj("stopBytes", stopBytes, "byte[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprUtil.textStats($c, $stopsRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): TextStats = copy(child = c)
+}
+
 /** Column-level entry points + SQL registration (the engine's function
   * registry, mirroring LingoDB's builtin table — SURVEY §2.3). */
 object GraftFunctions {
@@ -75,6 +142,8 @@ object GraftFunctions {
     GraftColumnBridge.column(Erf(GraftColumnBridge.expression(c.cast("double"))))
   def rolling_hash(c: Column): Column =
     GraftColumnBridge.column(RollingHash(GraftColumnBridge.expression(c.cast("string"))))
+  def text_stats(c: Column, stopwords: Seq[String]): Column =
+    GraftColumnBridge.column(TextStats(GraftColumnBridge.expression(c.cast("string")), stopwords))
   def erf(name: String): Column = erf(col(name))
 
   /** random_in_range(from, to) → uniform long in [from, to). Reference

@@ -4,6 +4,36 @@ import org.apache.spark.sql.functions._
 
 class PipelineSpec extends SparkSpec {
 
+  test("text_stats expression matches the HOF formulation on edge-case texts") {
+    import spark.implicits._
+    val stop = Seq("the", "a", "of", "and")
+    val texts = Seq(
+      "", " ", "  ", "the", "a of and the", " leading", "trailing ",
+      "double  space", "the the the", "añüé 中文 字 the", "xthe thex th e",
+      "of", "and of", "a  a   a", "word", "the  a", "中文中文 的",
+      "ánd and", "THE The the").toDF("text")
+    def tk = split(col("text"), " ")
+    val hof = texts.select(
+      length(col("text")).cast("long"),
+      size(tk).cast("long"),
+      size(filter(tk, x => x.isin(stop: _*))).cast("long"),
+      aggregate(transform(tk, x => length(x)), lit(0), (a, x) => a + x).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // codegen path (whole-stage projection)
+    val gen = texts.select(functions.GraftFunctions.text_stats(col("text"), stop).as("ts"))
+      .select("ts.*")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(gen == hof)
+    // interpreted path (nullSafeEval) must agree with codegen
+    val stops = stop.map(_.getBytes("UTF-8")).toArray
+    val interp = texts.collect().map { r =>
+      val row = functions.ExprUtil.textStats(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)), stops)
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    }.toSeq
+    assert(interp == hof)
+  }
+
   test("multimodal stub metadata is consistent with byte lengths") {
     val rows = SparkEntry.queries("mm_meta")(spark, sf).collect()
     assert(rows.nonEmpty)
