@@ -32,6 +32,7 @@ object SparkEntry {
       (graft.data.Events.queries, graft.data.Events.oracle),
       (graft.sqlsurface.PipeSqlQueries.queries, graft.sqlsurface.PipeSqlQueries.oracle),
       (graft.streaming.Streaming.queries, graft.streaming.Streaming.oracle),
+      (graft.sources.Sources.queries, graft.sources.Sources.oracle),
       (graft.tpcds.Tpcds.queries, graft.tpcds.Tpcds.oracle),
       (graft.job.Job.queries, graft.job.Job.oracle),
       (graft.ssb.Ssb.queries, graft.ssb.Ssb.oracle),
