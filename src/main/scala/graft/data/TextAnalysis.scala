@@ -223,6 +223,30 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Mixture construction: assemble a training mix by sampling each domain
+    // (lang) up to a per-domain TOKEN budget — the knob pretraining recipes
+    // tune ("N tokens of code, M of web, ..."). Selection order within a
+    // domain is the content-hash order (deterministic across runs, engines,
+    // and cluster layouts, like text_stratified_sample); a document is kept
+    // while its domain's budget is not yet exhausted BEFORE it (the crossing
+    // document is kept, so every non-empty domain contributes). One lang-keyed
+    // shuffle + a running-sum window — at 100 TB each domain accumulates
+    // independently after a single exchange.
+    "text_mix_sample" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("fp"), col("doc_id"))
+      val budget = when(col("lang") === "en", lit(MixBudgetEn))
+        .otherwise(lit(MixBudgetOther))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(toks).cast("long").as("n_tokens"),
+          GraftFunctions.rolling_hash(col("text")).as("fp"))
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .filter(col("cum_tokens") - col("n_tokens") < budget)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+        .orderBy("lang", "cum_tokens")
+    }),
+
     // Corpus vocabulary: global token frequencies, top 100. One shuffle on
     // the token key with full map-side partial aggregation — the exploded
     // token stream never moves, only (token, partial-count) pairs do; the
@@ -248,6 +272,10 @@ object TextAnalysis {
 
   private[graft] val PackWindow = 2048
   private[graft] val PackBuckets = 64
+
+  // per-domain token budgets for text_mix_sample (en-heavy mix)
+  private[graft] val MixBudgetEn = 4000L
+  private[graft] val MixBudgetOther = 1000L
 
   private[graft] val langProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),
@@ -370,6 +398,20 @@ object TextAnalysis {
                 CAST((end_off - n_tokens) // $PackWindow AS BIGINT) AS first_seq,
                 CAST((end_off - 1) // $PackWindow AS BIGINT) AS last_seq
          FROM o ORDER BY doc_id""",
+    "text_mix_sample" ->
+      s"""WITH d AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens, fp
+                     FROM documents JOIN (${graft.util.OracleSql.rollingFp("text")}) t
+                     USING (doc_id)),
+              o AS (SELECT doc_id, lang, n_tokens,
+                           sum(n_tokens) OVER (PARTITION BY lang ORDER BY fp, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+                    FROM d)
+          SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(cum_tokens AS BIGINT) AS cum_tokens
+          FROM o
+          WHERE cum_tokens - n_tokens <
+                CASE WHEN lang = 'en' THEN $MixBudgetEn ELSE $MixBudgetOther END
+          ORDER BY lang, cum_tokens""",
     "text_vocab" ->
       """SELECT token, count(*) AS freq
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t

@@ -148,6 +148,38 @@ object Streaming {
       .orderBy("user_id", "start_s")
   }
 
+  /** Stream-stream inner join with event-time range bounds — click→purchase
+    * attribution: each purchase is matched to the same user's clicks in the
+    * preceding 30 minutes. BOTH sides are unbounded streams (a stream-static
+    * join cannot express this), so this is the stateful-join shape: each
+    * side's rows are buffered in the state store, and the watermark plus the
+    * time-range predicate give Spark a provable horizon — a click older than
+    * watermark − 30 min can never match a future purchase and its state is
+    * dropped. That bound is what keeps join state finite at 100 TB/day; an
+    * unconstrained stream-stream join would buffer the whole history. On the
+    * finite single-batch replay no row is ever late, so the result equals the
+    * batch join and stays hash-checkable. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts_ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts_ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") > col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+    drain(joined, OutputMode.Append())
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 1000000").as("gap_s"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
   case class Ev(user_id: Long, event_id: Long, s: Long)
   case class UserSessions(user_id: Long, n_sessions: Long)
 
@@ -187,7 +219,8 @@ object Streaming {
     "stream_enrich" -> ((s, d) => enriched(s, d)),
     "stream_sessions" -> ((s, d) => sessionCounts(s, d)),
     "stream_session_window" -> ((s, d) => sessionWindows(s, d)),
-    "stream_dedup" -> ((s, d) => dedupKeys(s, d))
+    "stream_dedup" -> ((s, d) => dedupKeys(s, d)),
+    "stream_attrib" -> ((s, d) => attribution(s, d))
   )
 
   /** Oracles are the BATCH semantics — checking streaming/batch parity. */
@@ -253,6 +286,18 @@ object Streaming {
          ORDER BY user_id, start_s""",
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
-         ORDER BY user_id, event_type"""
+         ORDER BY user_id, event_type""",
+    "stream_attrib" ->
+      // batch twin of the watermarked stream-stream join: same µs-truncated
+      // event times, same (0, 30 min] attribution window
+      """WITH c AS (SELECT user_id, event_id AS click_id, epoch_ns(ts) // 1000 AS c_us
+                    FROM events WHERE event_type = 'click'),
+              p AS (SELECT user_id, event_id AS purchase_id, epoch_ns(ts) // 1000 AS p_us
+                    FROM events WHERE event_type = 'purchase')
+         SELECT c.user_id AS user_id, click_id, purchase_id,
+                (p_us - c_us) // 1000000 AS gap_s
+         FROM c JOIN p ON c.user_id = p.user_id
+          AND p_us > c_us AND p_us <= c_us + 1800000000
+         ORDER BY c.user_id, click_id, purchase_id"""
   )
 }

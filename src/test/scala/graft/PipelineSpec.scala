@@ -34,6 +34,27 @@ class PipelineSpec extends SparkSpec {
     assert(interp == hof)
   }
 
+  test("text_mix_sample: every domain contributes and budgets bind") {
+    val rows = SparkEntry.queries("text_mix_sample")(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens")))
+    val langs = Tables.load(spark, sf, "documents")
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(rows.map(_._1).toSet == langs) // non-empty domains all contribute
+    def budget(l: String) = if (l == "en") 4000L else 1000L
+    // keep rule: the budget was not exhausted before the kept doc
+    assert(rows.forall { case (l, n, cum) => cum - n < budget(l) })
+    // budget coverage: per domain, kept tokens reach the budget unless the
+    // domain ran out of documents entirely
+    val total = Tables.load(spark, sf, "documents")
+      .selectExpr("lang", "size(split(text, ' ')) AS n")
+      .groupBy("lang").sum("n").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (l, rs) =>
+      val kept = rs.map(_._2).sum
+      assert(kept >= math.min(budget(l), total(l)), s"$l kept=$kept")
+    }
+  }
+
   test("multimodal stub metadata is consistent with byte lengths") {
     val rows = SparkEntry.queries("mm_meta")(spark, sf).collect()
     assert(rows.nonEmpty)

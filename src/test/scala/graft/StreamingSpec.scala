@@ -65,6 +65,28 @@ class StreamingSpec extends SparkSpec {
     assert(stream.size <= batch.size)
   }
 
+  test("stream-stream attribution join equals the batch time-range join") {
+    import org.apache.spark.sql.functions._
+    val stream = streaming.Streaming.attribution(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("us").as("c_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("us").as("p_us"))
+    val batch = c.join(p, col("user_id") === col("p_user") &&
+        col("p_us") > col("c_us") && col("p_us") <= col("c_us") + 1800000000L)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        expr("(p_us - c_us) div 1000000").as("gap_s"))
+      .orderBy("user_id", "click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(stream.nonEmpty && stream == batch)
+    assert(stream.forall { case (_, _, _, gap) => gap >= 0 && gap <= 1800 })
+  }
+
   test("stateful streaming session counts equal batch sessionization") {
     val stream = streaming.Streaming.sessionCounts(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
