@@ -168,6 +168,56 @@ object Events {
         .orderBy("user_id", "event_id")
     }),
 
+    // Funnel analysis: per user, the ordered view → click → purchase
+    // progression (each step's timestamp must be strictly after the
+    // previous step's FIRST qualifying timestamp — the standard strict-
+    // order funnel). Because (user_id, ts) pairs are unique at ns
+    // resolution, the cascade reduces to three conditional min-aggregates:
+    // t1 = min view ts; t2 = min click ts > t1; t3 = min purchase ts > t2.
+    // Every aggregate and join is keyed on user_id — one hash partitioning
+    // reused end-to-end, the aggregated sides shrink to ≤1 row per user
+    // (AQE broadcasts them), and nothing is ever per-pair. At 100 TB this
+    // is the scale-safe funnel: no per-user event collection, no window
+    // sort over the raw stream.
+    "ev_funnel" -> ((s, d) => {
+      val e = t(s, d, "events").select(col("user_id"), col("event_type"), col("ts"))
+      val t1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val t2 = e.filter(col("event_type") === "click")
+        .join(t1, Seq("user_id")).filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val t3 = e.filter(col("event_type") === "purchase")
+        .join(t2, Seq("user_id")).filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
+        .select(col("user_id"),
+          (lit(1L) + col("t2").isNotNull.cast("long") +
+            col("t3").isNotNull.cast("long")).as("depth"),
+          col("t1"), coalesce(col("t2"), lit(-1L)).as("t2"),
+          coalesce(col("t3"), lit(-1L)).as("t3"))
+        .orderBy("user_id")
+    }),
+
+    // Cohort retention: users grouped by first-active day; for each
+    // (cohort_day, week offset) the count of distinct users active that
+    // week. Two shuffles total (user_id for first-touch, then the cohort
+    // grid — whose cardinality is days × weeks, tiny at any corpus size).
+    "ev_retention" -> ((s, d) => {
+      val day = expr("ts div 1000000000 div 86400").cast("long")
+      val e = t(s, d, "events").select(col("user_id"), day.as("day")).distinct()
+      val first = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      e.join(first, Seq("user_id"))
+        .select(col("user_id"), col("cohort_day"),
+          floor((col("day") - col("cohort_day")) / 7).as("wk"))
+        .distinct()
+        .groupBy(col("cohort_day"), col("wk"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(date_add(lit("1970-01-01").cast("date"),
+          col("cohort_day").cast("int")).as("cohort_date"),
+          col("wk"), col("n_users"))
+        .orderBy("cohort_date", "wk")
+    }),
+
     // Top event per user by value with rank over exact values.
     "ev_top_value" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
@@ -203,6 +253,27 @@ object Events {
                 min(s) AS start_s, max(s) AS end_s,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""",
+    "ev_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),
+              t1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+              t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN t1 ON e.user_id = t1.user_id
+                     WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+              t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN t2 ON e.user_id = t2.user_id
+                     WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1)
+         SELECT t1.user_id,
+                CAST(1 + CAST(t2.t2 IS NOT NULL AS INTEGER) + CAST(t3.t3 IS NOT NULL AS INTEGER) AS BIGINT) AS depth,
+                t1.t1 AS t1, coalesce(t2.t2, -1) AS t2, coalesce(t3.t3, -1) AS t3
+         FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+                 LEFT JOIN t3 ON t1.user_id = t3.user_id
+         ORDER BY t1.user_id""",
+    "ev_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id, epoch_ns(ts) // 1000000000 // 86400 AS day FROM events),
+              f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+              a AS (SELECT DISTINCT e.user_id, f.cohort_day, (e.day - f.cohort_day) // 7 AS wk
+                    FROM e JOIN f ON e.user_id = f.user_id)
+         SELECT DATE '1970-01-01' + CAST(cohort_day AS INTEGER) AS cohort_date, wk,
+                CAST(count(*) AS BIGINT) AS n_users
+         FROM a GROUP BY 1, 2 ORDER BY cohort_date, wk""",
     "ev_session_window" ->
       // independent sessionization at microsecond precision: new session when
       // gap > 30 min (Spark's session_window merges an event at exactly gap

@@ -104,6 +104,40 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Bloom-filter decontamination — the 100 TB path for text_decontam.
+    // The broadcast semi-join above ships the RAW benchmark gram strings to
+    // every task; at production benchmark sizes (10⁷-10⁸ grams) that
+    // broadcast is GBs. Here the benchmark side is compressed into a bloom
+    // filter over xxhash64(gram) (~1.2 MB per 10⁶ grams at 1% fpp, built
+    // distributed by Spark's mergeable sketch aggregate; the driver holds
+    // only the fixed-size filter, like the IVF training sample), the corpus
+    // stream is pre-filtered by Catalyst's BloomFilterMightContain — the
+    // same expression Spark's own runtime row-level filtering injects, so
+    // it rides whole-stage codegen — and only the surviving ~fpp fraction
+    // reaches an exact shuffle semi-join for verification. Results are
+    // EXACT (bloom false positives are killed by the verify join), so the
+    // oracle is the same SQL as text_decontam.
+    "text_decontam_bloom" -> ((s, d) => {
+      val grams = Dedup.shingles(t(s, d, "documents"))
+      val bench = grams.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
+      val bloom = bench.select(xxhash64(col("g")).as("h"))
+        .stat.bloomFilter("h", expectedNumItems = 1000L * 1000L, fpp = 0.01)
+      val bytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos); bos.toByteArray
+      }
+      import org.apache.spark.sql.GraftColumnBridge
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      val mightContain = GraftColumnBridge.column(BloomFilterMightContain(
+        Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
+        GraftColumnBridge.expression(xxhash64(col("g")))))
+      grams.filter(col("doc_id") % 97 =!= 0)
+        .filter(mightContain)
+        .join(bench.hint("shuffle_hash"), Seq("g"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+    }),
+
     // Language-ID: stopword-profile n-gram heuristic (argmax of per-language
     // marker-token hits, deterministic priority on ties). The oracle mirrors
     // the same profiles and tie order in DuckDB, so this is hash-checked.
@@ -329,6 +363,18 @@ object TextAnalysis {
           FROM (${graft.util.OracleSql.rollingFp("text")}) t
           ORDER BY doc_id""",
     "text_decontam" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                    WHERE len(string_split(text, ' ')) >= 3),
+              g0 AS (SELECT doc_id, unnest(generate_series(1, len(w) - 2)) AS i, w FROM w),
+              grams AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM g0),
+              bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+         SELECT doc_id, count(*) AS n_shared
+         FROM grams WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench)
+         GROUP BY doc_id ORDER BY doc_id""",
+    // Same exact semantics as text_decontam: the bloom stage is a lossless
+    // pre-filter (false positives removed by the verify join), so the
+    // oracle SQL is identical.
+    "text_decontam_bloom" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
                     WHERE len(string_split(text, ' ')) >= 3),
               g0 AS (SELECT doc_id, unnest(generate_series(1, len(w) - 2)) AS i, w FROM w),

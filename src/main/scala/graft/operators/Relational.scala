@@ -148,6 +148,43 @@ object Relational {
         .select(col("c_custkey"), col("c_name"))
         .orderBy("c_custkey")),
 
+    // Binned range (interval) join — the θ-join shape relalg.join supports
+    // with a pure BETWEEN predicate (RelAlgOps.td:289 takes an arbitrary
+    // predicate region; the reference evaluates it as a nested loop when no
+    // equi-key exists). Spark's default for a keyless θ-join is
+    // BroadcastNestedLoopJoin — O(n·m) and broadcast-bound, a scale
+    // dead-end. Instead the interval join is rewritten as an EQUI-join on a
+    // date bin plus a residual filter: windows are at most 31 days wide,
+    // bins are 32 days, so every window overlaps ≤2 bins (explode) and
+    // every point lives in exactly 1 bin — each (window, point) pair meets
+    // at exactly one bin value, so no post-join dedup is needed. The join
+    // hash-partitions on the bin like any equi-join: shuffle-safe at any
+    // scale, broadcastable when one side is small (AQE's call).
+    // Query: per promo window (a derived closed-form subset of orders),
+    // lineitem count + total quantity shipped inside [ws, we).
+    "join_range" -> ((s, d) => {
+      val binDays = 32
+      val epoch = to_date(lit("1970-01-01"))
+      val win = t(s, d, "orders").filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("win_id"),
+          to_date(col("o_orderdate")).as("ws"),
+          date_add(to_date(col("o_orderdate")),
+            (col("o_orderkey") % 28 + 3).cast("int")).as("we"))
+      val winBins = win.withColumn("bin",
+        explode(sequence(
+          floor(datediff(col("ws"), epoch) / binDays),
+          floor(datediff(date_sub(col("we"), 1), epoch) / binDays))))
+      val pts = t(s, d, "lineitem")
+        .select(to_date(col("l_shipdate")).as("ls"), col("l_quantity"))
+        .withColumn("bin", floor(datediff(col("ls"), epoch) / binDays))
+      pts.join(winBins,
+          pts("bin") === winBins("bin") &&
+            col("ls") >= col("ws") && col("ls") < col("we"))
+        .groupBy(col("win_id"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy("win_id")
+    }),
+
     // relalg.union all/distinct (RelAlgOps.td:434).
     "set_union_all" -> ((s, d) =>
       t(s, d, "customer").select(big(col("c_nationkey")).as("x"))
@@ -253,6 +290,15 @@ object Relational {
       "SELECT x FROM (SELECT CAST(c_nationkey AS BIGINT) AS x FROM customer EXCEPT SELECT CAST(s_nationkey AS BIGINT) FROM supplier) t ORDER BY x",
     "set_except_all" ->
       "SELECT x FROM (SELECT CAST(c_nationkey AS BIGINT) AS x FROM customer WHERE c_custkey <= 200 EXCEPT ALL SELECT CAST(s_nationkey AS BIGINT) FROM supplier) t ORDER BY x",
+    "join_range" ->
+      """WITH win AS (SELECT o_orderkey AS win_id,
+                             CAST(o_orderdate AS DATE) AS ws,
+                             CAST(o_orderdate AS DATE) + CAST((o_orderkey % 28) + 3 AS INTEGER) AS we
+                      FROM orders WHERE o_orderkey % 97 = 0)
+         SELECT win_id, CAST(count(*) AS BIGINT) AS n_lines, sum(l_quantity) AS sum_qty
+         FROM win JOIN lineitem
+           ON CAST(l_shipdate AS DATE) >= ws AND CAST(l_shipdate AS DATE) < we
+         GROUP BY win_id ORDER BY win_id""",
     "rel_count_star" ->
       "SELECT count(*) AS n FROM lineitem",
     "rel_tmp_reuse" ->

@@ -53,6 +53,19 @@ class PlanSpec extends SparkSpec {
       s"candidate-bounded (b,g) intersection join missing: $p")
   }
 
+  test("join_range: binned interval join is an equi-join, never a nested loop") {
+    val p = planOf("join_range")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join must equi-join on the date bin: $p")
+    assert(p.contains("Join") || p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("text_decontam_bloom: bloom pre-filter guards the exact verify join") {
+    val p = planOf("text_decontam_bloom")
+    assert(p.contains("might_contain") || p.contains("BloomFilterMightContain") ||
+      p.contains("bloom_filter"), s"bloom pre-filter missing from plan: $p")
+  }
+
   test("dedup_embed_cos: no all-pairs cross join") {
     val p = planOf("dedup_embed_cos")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
