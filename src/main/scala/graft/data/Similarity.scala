@@ -176,6 +176,44 @@ object Similarity {
 
     // Vector norms + mean component — numeric sanity surface for the
     // embedding column, fully oracle-checked.
+    // Int8 scalar quantization — the standard embedding-compression step
+    // for corpus-scale vector stores (4× smaller than float32, cheap SIMD
+    // distance kernels downstream). Per-dimension min/max ranges come from
+    // a posexplode + groupBy(dim) aggregation: partial min/max collapses
+    // every partition to ≤64 rows before the exchange, so the stats pass
+    // shuffles O(partitions × dims) bytes no matter the corpus size; the
+    // 64-entry range table then broadcasts and coding is a pure map stage
+    // (array HOFs, codegen). Integer outputs → exact DuckDB hash oracle
+    // (the round() tie rule, half-away-from-zero on these non-negative
+    // scaled values, agrees between engines; the arithmetic is written in
+    // the identical operation order on both sides).
+    "sim_quantize_int8" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val dims = e.select(posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("i"))
+        .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      val stats = dims
+        .agg(array_sort(collect_list(struct(col("i"), col("mn"), col("mx")))).as("st"))
+        .select(transform(col("st"), f => f.getField("mn")).as("mns"),
+          transform(col("st"), f => f.getField("mx")).as("mxs"))
+      val codes = transform(col("embedding"), (x, i) => {
+        val mn = element_at(col("mns"), i + 1)
+        val mx = element_at(col("mxs"), i + 1)
+        when(mx === mn, lit(0L))
+          .otherwise(round((x.cast("double") - mn) * lit(255.0) / (mx - mn)).cast("long"))
+      })
+      e.crossJoin(broadcast(stats))
+        .select(col("vec_id"), codes.as("code"))
+        .select(col("vec_id"),
+          element_at(col("code"), 1).as("c0"),
+          element_at(col("code"), 2).as("c1"),
+          element_at(col("code"), 3).as("c2"),
+          element_at(col("code"), 4).as("c3"),
+          aggregate(zip_with(col("code"), sequence(lit(1L), size(col("code")).cast("long")),
+            (c, i) => c * i), lit(0L), (acc, v) => acc + v).as("code_sum"))
+        .orderBy("vec_id")
+    }),
+
     "sim_vector_stats" -> ((s, d) =>
       t(s, d, "embeddings")
         .select(col("vec_id"),
@@ -203,6 +241,22 @@ object Similarity {
                        FROM cosd)
          SELECT qid, rnk, vec_id, round(cs, 4) AS sim
          FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""",
+    "sim_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+              st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM e GROUP BY 1),
+              c AS (SELECT e.vec_id, e.i,
+                           CASE WHEN st.mx = st.mn THEN 0
+                                ELSE CAST(round((e.x - st.mn) * 255.0 / (st.mx - st.mn)) AS BIGINT)
+                           END AS code
+                    FROM e JOIN st ON e.i = st.i)
+         SELECT vec_id,
+                max(CASE WHEN i = 1 THEN code END) AS c0,
+                max(CASE WHEN i = 2 THEN code END) AS c1,
+                max(CASE WHEN i = 3 THEN code END) AS c2,
+                max(CASE WHEN i = 4 THEN code END) AS c3,
+                CAST(sum(code * i) AS BIGINT) AS code_sum
+         FROM c GROUP BY vec_id ORDER BY vec_id""",
     "sim_vector_stats" ->
       """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)
          SELECT vec_id, CAST(count(*) AS BIGINT) AS dim,
