@@ -211,6 +211,47 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  case class UserFunnel(user_id: Long, depth: Long, t1: Long, t2: Long, t3: Long)
+
+  /** Stateful funnel via flatMapGroupsWithState (streaming twin of
+    * ev_funnel): per-user state carries the (t1, t2, t3) step timestamps of
+    * the strict-order view → click → purchase cascade. Within a batch the
+    * group's events are processed in ts order, so the first view seen IS
+    * the minimal view and each later step binds to the earliest qualifying
+    * event — exactly the batch semantics; across batches the fold continues
+    * from state under the same in-order-arrival contract as
+    * [[sessionCounts]]. Snapshots are monotone (a step timestamp never
+    * changes once set), so the final answer is a per-user max over the
+    * emitted snapshots. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .as[(Long, String, Long)]
+    val UNSET = -1L
+    val snaps = evs.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), UserFunnel](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state: GroupState[(Long, Long, Long)]) =>
+          var (t1, t2, t3) = state.getOption.getOrElse((UNSET, UNSET, UNSET))
+          it.toSeq.sortBy(_._3).foreach { case (_, et, ts) =>
+            if (et == "view" && t1 == UNSET) t1 = ts
+            else if (et == "click" && t1 != UNSET && ts > t1 && t2 == UNSET) t2 = ts
+            else if (et == "purchase" && t2 != UNSET && ts > t2 && t3 == UNSET) t3 = ts
+          }
+          state.update((t1, t2, t3))
+          if (t1 == UNSET) Iterator.empty
+          else Iterator(UserFunnel(uid,
+            1L + (if (t2 != UNSET) 1L else 0L) + (if (t3 != UNSET) 1L else 0L),
+            t1, t2, t3))
+      }
+    drain(snaps.toDF(), OutputMode.Append())
+      .groupBy(col("user_id"))
+      .agg(max(col("depth")).as("depth"), max(col("t1")).as("t1"),
+        max(col("t2")).as("t2"), max(col("t3")).as("t3"))
+      .orderBy("user_id")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -220,7 +261,8 @@ object Streaming {
     "stream_sessions" -> ((s, d) => sessionCounts(s, d)),
     "stream_session_window" -> ((s, d) => sessionWindows(s, d)),
     "stream_dedup" -> ((s, d) => dedupKeys(s, d)),
-    "stream_attrib" -> ((s, d) => attribution(s, d))
+    "stream_attrib" -> ((s, d) => attribution(s, d)),
+    "stream_funnel" -> ((s, d) => funnel(s, d))
   )
 
   /** Oracles are the BATCH semantics — checking streaming/batch parity. */
@@ -298,6 +340,20 @@ object Streaming {
                 (p_us - c_us) // 1000000 AS gap_s
          FROM c JOIN p ON c.user_id = p.user_id
           AND p_us > c_us AND p_us <= c_us + 1800000000
-         ORDER BY c.user_id, click_id, purchase_id"""
+         ORDER BY c.user_id, click_id, purchase_id""",
+    "stream_funnel" ->
+      // batch twin of the stateful funnel (ev_funnel semantics, -1 = unset)
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),
+              t1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+              t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN t1 ON e.user_id = t1.user_id
+                     WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+              t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN t2 ON e.user_id = t2.user_id
+                     WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1)
+         SELECT t1.user_id,
+                CAST(1 + CAST(t2.t2 IS NOT NULL AS INTEGER) + CAST(t3.t3 IS NOT NULL AS INTEGER) AS BIGINT) AS depth,
+                t1.t1 AS t1, coalesce(t2.t2, -1) AS t2, coalesce(t3.t3, -1) AS t3
+         FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+                 LEFT JOIN t3 ON t1.user_id = t3.user_id
+         ORDER BY t1.user_id"""
   )
 }
