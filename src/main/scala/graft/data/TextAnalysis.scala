@@ -281,6 +281,60 @@ object TextAnalysis {
         .orderBy("lang", "cum_tokens")
     }),
 
+    // Unicode NFC canonicalization (custom codegen expression — Spark has no
+    // built-in normalizer). The synthetic corpus is pure ASCII, so a
+    // deterministic unicode suffix is injected on BOTH engines: even docs get
+    // the DECOMPOSED encoding (e + U+0301 ...), odd docs the COMPOSED one —
+    // after NFC both spell "résumé naïve", so n_before differs by parity
+    // while norm_md5 agrees across the pair. Pure map stage; the ASCII fast
+    // path in ExprUtil.nfc means production web text pays one byte scan.
+    "text_normalize" -> ((s, d) => {
+      val marker = when(col("doc_id") % 2 === 0,
+        lit(" résumé naïve")).otherwise(lit(" résumé naïve"))
+      val injected = concat(col("text"), marker)
+      val normed = GraftFunctions.nfc_normalize(injected)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          length(injected).cast("long").as("n_before"),
+          length(normed).cast("long").as("n_after"),
+          md5(normed.cast("binary")).as("norm_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Segment-level boilerplate removal (the line-dedup stage of CCNet/
+    // RefinedWeb-style pipelines, expressed over this corpus's fixed 4-token
+    // segments since the synthetic docs have no newlines): a segment that
+    // appears SegDropFreq+ times corpus-wide is boilerplate and is cut from
+    // every document; survivors are reassembled in order. Two keyed shuffles
+    // — segment-string frequency count (full map-side combine) then a doc_id
+    // regroup — plus the freq lookup join riding the same segment exchange;
+    // exactly the shape a 100 TB line-dedup runs (shard by line, count,
+    // re-shard by doc). No driver-side state: the boilerplate set stays
+    // distributed (it is corpus-sized in the worst case, so broadcasting it
+    // would be the scale bug).
+    "text_seg_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val nSegs = expr(s"(size(split(text, ' ')) + ${SegWidth - 1}) div $SegWidth")
+      val segs = docs
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(sequence(0, cast((size(w) + ${SegWidth - 1}) div $SegWidth as int) - 1),
+              i -> array_join(slice(w, i*$SegWidth + 1, $SegWidth), ' '))"""))
+          .as(Seq("i", "seg")))
+      val freq = segs.groupBy("seg").agg(count(lit(1)).as("c"))
+      val kept = segs.join(freq, Seq("seg")).filter(col("c") < SegDropFreq)
+      val agg = kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(array_sort(collect_list(struct(col("i"), col("seg")))),
+            x => x.getField("seg")), " ").as("cleaned"))
+      docs.select(col("doc_id"), nSegs.cast("long").as("n_segs"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_segs"),
+          coalesce(col("n_kept"), lit(0L)).cast("long").as("n_kept"),
+          md5(coalesce(col("cleaned"), lit("")).cast("binary")).as("cleaned_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus vocabulary: global token frequencies, top 100. One shuffle on
     // the token key with full map-side partial aggregation — the exploded
     // token stream never moves, only (token, partial-count) pairs do; the
@@ -303,6 +357,11 @@ object TextAnalysis {
   private[graft] val ChunkOverlap = ChunkSize - ChunkStride
 
   private[graft] val StratumN = 20
+
+  // text_seg_dedup: segment width (tokens) and the corpus-wide frequency at
+  // which a segment counts as boilerplate and is dropped
+  private[graft] val SegWidth = 4
+  private[graft] val SegDropFreq = 2
 
   private[graft] val PackWindow = 2048
   private[graft] val PackBuckets = 64
@@ -458,6 +517,36 @@ object TextAnalysis {
           WHERE cum_tokens - n_tokens <
                 CASE WHEN lang = 'en' THEN $MixBudgetEn ELSE $MixBudgetOther END
           ORDER BY lang, cum_tokens""",
+    // chr(769)/chr(776) = the combining acute/diaeresis of the decomposed
+    // (even-doc) marker; the odd-doc branch embeds the composed codepoints.
+    "text_normalize" ->
+      """WITH inj AS (SELECT doc_id,
+                text || CASE WHEN doc_id % 2 = 0
+                  THEN ' re' || chr(769) || 'sume' || chr(769) || ' nai' || chr(776) || 've'
+                  ELSE ' résumé naïve' END AS it
+              FROM documents)
+         SELECT doc_id, CAST(length(it) AS BIGINT) AS n_before,
+                CAST(length(nfc_normalize(it)) AS BIGINT) AS n_after,
+                md5(nfc_normalize(it)) AS norm_md5
+         FROM inj ORDER BY doc_id""",
+    "text_seg_dedup" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              s0 AS (SELECT doc_id, w,
+                            unnest(generate_series(1, (len(w) + ${SegWidth - 1}) // $SegWidth)) AS i
+                     FROM w),
+              segs AS (SELECT doc_id, i,
+                              array_to_string(list_slice(w, (i-1)*$SegWidth + 1, i*$SegWidth), ' ') AS seg
+                       FROM s0),
+              freq AS (SELECT seg, count(*) AS c FROM segs GROUP BY seg),
+              kept AS (SELECT s.doc_id, s.i, s.seg
+                       FROM segs s JOIN freq f USING (seg) WHERE f.c < $SegDropFreq),
+              agg AS (SELECT doc_id, count(*) AS n_kept,
+                             string_agg(seg, ' ' ORDER BY i) AS cleaned
+                      FROM kept GROUP BY doc_id)
+         SELECT w.doc_id, CAST((len(w.w) + ${SegWidth - 1}) // $SegWidth AS BIGINT) AS n_segs,
+                CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+                md5(coalesce(a.cleaned, '')) AS cleaned_md5
+         FROM w LEFT JOIN agg a ON w.doc_id = a.doc_id ORDER BY w.doc_id""",
     "text_vocab" ->
       """SELECT token, count(*) AS freq
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t

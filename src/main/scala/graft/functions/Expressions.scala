@@ -76,6 +76,27 @@ object ExprUtil {
       Array[Any](nChars, nSpaces + 1L, nStop, nChars - nSpaces))
   }
 
+  /** Unicode NFC normalization with an ASCII fast path. Training corpora mix
+    * composed and decomposed encodings of the same text (e.g. é vs e+U+0301);
+    * canonicalizing before fingerprinting/dedup is a standard pipeline stage.
+    * The fast path matters at scale: web text is overwhelmingly ASCII, and
+    * java.text.Normalizer allocates — so a byte scan skips it entirely when
+    * no byte has the high bit set (ASCII is closed under NFC). */
+  def nfc(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    var i = 0
+    while (i < b.length) {
+      if ((b(i) & 0x80) != 0) {
+        val str = s.toString
+        return if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+        else UTF8String.fromString(
+          java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+      }
+      i += 1
+    }
+    s
+  }
+
   def rollingHash(s: UTF8String): Long = {
     val bytes = s.getBytes
     var h = 0L
@@ -113,6 +134,19 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): RollingHash = copy(child = c)
 }
 
+/** nfc_normalize(str) → Unicode NFC canonical form, codegen-native (Spark has
+  * no built-in normalizer; the reference's string runtime is byte-oriented and
+  * sidesteps the question — this is the pipeline-grade answer). Oracle:
+  * DuckDB's nfc_normalize. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override def nullSafeEval(v: Any): Any = ExprUtil.nfc(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprUtil.nfc($c)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(child = c)
+}
+
 /** text_stats(str, stopwords) → struct<n_chars, n_tokens, n_stop, sum_tok_len>
   * — the quality-scoring signals of SURVEY's text-analysis pillar in one
   * codegen-native byte scan (see ExprUtil.textStats for the exact semantics
@@ -142,6 +176,8 @@ object GraftFunctions {
     GraftColumnBridge.column(Erf(GraftColumnBridge.expression(c.cast("double"))))
   def rolling_hash(c: Column): Column =
     GraftColumnBridge.column(RollingHash(GraftColumnBridge.expression(c.cast("string"))))
+  def nfc_normalize(c: Column): Column =
+    GraftColumnBridge.column(NfcNormalize(GraftColumnBridge.expression(c.cast("string"))))
   def text_stats(c: Column, stopwords: Seq[String]): Column =
     GraftColumnBridge.column(TextStats(GraftColumnBridge.expression(c.cast("string")), stopwords))
   def erf(name: String): Column = erf(col(name))
@@ -169,6 +205,8 @@ object GraftFunctions {
       exprs => Erf(Cast(exprs.head, DoubleType)), "built-in")
     reg.createOrReplaceTempFunction("rolling_hash",
       exprs => RollingHash(Cast(exprs.head, StringType)), "built-in")
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      exprs => NfcNormalize(Cast(exprs.head, StringType)), "built-in")
     reg.createOrReplaceTempFunction("random_in_range",
       exprs => {
         // arity 2 = unseeded, arity 3 = explicit seed (mirrors the Scala

@@ -255,6 +255,45 @@ class PipelineSpec extends SparkSpec {
     assert(top.getAs[Long]("freq") == manual)
   }
 
+  test("nfc_normalize: composes decomposed text, identity on ASCII/NFC, both eval paths") {
+    import spark.implicits._
+    val decomposed = "résumé naïve"
+    val composed = "résumé naïve"
+    val rows = Seq(decomposed, composed, "plain ascii", "", "中文 mixed ascii")
+      .toDF("s")
+      .select(functions.GraftFunctions.nfc_normalize(col("s")).as("n"))
+      .collect().map(_.getString(0))
+    assert(rows(0) == composed)   // decomposed → composed
+    assert(rows(1) == composed)   // already NFC → unchanged
+    assert(rows(2) == "plain ascii")
+    assert(rows(3) == "")
+    assert(rows(4) == "中文 mixed ascii")
+    // interpreted path agrees with the codegen results above
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(functions.ExprUtil.nfc(UTF8String.fromString(decomposed)).toString == composed)
+    // NULL in → NULL out
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(functions.GraftFunctions.nfc_normalize(col("s")).as("n")).collect()
+    assert(n(0).isNullAt(0))
+  }
+
+  test("text_seg_dedup: kept-everything docs reassemble exactly; boilerplate path fires") {
+    val out = SparkEntry.queries("text_seg_dedup")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_segs"), r.getAs[Long]("n_kept"), r.getAs[String]("cleaned_md5"))))
+      .toMap
+    val docs = Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "text", "md5(cast(text as binary)) AS m").collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[String]("text"), r.getAs[String]("m")))).toMap
+    assert(out.keySet == docs.keySet) // every doc appears, even fully-dropped ones
+    // segments partition the token stream, so n_kept == n_segs ⇒ cleaned == original
+    val intact = out.filter { case (_, (s, k, _)) => s == k }
+    assert(intact.nonEmpty)
+    intact.foreach { case (id, (_, _, md5c)) => assert(md5c == docs(id)._2, s"doc $id") }
+    // and the corpus actually contains boilerplate: some doc lost a segment
+    assert(out.exists { case (_, (s, k, _)) => k < s })
+  }
+
   test("cosine top-k: k rows per query, sims descending within query") {
     val rows = SparkEntry.queries("sim_cosine_topk")(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("qid"))
