@@ -226,10 +226,70 @@ object Events {
         .filter(col("rn") <= 3)
         .select(col("user_id"), col("rn"), col("event_id"), col("event_type"), col("value"))
         .orderBy("user_id", "rn")
+    }),
+
+    // Time-series resample: gap-filled hourly series per event type (the
+    // dense grid a forecasting/monitoring consumer needs — missing hours
+    // become explicit zeros). The grid is generated per type from its own
+    // [min,max] hour span via sequence+explode — |types|·|hours| rows, tiny
+    // relative to the event stream at any scale — then left-joined to the
+    // aggregated hourly counts; the raw stream shuffles exactly once (the
+    // hourly groupBy with map-side combine).
+    "ev_resample" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_type"),
+        expr("ts div 1000000000 div 3600").as("h"), col("value"))
+      val hourly = ev.groupBy("event_type", "h")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      val grid = ev.groupBy("event_type")
+        .agg(min("h").as("h0"), max("h").as("h1"))
+        .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("h"))
+      grid.join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+        .orderBy("event_type", "h")
+    }),
+
+    // Unpivot (wide → long): melt the per-user event-type count matrix back
+    // to (user_id, metric, n) rows — Spark's native unpivot/melt operator
+    // (a generate stage, no shuffle beyond the pivot's own aggregation).
+    "ev_unpivot" -> ((s, d) => {
+      val wide = t(s, d, "events").groupBy("user_id")
+        .pivot("event_type", Seq("view", "click", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("view", "click", "purchase"))
+      wide.unpivot(
+          Array(col("user_id")),
+          Array(col("view"), col("click"), col("purchase")),
+          "metric", "n")
+        .orderBy("user_id", "metric")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_resample" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS h, value FROM events),
+              hourly AS (SELECT event_type, h, count(*) AS n,
+                                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+                         FROM e GROUP BY 1, 2),
+              mm AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM e GROUP BY 1),
+              grid AS (SELECT event_type, unnest(generate_series(h0, h1)) AS h FROM mm)
+         SELECT g.event_type, g.h,
+                CAST(coalesce(hourly.n, 0) AS BIGINT) AS n,
+                coalesce(hourly.sum_value, 0.0) AS sum_value
+         FROM grid g LEFT JOIN hourly ON g.event_type = hourly.event_type AND g.h = hourly.h
+         ORDER BY g.event_type, g.h""",
+    "ev_unpivot" ->
+      """WITH wide AS (SELECT user_id,
+                count(*) FILTER (WHERE event_type = 'view') AS n_view,
+                count(*) FILTER (WHERE event_type = 'click') AS n_click,
+                count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+              FROM events GROUP BY user_id)
+         SELECT user_id, metric, n FROM (
+           SELECT user_id, 'view' AS metric, n_view AS n FROM wide
+           UNION ALL SELECT user_id, 'click', n_click FROM wide
+           UNION ALL SELECT user_id, 'purchase', n_purchase FROM wide) u
+         ORDER BY user_id, metric""",
     "ev_hourly" ->
       """SELECT event_type,
                 DATE '1970-01-01' + CAST(epoch_ns(ts) // 1000000000 // 86400 AS INTEGER) AS day,

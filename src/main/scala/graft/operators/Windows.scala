@@ -121,6 +121,21 @@ object Windows {
         .orderBy("c_mktsegment", "c_custkey")
     }),
 
+    // Distribution functions: percent_rank / cume_dist / nth_value — exact
+    // small-rational doubles (identical across engines), unique tiebreak so
+    // frames are deterministic.
+    "win_percentiles" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, d, "customer")
+        .filter(col("c_custkey") <= 500)
+        .select(col("c_mktsegment"), col("c_custkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          coalesce(nth_value(col("c_custkey"), 2).over(w), lit(-1L)).as("second_cust"))
+        .orderBy("c_mktsegment", "c_custkey")
+    }),
+
     // Whole-partition frame (no ORDER BY): share-of-partition.
     "win_share" -> ((s, d) => {
       val w = Window.partitionBy(col("c_mktsegment"))
@@ -180,6 +195,14 @@ object Windows {
                 CAST(ntile(4) OVER w AS BIGINT) AS quartile,
                 coalesce(lead(c_custkey, 1) OVER w, -1) AS next_cust,
                 first_value(c_custkey) OVER w AS top_cust
+         FROM customer WHERE c_custkey <= 500
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+         ORDER BY c_mktsegment, c_custkey""",
+    "win_percentiles" ->
+      """SELECT c_mktsegment, c_custkey,
+                percent_rank() OVER w AS pr,
+                cume_dist() OVER w AS cd,
+                coalesce(nth_value(c_custkey, 2) OVER w, -1) AS second_cust
          FROM customer WHERE c_custkey <= 500
          WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
          ORDER BY c_mktsegment, c_custkey""",
