@@ -185,6 +185,19 @@ object FunctionQueries {
           sha2(col("c_name").cast("binary"), 256).as("h_sha256"))
         .orderBy("c_custkey")),
 
+    // Bitwise integer surface: and/or/xor/shifts/popcount (codegen builtins
+    // both engines; shifts bounded so no overflow divergence).
+    "fn_bitwise" -> ((s, d) =>
+      t(s, d, "orders").filter(col("o_orderkey") <= 10000)
+        .select(col("o_orderkey"),
+          expr("o_orderkey & o_custkey").as("band"),
+          expr("o_orderkey | o_custkey").as("bor"),
+          expr("o_orderkey ^ o_custkey").as("bxor"),
+          expr("shiftleft(o_orderkey, 3)").as("shl"),
+          expr("shiftright(o_orderkey, 2)").as("shr"),
+          bit_count(col("o_orderkey")).cast("long").as("pop"))
+        .orderBy("o_orderkey")),
+
     // erf — custom Catalyst expression (no DuckDB equivalent → rows-only).
     "fn_erf" -> ((s, d) =>
       t(s, d, "customer").filter(col("c_custkey") <= 200)
@@ -362,6 +375,15 @@ object FunctionQueries {
     "fn_rolling_hash" ->
       s"""SELECT doc_id, fp FROM (${graft.util.OracleSql.rollingFp("text")}) t
           ORDER BY doc_id""",
+    "fn_bitwise" ->
+      """SELECT o_orderkey,
+                o_orderkey & o_custkey AS band,
+                o_orderkey | o_custkey AS bor,
+                xor(o_orderkey, o_custkey) AS bxor,
+                o_orderkey << 3 AS shl,
+                o_orderkey >> 2 AS shr,
+                CAST(bit_count(o_orderkey) AS BIGINT) AS pop
+         FROM orders WHERE o_orderkey <= 10000 ORDER BY o_orderkey""",
     "fn_map" ->
       """WITH p AS (
            SELECT p_partkey, CAST(p_size AS BIGINT) AS sz, p_partkey % 7 AS bkt

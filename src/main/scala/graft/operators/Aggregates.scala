@@ -72,6 +72,32 @@ object Aggregates {
         .orderBy("c_mktsegment")
     }),
 
+    // Bivariate statistics: corr / regression slope+intercept via the same
+    // exact-decimal moment decomposition as agg_stats (sums are
+    // order-independent and engine-identical; the final double formula is
+    // evaluated on identical inputs with an identical expression tree, so
+    // even corr() — which Spark and DuckDB both implement with
+    // non-deterministic-order double accumulation natively — hash-matches).
+    "agg_corr_regr" -> ((s, d) => {
+      val g = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sx"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sy"),
+          sum(dec4(col("l_quantity") * col("l_quantity"))).cast("double").as("sxx"),
+          sum(dec4(col("l_extendedprice") * col("l_extendedprice"))).cast("double").as("syy"),
+          sum(dec4(col("l_quantity") * col("l_extendedprice"))).cast("double").as("sxy"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      g.select(col("l_returnflag"), col("n"),
+        (cov / (sqrt(vx) * sqrt(vy))).as("corr_qty_price"),
+        (cov / vx).as("slope"),
+        ((col("sy") - cov / vx * col("sx")) / col("n")).as("intercept"))
+        .orderBy("l_returnflag")
+    }),
+
     // relalg.aggrfn 'any' (RelAlgOps.td:71-85; AnyAggrFunc RA2SO:1843) —
     // arbitrary-value-per-group; gated on a functionally-determined column so
     // the result is unique and oracle-comparable (min() in the oracle).
@@ -192,6 +218,19 @@ object Aggregates {
                       CAST(sum(CAST(c_acctbal * c_acctbal AS DECIMAL(24,4))) AS DOUBLE) AS s2
                FROM customer GROUP BY 1) g
          ORDER BY c_mktsegment""",
+    "agg_corr_regr" ->
+      """SELECT l_returnflag, n,
+                (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) AS corr_qty_price,
+                (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+                (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS intercept
+         FROM (SELECT l_returnflag, count(*) AS n,
+                      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                      CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS sxx,
+                      CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS syy,
+                      CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS sxy
+               FROM lineitem GROUP BY 1) g
+         ORDER BY l_returnflag""",
     "agg_any_value" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nk, min(n_name) AS nation_name, count(*) AS n
          FROM customer JOIN nation ON c_nationkey = n_nationkey
