@@ -335,6 +335,34 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Token-id encoding (tokenizer-prep): rank the top-V corpus vocabulary by
+    // (freq desc, token) and rewrite every document as its id sequence, with
+    // out-of-vocabulary tokens mapped to -1. The vocab is bounded (top-V) so
+    // it broadcasts — the corpus never shuffles for the lookup, only for the
+    // doc_id reassembly regroup; even a production 100k-token vocab is a few
+    // MB on the broadcast path. V=16 here so the OOV branch genuinely fires
+    // on this corpus's ~31-token vocabulary.
+    "text_token_ids" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tok = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("i", "tk")))
+      val w = Window.orderBy(col("c").desc, col("tk"))
+      val vocab = tok.groupBy("tk").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tk")).limit(VocabV)
+        .withColumn("id", (row_number().over(w) - 1).cast("long"))
+        .select("tk", "id")
+      tok.join(broadcast(vocab), Seq("tk"), "left")
+        .select(col("doc_id"), col("i"), coalesce(col("id"), lit(-1L)).as("id"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("id") === -1L, 1L).otherwise(0L)).as("n_oov"),
+          array_join(transform(array_sort(collect_list(struct(col("i"), col("id")))),
+            x => x.getField("id").cast("string")), " ").as("ids"))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("n_oov").cast("long").as("n_oov"), col("ids"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus vocabulary: global token frequencies, top 100. One shuffle on
     // the token key with full map-side partial aggregation — the exploded
     // token stream never moves, only (token, partial-count) pairs do; the
@@ -362,6 +390,9 @@ object TextAnalysis {
   // which a segment counts as boilerplate and is dropped
   private[graft] val SegWidth = 4
   private[graft] val SegDropFreq = 2
+
+  // text_token_ids: vocabulary size (small so OOV fires on this corpus)
+  private[graft] val VocabV = 16
 
   private[graft] val PackWindow = 2048
   private[graft] val PackBuckets = 64
@@ -547,6 +578,20 @@ object TextAnalysis {
                 CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
                 md5(coalesce(a.cleaned, '')) AS cleaned_md5
          FROM w LEFT JOIN agg a ON w.doc_id = a.doc_id ORDER BY w.doc_id""",
+    "text_token_ids" ->
+      s"""WITH tok AS (SELECT doc_id, i, w[i] AS tk
+                       FROM (SELECT doc_id, string_split(text, ' ') AS w,
+                                    unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+                             FROM documents)),
+              freq AS (SELECT tk, count(*) AS c FROM tok GROUP BY tk),
+              vocab AS (SELECT tk, row_number() OVER (ORDER BY c DESC, tk) - 1 AS id
+                        FROM freq ORDER BY c DESC, tk LIMIT $VocabV),
+              enc AS (SELECT t.doc_id, t.i, coalesce(v.id, -1) AS id
+                      FROM tok t LEFT JOIN vocab v ON t.tk = v.tk)
+         SELECT doc_id, count(*) AS n_tokens,
+                CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                string_agg(id, ' ' ORDER BY i) AS ids
+         FROM enc GROUP BY doc_id ORDER BY doc_id""",
     "text_vocab" ->
       """SELECT token, count(*) AS freq
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
