@@ -343,6 +343,47 @@ class PlanSpec extends SparkSpec {
       "verification path must reuse the distinct-shingle exchange:\n" + finalPlan)
   }
 
+  test("text_token_ids: vocab lookup broadcasts — the corpus never shuffles for it") {
+    val p = planOf("text_token_ids")
+    // the tok⋈vocab join must be a BroadcastHashJoin (bounded top-V side);
+    // a SortMergeJoin there would shuffle the full exploded token stream
+    // for a lookup against a few-KB table
+    assert(p.contains("BroadcastHashJoin"), s"vocab join must broadcast: $p")
+  }
+
+  test("text_seg_dedup: frequency lookup has no hard-coded broadcast (size-driven only)") {
+    // the segment-frequency table is unbounded (worst case one row per
+    // distinct segment), so the CODE must never force a broadcast — at this
+    // tiny SF Catalyst rightly auto-broadcasts on size stats, so the guard
+    // disables the size-driven path and asserts the join degrades to a
+    // shuffle join (it would stay a broadcast if the operator carried a
+    // broadcast() hint)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p = planOf("text_seg_dedup")
+      val segJoinBroadcast = """BroadcastHashJoin \[seg#\d+\]""".r
+      assert(segJoinBroadcast.findFirstIn(p).isEmpty,
+        s"segment-frequency join carries a forced broadcast: $p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally spark.conf.set(key, saved)
+  }
+
+  test("ev_resample: raw event stream shuffles once; the dense grid joins on (type, hour)") {
+    val p = planOf("ev_resample")
+    // both the hourly rollup and the grid aggregate partial-agg map-side;
+    // no CartesianProduct anywhere (grid × counts must be a keyed join)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "expected partial+final agg")
+  }
+
+  test("agg_corr_regr: moment sums are two-phase long/decimal aggregation") {
+    val p = planOf("agg_corr_regr")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "expected partial+final agg")
+    assert(!p.contains("corr("), "must decompose, not call native corr")
+  }
+
   test("custom expressions stay codegen-compatible (no fallback markers)") {
     val df = SparkEntry.queries("fn_erf")(spark, sf)
     df.collect() // AQE finalizes (and codegen-compiles) only on execution
