@@ -65,6 +65,9 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Embedding dimensionality of the driver's synthetic corpus. */
+  private[graft] val EmbDims = 64
+
   private def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x))
@@ -221,7 +224,29 @@ object Similarity {
           round(norm(col("embedding")), 4).as("l2"),
           round(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x.cast("double")) /
             size(col("embedding")).cast("double"), 6).as("mean_c"))
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // Per-label embedding centroids (class prototypes / the k-means update
+    // step) via the typed Aggregator UDAF — one Array[Long] buffer per
+    // group per partition, so the vectors are consumed in a single pass and
+    // only |labels|·|partitions| buffers shuffle. The explode-to-(row,dim)
+    // formulation the oracle uses would multiply the shuffled row count by
+    // the dimensionality (×64 here, ×4096 in production) — the UDAF exists
+    // precisely to avoid that at 100 TB. Exact scaled-long accumulation
+    // (graft.functions.CentroidAgg) keeps the doubles engine-identical.
+    "sim_centroids" -> ((s, d) => {
+      val cagg = udaf(new graft.functions.CentroidAgg(EmbDims))
+      t(s, d, "embeddings")
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n"), cagg(col("embedding")).as("c"))
+        .select(col("label"), col("n"),
+          element_at(col("c"), 1).as("c0"),
+          element_at(col("c"), 2).as("c1"),
+          element_at(col("c"), 3).as("c2"),
+          element_at(col("c"), 4).as("c3"),
+          element_at(col("c"), EmbDims + 1).as("grand_mean"))
+        .orderBy("label")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -257,6 +282,26 @@ object Similarity {
                 max(CASE WHEN i = 4 THEN code END) AS c3,
                 CAST(sum(code * i) AS BIGINT) AS code_sum
          FROM c GROUP BY vec_id ORDER BY vec_id""",
+    // floor(x·10⁶ + 0.5) is the exact closed form CentroidAgg applies per
+    // component; the oracle explodes to (row, dim) — fine at oracle scale,
+    // the thing the UDAF avoids at corpus scale.
+    "sim_centroids" ->
+      s"""WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+                            CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS s
+                     FROM embeddings),
+              m AS (SELECT label, i, CAST(sum(s) AS DOUBLE) / (count(*) * 1000000.0) AS c
+                    FROM e GROUP BY 1, 2),
+              g AS (SELECT label, CAST(sum(s) AS DOUBLE) / (count(*) * 1000000.0) AS grand_mean,
+                           count(*) // $EmbDims AS n
+                    FROM e GROUP BY 1)
+         SELECT CAST(m.label AS BIGINT) AS label, CAST(g.n AS BIGINT) AS n,
+                max(CASE WHEN i = 1 THEN c END) AS c0,
+                max(CASE WHEN i = 2 THEN c END) AS c1,
+                max(CASE WHEN i = 3 THEN c END) AS c2,
+                max(CASE WHEN i = 4 THEN c END) AS c3,
+                max(g.grand_mean) AS grand_mean
+         FROM m JOIN g ON m.label = g.label
+         GROUP BY 1, 2 ORDER BY label""",
     "sim_vector_stats" ->
       """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)
          SELECT vec_id, CAST(count(*) AS BIGINT) AS dim,
