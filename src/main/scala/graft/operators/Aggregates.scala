@@ -91,10 +91,15 @@ object Aggregates {
       val cov = col("n") * col("sxy") - col("sx") * col("sy")
       val vx = col("n") * col("sxx") - col("sx") * col("sx")
       val vy = col("n") * col("syy") - col("sy") * col("sy")
+      // the final ratios are rounded to fixed digits on BOTH sides: the
+      // moment sums are exact, but DuckDB's C++ build contracts a*b - c*d
+      // into FMA while the JVM never does — a 1-ulp (~5e-20) divergence
+      // that surfaced at sf1 magnitudes. 12 decimals on |corr|≤1 and the
+      // slope ≈ 12 significant digits (the ClickBench normalization).
       g.select(col("l_returnflag"), col("n"),
-        (cov / (sqrt(vx) * sqrt(vy))).as("corr_qty_price"),
-        (cov / vx).as("slope"),
-        ((col("sy") - cov / vx * col("sx")) / col("n")).as("intercept"))
+        round(cov / (sqrt(vx) * sqrt(vy)), 12).as("corr_qty_price"),
+        round(cov / vx, 12).as("slope"),
+        round((col("sy") - cov / vx * col("sx")) / col("n"), 6).as("intercept"))
         .orderBy("l_returnflag")
     }),
 
@@ -220,9 +225,9 @@ object Aggregates {
          ORDER BY c_mktsegment""",
     "agg_corr_regr" ->
       """SELECT l_returnflag, n,
-                (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) AS corr_qty_price,
-                (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
-                (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS intercept
+                round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 12) AS corr_qty_price,
+                round((n*sxy - sx*sy) / (n*sxx - sx*sx), 12) AS slope,
+                round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6) AS intercept
          FROM (SELECT l_returnflag, count(*) AS n,
                       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
                       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
