@@ -14,24 +14,33 @@ object Engine {
   /** Scan-split sizing derived from the data directory's actual file layout.
     *
     * Parquet scans split at [maxPartitionBytes] boundaries; the right value
-    * is a function of file size, not scale factor. The driver's small-SF
-    * testdata is MB-sized single files — the production defaults (128 MB
-    * budget, 4 MB open cost) pack every one into 1-2 scan partitions and
-    * serialize the map side on 32 cores, so small layouts get 4 MB/512 KB
-    * (one task per file). sf100's files are 100 MB-1 GB — production-shaped
-    * — and there the 4 MB setting over-splits into thousands of tiny tasks
-    * (measured at sf100: tpch_q6 2.23→1.23 s, q1 5.68→4.32 s moving to
-    * 128 MB). Threshold: any table part-file ≥64 MB → production defaults.
+    * is a function of data volume vs core count, not a fixed constant.
+    * Continuous rule: size splits so a scan of the LARGEST table yields
+    * ~3 tasks per core (inside the classic 2-4×-cores target that keeps all
+    * cores busy without per-task overhead dominating), clamped to
+    * [4 MB, 128 MB]. The previous binary ≥64 MB-file threshold had a cliff:
+    * sf10's 32 × 32 MB lineitem files packed into 128 MB bins made only ~9
+    * scan tasks on 32 cores — the same wall time as sf100 on 10× less data —
+    * while sf100's 242 MB files were fine at 128 MB. The continuous rule
+    * gives sf10 ~12 MB splits (≈96 tasks), sf100 ~76 MB (≈128 tasks), and
+    * small SFs the 4 MB floor (one task per MB-sized file), with no cliff in
+    * between. Open cost scales with the split (split/8, clamped to
+    * [512 KB, 4 MB]) so small-file packing stays proportional.
     */
   def scanSplitConf(dataDir: String): (Long, Long) = {
     val root = new java.io.File(dataDir)
-    val parts = Option(root.listFiles()).getOrElse(Array.empty)
+    val tableBytes = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.endsWith(".parquet"))
-      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
-      .filter(_.getName.endsWith(".parquet"))
-    val maxBytes = if (parts.isEmpty) 0L else parts.map(_.length).max
-    if (maxBytes >= 64L * 1024 * 1024) (128L * 1024 * 1024, 4L * 1024 * 1024)
-    else (4L * 1024 * 1024, 512L * 1024)
+      .map { d =>
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+      }
+    val largest = if (tableBytes.isEmpty) 0L else tableBytes.max
+    val cores = Runtime.getRuntime.availableProcessors.toLong
+    val split = math.max(4L * 1024 * 1024,
+      math.min(128L * 1024 * 1024, largest / (cores * 3)))
+    val openCost = math.max(512L * 1024, math.min(4L * 1024 * 1024, split / 8))
+    (split, openCost)
   }
 
   def create(
