@@ -36,3 +36,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // multi-second STW Full GC — see tools/run_main.sh
   "-XX:+ExplicitGCInvokesConcurrent",
 )
+// The test JVM smoke-runs every contract query (OperatorsSpec) at sf0.001;
+// isolate its source-sink scratch dir so a concurrent Verify at another SF
+// can't be clobbered between its write and the DuckDB re-read.
+Test / javaOptions += "-Dgraft.sources.root=/tmp/graft_sources_test"

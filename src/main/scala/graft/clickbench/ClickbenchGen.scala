@@ -70,14 +70,25 @@ object ClickbenchGen {
     val url = s"CASE WHEN ${g.u("u0")} % 10 = 0 THEN '' ELSE " +
       s"('http://' || ${g.pick("dom", domains)} || '/' || ${g.pick("pth", paths)} " +
       s"|| '/' || ${d.str(g.ui("pid", 1000))}) END"
+    // Referer host is skewed: half the draws concentrate on two domains so
+    // q29's HAVING COUNT(*) > 100000 (per regexp-extracted host) is satisfied
+    // by ~2 groups at 1M rows (~240k each); a uniform 10-way split tops out
+    // at ~80k per host and made q29 empty.
+    val rdom = s"CASE WHEN ${g.u("rskew")} % 4 < 2 THEN " +
+      s"${d.elem(Seq("example.com", "news.site.ru"), s"(${g.u("rskew")} % 2)")} " +
+      s"ELSE ${g.pick("rdom", domains)} END"
     val referer = s"CASE WHEN ${g.u("r0")} % 5 = 0 THEN '' ELSE " +
-      s"('https://www.' || ${g.pick("rdom", domains)} || '/' || ${g.pick("rpth", paths)} " +
+      s"('https://www.' || $rdom || '/' || ${g.pick("rpth", paths)} " +
       s"|| '/' || ${d.str(g.ui("rid", 1000))}) END"
     val phrase = s"CASE WHEN ${g.u("p0")} % 5 < 3 THEN '' ELSE " +
       s"${g.pick("ph", phrases)} END"
     val userId = s"CASE WHEN id = 424242 THEN 435090932899640449 ELSE " +
       s"${g.ui("uid", 200000L, 1)} END"
-    val urlHash = s"CASE WHEN ${g.u("uh0")} % 97 = 0 THEN 2868770270353813622 " +
+    // Magic URLHash on ~1/13 of rows: q42 pages past OFFSET 10000 groups of
+    // (width, height) under URLHash = const ∧ CounterID = 62 ∧ flag filters —
+    // that needs >10k distinct surviving pairs, i.e. ≳20k matching rows
+    // (1M/13 /3 × 0.81 ≈ 21k). The previous 1/97 left ~2.8k and q42 empty.
+    val urlHash = s"CASE WHEN ${g.u("uh0")} % 13 = 0 THEN 2868770270353813622 " +
       s"ELSE ${g.u("uh")} END"
     val refHash = s"CASE WHEN ${g.u("rh0")} % 89 = 0 THEN 3594120000172545465 " +
       s"ELSE ${g.u("rh")} END"

@@ -147,7 +147,15 @@ object Dedup {
     * ≤1-flip predicate had higher deep-tail recall (complete to k=7) but
     * does not survive corpus scale; near-dups at k≥4 of 64 sign bits are
     * cos≲0.9 borderline pairs, the top-20 contract's tail. */
-  private[graft] def signBandCandidates(emb: DataFrame): DataFrame = {
+  /** Closed-form probe-volume bound: 6 band combos × (1 exact + 32 one-bit
+    * flips) probe rows per vector. DedupSpec locks signBandProbes' row count
+    * to exactly n × this, so a keyspace edit cannot silently reintroduce a
+    * candidate-pair explosion (the 16-bit-band scheme this replaced shuffled
+    * ~4B pairs at n=2M). */
+  private[graft] val SignBandProbesPerVec: Long = 6L * 33L
+
+  /** Per-vector combo keys (6 rows/vector). */
+  private[graft] def signBandKeys(emb: DataFrame): DataFrame = {
     val bandVals = array((0 until 4).map { j =>
       (0 until 16).map { r =>
         when(element_at(col("embedding"), j * 16 + r + 1) >= 0f, lit(1 << r))
@@ -160,15 +168,23 @@ object Dedup {
         (element_at(bandVals, x + 1).cast("long") * 65536L +
           element_at(bandVals, y + 1).cast("long")).as("kv"))
     }: _*)
-    val keys = emb.select(col("vec_id"), explode(keyArr).as("k"))
+    emb.select(col("vec_id"), explode(keyArr).as("k"))
       .select(col("vec_id"), col("k.ci").as("ci"), col("k.kv").as("kv"))
-    // probe side: the exact key plus its 32 one-bit flips (mask 0 = exact)
+  }
+
+  /** Probe side: each key row fans out to the exact key plus its 32 one-bit
+    * flips — exactly SignBandProbesPerVec rows per vector, never more. */
+  private[graft] def signBandProbes(keys: DataFrame): DataFrame = {
     val masks = 0L +: (0 until 32).map(f => 1L << f)
-    val probes = keys.select(col("vec_id"), col("ci"),
+    keys.select(col("vec_id"), col("ci"),
       explode(array(masks.map(m => col("kv").bitwiseXOR(lit(m))): _*)).as("kv"))
+  }
+
+  private[graft] def signBandCandidates(emb: DataFrame): DataFrame = {
+    val keys = signBandKeys(emb)
     // exact ⋈ probed finds every ≤1-bit combo-key pair in both directions
     keys.toDF("a", "ci", "kv")
-      .join(probes.toDF("b", "ci", "kv"), Seq("ci", "kv"))
+      .join(signBandProbes(keys).toDF("b", "ci", "kv"), Seq("ci", "kv"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
   }

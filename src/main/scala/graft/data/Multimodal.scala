@@ -23,11 +23,15 @@ object Multimodal {
   case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long, n_frames: Long)
 
   /** STUB decoder — deterministic fake metadata derived from the bytes.
-    * Real implementation would parse the container header here. */
+    * Real implementation would parse the container header here; [[PngCodec]]
+    * is that real implementation for the PNG container (mm_png below). */
   private def decodeStub(in: MediaIn): MediaMeta = {
     val n = in.blob.length.toLong
     MediaMeta(in.doc_id, n, n % 640, (n * 7) % 480, n % 16 + 1)
   }
+
+  case class PngRow(doc_id: Long, width: Long, height: Long,
+      bit_depth: Long, color_type: Long, n_chunks: Long)
 
   /** Binary column → decoded metadata via partition-wise batches. */
   def decodeMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
@@ -60,6 +64,25 @@ object Multimodal {
         .select(col("doc_id"), col("frame_idx"),
           ((col("n_bytes") * 31 + col("frame_idx")) % 997).as("feature"))
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // Real-format decode: each doc gets a complete valid PNG (dimensions are
+    // a closed form of doc_id), encoded and then PARSED back through the real
+    // container grammar — signature, chunk walk, IHDR CRC — inside executor
+    // tasks. The oracle recomputes the dimensions from the same closed form,
+    // so a parser that misreads the header hash-mismatches.
+    "mm_png" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val png = PngCodec.encode((id % 64 + 1).toInt, (id * 7 % 48 + 1).toInt, id.toInt)
+            val m = PngCodec.decode(png)
+            PngRow(id, m.width, m.height, m.bitDepth, m.colorType, m.nChunks)
+          }
+        }
+        .toDF().orderBy("doc_id")
     })
   )
 
@@ -77,6 +100,12 @@ object Multimodal {
                            unnest(generate_series(0, n_bytes % 16)) AS frame_idx
                     FROM m)
          SELECT doc_id, frame_idx, (n_bytes * 31 + frame_idx) % 997 AS feature
-         FROM f ORDER BY doc_id, frame_idx"""
+         FROM f ORDER BY doc_id, frame_idx""",
+    "mm_png" ->
+      """SELECT doc_id, CAST(doc_id % 64 + 1 AS BIGINT) AS width,
+                CAST(doc_id * 7 % 48 + 1 AS BIGINT) AS height,
+                CAST(8 AS BIGINT) AS bit_depth, CAST(0 AS BIGINT) AS color_type,
+                CAST(3 AS BIGINT) AS n_chunks
+         FROM documents WHERE doc_id < 200 ORDER BY doc_id"""
   )
 }

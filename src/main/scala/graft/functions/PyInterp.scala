@@ -14,10 +14,15 @@ import java.time.LocalDate
   * The reference embeds CPython and interprets the function body per row
   * (py_interp bridge); this container has no Python runtime on the executor
   * path, so the same subset is interpreted on the JVM: def-functions with
-  * assignments, `for ... in range(...)`, `if/else`, `return`, arithmetic
-  * with Python semantics (`/` is float division, `//` floors, int×int stays
-  * int), comparisons, `len`/`int`/`float`/`abs`/`str` builtins, string
-  * methods (upper/lower/strip), and date attributes (year/month/day).
+  * assignments (including parallel tuple assignment `a, b = b, a`),
+  * `for ... in range(...)`, `for x in <expr>` over list values, `if/else`,
+  * `return`, list literals `[..]`, subscripts with Python negative-index
+  * semantics, arithmetic with Python semantics (`/` is float division,
+  * `//` floors, int×int stays int), comparisons,
+  * `len`/`int`/`float`/`abs`/`str` builtins (len covers strings and lists),
+  * string methods (upper/lower/strip/startswith/endswith/replace), and date
+  * attributes (year/month/day). The exact accepted grammar is documented in
+  * [[graft.sqlsurface.UdfSurface]].
   *
   * Deliberately interpreted, not codegen'd: an external-language UDF is
   * opaque to Catalyst in the reference too (SURVEY §2.7 — same stance as
@@ -40,12 +45,16 @@ object PyInterp {
   private final case class PUnary(op: String, e: PExpr) extends PExpr
   private final case class PCall(fn: PExpr, args: Seq[PExpr]) extends PExpr
   private final case class PAttr(e: PExpr, name: String) extends PExpr
+  private final case class PList(items: Seq[PExpr]) extends PExpr
+  private final case class PIndex(e: PExpr, idx: PExpr) extends PExpr
 
   sealed trait PStmt
   private final case class PReturn(e: PExpr) extends PStmt
   private final case class PAssign(name: String, e: PExpr) extends PStmt
+  private final case class PTupleAssign(names: Seq[String], rhs: Seq[PExpr]) extends PStmt
   private final case class PAugAssign(name: String, op: String, e: PExpr) extends PStmt
   private final case class PFor(v: String, range: Seq[PExpr], body: Seq[PStmt]) extends PStmt
+  private final case class PForIn(v: String, iter: PExpr, body: Seq[PStmt]) extends PStmt
   private final case class PIf(cond: PExpr, thn: Seq[PStmt], els: Seq[PStmt]) extends PStmt
   private final case class PExprStmt(e: PExpr) extends PStmt
 
@@ -139,6 +148,11 @@ object PyInterp {
         }
         lx.eat(")")
         e = PCall(e, args.toSeq)
+      case "[" =>
+        lx.advance()
+        val idx = parseExpr(lx)
+        lx.eat("]")
+        e = PIndex(e, idx)
       case _ => done = true
     }
     e
@@ -148,6 +162,16 @@ object PyInterp {
     val t = lx.tok
     require(t != null, "py parse: unexpected end of expression")
     if (t == "(") { lx.advance(); val e = parseExpr(lx); lx.eat(")"); e }
+    else if (t == "[") {
+      lx.advance()
+      val items = scala.collection.mutable.ArrayBuffer.empty[PExpr]
+      if (lx.tok != "]") {
+        items += parseExpr(lx)
+        while (lx.tok == ",") { lx.advance(); items += parseExpr(lx) }
+      }
+      lx.eat("]")
+      PList(items.toSeq)
+    }
     else if (t.head.isDigit || t.head == '.') {
       lx.advance()
       if (t.contains('.')) PFloat(t.toDouble) else PInt(t.toLong)
@@ -189,12 +213,15 @@ object PyInterp {
           }))
           p += 1
         } else if (t.startsWith("for ")) {
-          val m = "^for\\s+(\\w+)\\s+in\\s+range\\s*\\((.*)\\)\\s*:$".r
-            .findFirstMatchIn(t).getOrElse(
-              throw new IllegalArgumentException(s"py parse: unsupported for: $t"))
-          val rangeArgs = splitArgs(m.group(2)).map(exprOf)
           val (body, np) = parseBlock(lines, p + 1, nextIndent(lines, p + 1, indent))
-          out += PFor(m.group(1), rangeArgs, body)
+          "^for\\s+(\\w+)\\s+in\\s+range\\s*\\((.*)\\)\\s*:$".r.findFirstMatchIn(t) match {
+            case Some(m) =>
+              out += PFor(m.group(1), splitArgs(m.group(2)).map(exprOf), body)
+            case None =>
+              val m = "^for\\s+(\\w+)\\s+in\\s+(.*?)\\s*:$".r.findFirstMatchIn(t)
+                .getOrElse(throw new IllegalArgumentException(s"py parse: unsupported for: $t"))
+              out += PForIn(m.group(1), exprOf(m.group(2)), body)
+          }
           p = np
         } else if (t.startsWith("if ") && t.endsWith(":")) {
           val cond = exprOf(t.substring(3, t.length - 1).trim)
@@ -210,9 +237,14 @@ object PyInterp {
           p = p2
         } else {
           val aug = "^(\\w+)\\s*(\\+|-|\\*|/)=\\s*(.*)$".r
+          val tup = "^(\\w+(?:\\s*,\\s*\\w+)+)\\s*=\\s*([^=].*)$".r
           val asn = "^(\\w+)\\s*=\\s*(.*)$".r
           t match {
             case aug(n, op, e) => out += PAugAssign(n, op, exprOf(e))
+            case tup(ns, e) =>
+              // parallel assignment: RHS fully evaluates before any binding
+              out += PTupleAssign(ns.split(",").map(_.trim).toSeq,
+                splitArgs(e).map(exprOf))
             case asn(n, e) if !e.startsWith("=") => out += PAssign(n, exprOf(e))
             case _ => out += PExprStmt(exprOf(t))
           }
@@ -234,8 +266,8 @@ object PyInterp {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0; var start = 0
     for (i <- s.indices) s.charAt(i) match {
-      case '(' => depth += 1
-      case ')' => depth -= 1
+      case '(' | '[' => depth += 1
+      case ')' | ']' => depth -= 1
       case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
       case _ =>
     }
@@ -274,6 +306,17 @@ object PyInterp {
       case PReturn(e) =>
         throw new ReturnException(eval(e, env))
       case PAssign(n, e) => env(n) = eval(e, env)
+      case PTupleAssign(names, rhs) =>
+        // Python semantics: the whole RHS evaluates before any name binds,
+        // so `a, b = b, a` swaps.
+        val vals =
+          if (rhs.size == 1) eval(rhs.head, env) match {
+            case seq: Seq[_] => seq
+            case other => throw new IllegalArgumentException(s"py: cannot unpack $other")
+          } else rhs.map(eval(_, env))
+        require(vals.size == names.size,
+          s"py: cannot unpack ${vals.size} values into ${names.size} names")
+        names.zip(vals).foreach { case (n, v) => env(n) = v }
       case PAugAssign(n, op, e) => env(n) = binop(op, env(n), eval(e, env))
       case PFor(v, rangeArgs, body) =>
         val nums = rangeArgs.map(a => asLong(eval(a, env)))
@@ -289,6 +332,13 @@ object PyInterp {
           exec(body, env)
           i += step
         }
+      case PForIn(v, iter, body) =>
+        val vals = eval(iter, env) match {
+          case seq: Seq[_] => seq
+          case s: String => s.map(_.toString)
+          case other => throw new IllegalArgumentException(s"py: not iterable: $other")
+        }
+        vals.foreach { x => env(v) = x; exec(body, env) }
       case PIf(c, t, e) =>
         if (truthy(eval(c, env))) exec(t, env) else exec(e, env)
       case PExprStmt(e) => eval(e, env)
@@ -402,8 +452,23 @@ object PyInterp {
       case (d: LocalDate, "day") => d.getDayOfMonth.toLong
       case (v, n) => BoundMethod(v, n) // resolved at call time
     }
+    case PList(items) => items.map(eval(_, env)).toVector
+    case PIndex(x, ix) =>
+      val i = asLong(eval(ix, env)).toInt
+      eval(x, env) match {
+        case s: String =>
+          val j = if (i < 0) s.length + i else i
+          require(j >= 0 && j < s.length, s"py: string index $i out of range")
+          s.charAt(j).toString
+        case seq: Seq[_] =>
+          val j = if (i < 0) seq.size + i else i
+          require(j >= 0 && j < seq.size, s"py: list index $i out of range")
+          seq(j)
+        case other => throw new IllegalArgumentException(s"py: cannot index $other")
+      }
     case PCall(PName("len"), Seq(a)) => eval(a, env) match {
       case s: String => s.length.toLong
+      case seq: Seq[_] => seq.size.toLong
       case other => throw new IllegalArgumentException(s"py: len($other)")
     }
     case PCall(PName("int"), Seq(a)) => eval(a, env) match {

@@ -141,9 +141,13 @@ object Relational {
         .orderBy("c_custkey")),
 
     // relalg.antisemijoin (RelAlgOps.td:307) — NOT EXISTS as left_anti.
+    // The subquery keeps a price predicate so the witness is NON-EMPTY at
+    // every SF (every synthetic customer has at least one order; customers
+    // whose orders all stay under 300k survive the anti-join).
     "join_anti" -> ((s, d) =>
       t(s, d, "customer")
-        .join(t(s, d, "orders").select(col("o_custkey")),
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 300000)
+            .select(col("o_custkey")),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy("c_custkey")),
@@ -207,9 +211,12 @@ object Relational {
       t(s, d, "customer").filter(col("c_custkey") <= 500).select(big(col("c_nationkey")).as("x"))
         .intersectAll(t(s, d, "supplier").select(big(col("s_nationkey"))))
         .orderBy("x")),
+    // RHS restricted to s_nationkey < 18 so the difference is non-empty:
+    // unfiltered, suppliers cover every customer nationkey at gate SFs.
     "set_except" -> ((s, d) =>
       t(s, d, "customer").select(big(col("c_nationkey")).as("x"))
-        .except(t(s, d, "supplier").select(big(col("s_nationkey"))))
+        .except(t(s, d, "supplier").filter(col("s_nationkey") < 18)
+          .select(big(col("s_nationkey"))))
         .orderBy("x")),
     "set_except_all" -> ((s, d) =>
       t(s, d, "customer").filter(col("c_custkey") <= 200).select(big(col("c_nationkey")).as("x"))
@@ -277,7 +284,7 @@ object Relational {
     "join_semi" ->
       "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000) ORDER BY c_custkey",
     "join_anti" ->
-      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000) ORDER BY c_custkey",
     "set_union_all" ->
       "SELECT x FROM (SELECT CAST(c_nationkey AS BIGINT) AS x FROM customer UNION ALL SELECT CAST(s_nationkey AS BIGINT) FROM supplier) t ORDER BY x",
     "set_union" ->
@@ -287,7 +294,7 @@ object Relational {
     "set_intersect_all" ->
       "SELECT x FROM (SELECT CAST(c_nationkey AS BIGINT) AS x FROM customer WHERE c_custkey <= 500 INTERSECT ALL SELECT CAST(s_nationkey AS BIGINT) FROM supplier) t ORDER BY x",
     "set_except" ->
-      "SELECT x FROM (SELECT CAST(c_nationkey AS BIGINT) AS x FROM customer EXCEPT SELECT CAST(s_nationkey AS BIGINT) FROM supplier) t ORDER BY x",
+      "SELECT x FROM (SELECT CAST(c_nationkey AS BIGINT) AS x FROM customer EXCEPT SELECT CAST(s_nationkey AS BIGINT) FROM supplier WHERE s_nationkey < 18) t ORDER BY x",
     "set_except_all" ->
       "SELECT x FROM (SELECT CAST(c_nationkey AS BIGINT) AS x FROM customer WHERE c_custkey <= 200 EXCEPT ALL SELECT CAST(s_nationkey AS BIGINT) FROM supplier) t ORDER BY x",
     "join_range" ->

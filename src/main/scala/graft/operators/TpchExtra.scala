@@ -125,13 +125,18 @@ object TpchExtra {
         .agg(msum(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"),
           count(lit(1)).as("n"))),
 
+    // The anti-join subquery keeps a price predicate (TPC-H's "no orders at
+    // all" never holds in the synthetic data — every customer has orders):
+    // "rich but never placed a large order" preserves the NOT EXISTS shape
+    // while returning rows at every SF.
     "tpch_q22" -> ((s, d) => {
       val thr = t(s, d, "customer").filter(col("c_acctbal") > 0.0)
         .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(col("c_acctbal"))).as("thr"))
       t(s, d, "customer")
         .crossJoin(broadcast(thr))
         .filter(col("c_acctbal") > col("thr"))
-        .join(t(s, d, "orders").select(col("o_custkey")),
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 300000)
+            .select(col("o_custkey")),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy((col("c_nationkey") % 10).cast("int").as("cntrycode"))
         .agg(count(lit(1)).as("numcust"),
@@ -215,7 +220,7 @@ object TpchExtra {
          FROM customer
          WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(c_acctbal)
                             FROM customer WHERE c_acctbal > 0.0)
-           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
          GROUP BY 1 ORDER BY cntrycode"""
   )
 }

@@ -27,10 +27,14 @@ object Sources {
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
   type Q = (SparkSession, String) => DataFrame
 
-  /** Engine-written files land here; the oracle SQL re-reads the same paths.
+  /** Engine-written files land here; the oracle SQL re-reads the same paths
+    * (both sides render from this val in the same JVM, so they always agree).
     * The driver's gate runs Verify (Spark writes) strictly before the DuckDB
-    * compare, so the contract is self-materializing. */
-  private[graft] val Root = "/tmp/graft_sources"
+    * compare, so the contract is self-materializing. The property override
+    * exists so the test JVM (which smoke-runs every query at sf0.001) cannot
+    * clobber a concurrently-running Verify's files at another SF. */
+  private[graft] val Root =
+    sys.props.getOrElse("graft.sources.root", "/tmp/graft_sources")
 
   val queries: Map[String, Q] = Map(
     // CSV round-trip with hostile content: embedded commas, double quotes,

@@ -319,10 +319,12 @@ object PipeSqlQueries {
         ||> DROP r_regionkey
         ||> ORDER BY rk10""".stripMargin)),
 
+    // RHS filter keeps the result non-empty at every SF (unfiltered,
+    // suppliers cover every customer nationkey).
     "pipe_setop" -> ((s, d) => withTables(s, d)(
       """FROM customer
         ||> SELECT CAST(c_nationkey AS BIGINT) AS x
-        ||> EXCEPT DISTINCT (SELECT CAST(s_nationkey AS BIGINT) AS x FROM supplier)
+        ||> EXCEPT DISTINCT (SELECT CAST(s_nationkey AS BIGINT) AS x FROM supplier WHERE s_nationkey < 18)
         ||> ORDER BY x""".stripMargin))
   )
 
@@ -337,6 +339,6 @@ object PipeSqlQueries {
       "SELECT lower(r_name) AS r_name, CAST(r_regionkey * 10 AS INTEGER) AS rk10 FROM region ORDER BY rk10",
     "pipe_setop" ->
       """SELECT x FROM (SELECT CAST(c_nationkey AS BIGINT) AS x FROM customer
-         EXCEPT SELECT CAST(s_nationkey AS BIGINT) FROM supplier) t ORDER BY x"""
+         EXCEPT SELECT CAST(s_nationkey AS BIGINT) FROM supplier WHERE s_nationkey < 18) t ORDER BY x"""
   )
 }

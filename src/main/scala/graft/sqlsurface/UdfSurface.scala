@@ -23,6 +23,29 @@ import scala.util.Try
   * trade at cluster scale. `LANGUAGE c` bodies of the reference corpus's
   * `return <expr>;` single-expression form are rewritten to the expression;
   * `LANGUAGE sql` takes the expression directly.
+  *
+  * `LANGUAGE python` bodies are interpreted per row by
+  * [[graft.functions.PyInterp]] (the reference embeds CPython; this
+  * container has no executor-side Python). The exact accepted grammar:
+  *
+  *  - one `def f(params):` with an indented body; no imports, closures,
+  *    classes, decorators, *args/kwargs, or default parameter values;
+  *  - statements: `return [expr]`, `name = expr`, parallel tuple assignment
+  *    `a, b = expr, expr` / `a, b = <list-valued expr>` (RHS evaluates fully
+  *    before binding, so `a, b = b, a` swaps), augmented `+= -= *= /=`,
+  *    `for v in range(a[, b[, c]])`, `for v in <list-or-string expr>`,
+  *    `if cond:` with optional `else:` (no elif), expression statements;
+  *  - expressions: int/float/string/bool/None literals, list literals
+  *    `[e1, e2, …]`, subscripts `x[i]` on strings and lists with Python
+  *    negative-index semantics, arithmetic `+ - * / // % **` (Python
+  *    semantics: `/` is float division, `//` floors, `%` follows the divisor
+  *    sign), comparisons, unary `-`/`not`;
+  *  - builtins: `len` (strings and lists), `int`, `float`, `abs`, `str`;
+  *  - string methods: upper, lower, strip, startswith, endswith, replace;
+  *    date attributes: .year, .month, .day.
+  *
+  * Anything outside this subset raises a parse error at CREATE FUNCTION
+  * time (documented known-gap in COVERAGE.md: arbitrary CPython).
   */
 object UdfSurface {
   private val createFnRe =

@@ -111,10 +111,19 @@ object SsbGen {
 
   // ------------------------------------------------------- dimension tables
 
+  /** Nation draw with a 1-in-5 boost to nation 23 (UNITED KINGDOM): the
+    * q34 pair-of-UK-cities × one-month predicate selects ~(2/250)² × (31/2556)
+    * of lineorder under a uniform draw — expectation < 1 row at this scale,
+    * so the query was (correctly but uselessly) empty. The boost raises
+    * p(nation=23) to 0.232 per side, making q33/q34's city pairs non-empty
+    * at the gate SF while every other nation keeps a 3.2% uniform share. */
+  private def natDraw(g: G): String =
+    s"(CASE WHEN ${g.u("natboost")} % 5 = 0 THEN 23 ELSE ${g.u("nat")} % 25 END)"
+
   /** coded=false → string city/nation/region (ssb); true → Crystal ints. */
   private def customer(d: Dia, coded: Boolean): String = {
     val g = G(d, "customer")
-    val n = s"(${g.u("nat")} % 25)"
+    val n = natDraw(g)
     val cdig = s"(${g.u("city")} % 10)"
     val natName = d.elem(nations, n)
     val cols = Seq(
@@ -136,7 +145,7 @@ object SsbGen {
 
   private def supplier(d: Dia, coded: Boolean): String = {
     val g = G(d, "supplier")
-    val n = s"(${g.u("nat")} % 25)"
+    val n = natDraw(g)
     val cdig = s"(${g.u("city")} % 10)"
     val natName = d.elem(nations, n)
     val cols = Seq(

@@ -126,7 +126,10 @@ object Tpcds {
     * column is join/group-equal to every alternative, so semantics match. */
   private val duckFixups: Map[String, Seq[(String, String)]] = Map(
     "58" -> Seq("order by item_id" -> "order by ss_items.item_id"),
-    "72" -> Seq("w_warehouse_name, d_week_seq" -> "w_warehouse_name, d1.d_week_seq"))
+    "72" -> Seq("w_warehouse_name, d_week_seq" -> "w_warehouse_name, d1.d_week_seq"),
+    // DuckDB rounds on numeric→int casts where Spark (and the reference's
+    // fptosi) truncates; same rewrite uncolon() applies to `::int` casts.
+    "54" -> Seq("cast((revenue/50) as int)" -> "cast(trunc(revenue/50) as int)"))
 
   def duckSql(qn: String, sql: String): String = {
     val fixed = duckFixups.getOrElse(qn, Nil)

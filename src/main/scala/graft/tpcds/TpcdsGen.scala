@@ -31,6 +31,30 @@ package graft.tpcds
   * Value domains (counties, states, categories, brands, buy potentials, …)
   * are seeded from the literals the 99 queries filter on, so predicates are
   * selective but non-empty at this scale.
+  *
+  * Planted correlations: a purely-uniform draw leaves the queries that look
+  * for cross-channel or cross-attribute coincidences empty at the gate SF
+  * (expectation < 1 row), so small deterministic slices are planted, each
+  * derived from the same closed forms on both engines:
+  *  - variable ticket sizes (1..24 items) so ticket-size windows (q34/q73)
+  *    select rows;
+  *  - "magic" item slices pinning manufact/category/color/price combos
+  *    (q37/q41/q54/q64/q24);
+  *  - a shared 24-zip pool for store and customer addresses (q8/q24);
+  *  - NULL planting on ss_customer/ss_cdemo/ws_warehouse/cs_bill_hdemo
+  *    (q44/q76);
+  *  - "echo" rows: the first 3000 catalog/web rows mirror a scattered
+  *    store-sales row's (item, customer, date, qty, price) — cross-channel
+  *    coincidence queries (q25/q29/q58, TPCx-BB q21);
+  *  - 50 "whale" customers with large equal store totals + hot (item,date)
+  *    cells + July-1999 catalog orders (q23);
+  *  - 100 "loyal" customers present in all three channels every year (q4,
+  *    q11, q74);
+  *  - a slice of returns re-dated into q83's three week windows;
+  *  - web-sales/returns rows pinned to q85's demographic/price/profit
+  *    branches, customers pinned to q91's demographic/gmt filters;
+  *  - heavy-tailed inventory quantities so monthly cov >= 1.3 exists
+  *    (TPCx-BB q23).
   */
 object TpcdsGen {
 
@@ -106,7 +130,7 @@ object TpcdsGen {
 
   // ------------------------------------------------------------------- sizes
 
-  val SoldDays = 2192L // 1998-01-01 .. 2003-12-31 (2003 feeds TPCx-BB windows)
+  val SoldDays = 2405L // 1998-01-01 .. 2004-07-31 (Jul 2004 feeds TPCx-BB q7)
   val NDateDim = 2922L // 1998-01-01 .. 2005-12-31 (returns/ship spill past sales)
   val NTimeDim = 86400L
   val NItem = 2000L
@@ -209,6 +233,41 @@ object TpcdsGen {
     "Drive", "Lane", "Parkway", "Road", "Way", "Circle")
   private val ccNames = Seq("NY Metro", "Mid Atlantic", "Pacific Northwest",
     "North Midwest", "California", "New England", "Southern", "Central")
+  private val storeCounties =
+    Seq("Walker County", "Williamson County", "Ziebach County")
+  /** Shared store/address zip pool: 21 zips from q8's literal list plus 3
+    * from q15/q45's, so zip-equality joins (q24), zip-prefix matches (q8)
+    * and zip-list filters (q15/q45) are all satisfiable. */
+  private val zipPool = Seq(
+    "47602", "16704", "35863", "28577", "83910", "36201", "58412", "48162",
+    "28055", "41419", "80332", "38607", "77817", "24891", "16226", "18410",
+    "21231", "59345", "13918", "51089", "20317",
+    "85669", "86197", "88274")
+
+  // ------------------------------------------------- planted-slice closed forms
+  // Shared by the fact generators so catalog/web rows can reference the same
+  // entities as store rows (see the scaladoc's planted-correlation list).
+
+  /** 50 whale customers (q23): huge, near-equal store-sales totals. */
+  private def whaleCust(w: String): String = s"(((($w) * 181 + 7) % $NCust) + 1)"
+  /** 100 loyal customers (q4/q11/q74): active in all channels every year. */
+  private def loyalCust(l: String): String = s"(((($l) * 97 + 13) % $NCust) + 1)"
+  /** 50 hot (item, date) cells in 1999-2002 (q23's count(*)>4 per day). */
+  private def hotItem(h: String): String = s"(((($h) * 37 + 3) % $NItem) + 1)"
+  private def hotDate(h: String): String = s"(400 + ((($h) * 43) % 1700))"
+  /** cd_demo_sk with (marital, education) = pinned pair: ids are laid out as
+    * the dsdgen cross-product, so marital = floor(id/2)%5 and education =
+    * floor(id/10)%7 — id ≡ 58 (mod 70) is ('U', 'Advanced Degree') for q85,
+    * id ≡ 60 (mod 70) is ('M', 'Unknown') for q91. */
+  private def cdUAdv(k: String): String = s"((70 * (($k) % 27440)) + 59)"
+  private def cdMUnknown(k: String): String = s"((70 * (($k) % 27440)) + 61)"
+  /** hd_demo_sk with hd_buy_potential = '501-1000' (q91): id%120 in [20,40). */
+  private def hd501(k1: String, k2: String): String =
+    s"((120 * (($k1) % 60)) + 21 + (($k2) % 20))"
+  /** ca_address_sk with ca_gmt_offset = -7 (q91): gmt is -(5 + id%4). */
+  private def caGmt7(k: String): String = s"((4 * (($k) % 1250)) + 3)"
+  /** ca_address_sk with ca_state = 'WI' (q85): state pinned when id%40 = 7. */
+  private def caWi(k: String): String = s"((40 * (($k) % 125)) + 8)"
 
   // ------------------------------------------------------------------ tables
 
@@ -274,16 +333,38 @@ object TpcdsGen {
   private def item(d: Dia): String = {
     val g = G(d, "id", "item")
     val bidx = s"(${g.u("brand")} % ${brands.length})"
-    val mfid = g.ui("manufact", 1000, 1)
-    val cidx = s"(${g.u("cat")} % ${categories.length})"
-    val clidx = s"(${g.u("class")} % ${classes.length})"
+    // Magic slices (13% of items) pin attribute combos that specific queries
+    // intersect on: mg 0-3 → q37's manufact ids at q37's price window;
+    // mg 4 → q41's manufact range with one of its attribute branches;
+    // mg 5-6 → q54's Men/shirts; mg 7-10 → q64's blue items at 30..39;
+    // mg 11/12 → extra chocolate/lawn items (q24a/q24b).
+    // ids ≡ 55 (mod 100) are ALWAYS Men/shirts so catalog orders can target
+    // them by id (q54's planted July-2000 purchases, see csRaw).
+    val mg = s"(CASE WHEN id % 100 = 55 THEN 5 ELSE (${g.u("magic")} % 100) END)"
+    val mfid = s"(CASE $mg WHEN 0 THEN 832 WHEN 1 THEN 757 WHEN 2 THEN 736 " +
+      s"WHEN 3 THEN 999 WHEN 4 THEN (739 + (${g.u("m41")} % 41)) " +
+      s"ELSE ${g.ui("manufact", 1000, 1)} END)"
+    val priceC = s"(CASE WHEN $mg <= 3 THEN (5800 + (${g.u("p37")} % 3000)) " +
+      s"WHEN $mg BETWEEN 7 AND 10 THEN (3000 + (${g.u("p64")} % 900)) " +
+      s"ELSE ${g.ui("curprice", 29900, 100)} END)"
+    val cidx = s"(CASE WHEN $mg = 4 THEN 9 WHEN $mg IN (5, 6) THEN 5 " +
+      s"ELSE (${g.u("cat")} % ${categories.length}) END)"
+    val clidx = s"(CASE WHEN $mg IN (5, 6) THEN 13 " +
+      s"ELSE (${g.u("class")} % ${classes.length}) END)"
+    val color = s"(CASE WHEN $mg = 4 THEN 'mint' " +
+      s"WHEN $mg BETWEEN 7 AND 10 THEN 'blue' WHEN $mg = 11 THEN 'chocolate' " +
+      s"WHEN $mg = 12 THEN 'lawn' ELSE ${g.pick("color", colors)} END)"
+    val units = s"(CASE WHEN $mg = 4 THEN 'Dozen' " +
+      s"ELSE ${g.pick("units", TpcdsGen.units)} END)"
+    val size = s"(CASE WHEN $mg = 4 THEN 'large' " +
+      s"ELSE ${g.pick("size", sizes)} END)"
     val cols = Seq(
       "i_item_sk" -> "(id + 1)",
       "i_item_id" -> s"'ITEM' || lpad(${d.str("id + 1")}, 12, '0')",
       "i_rec_start_date" -> "date '1997-01-01'",
       "i_rec_end_date" -> "cast(NULL as date)",
       "i_item_desc" -> s"'the promise of ' || ${g.pick("desc1", colors)} || ' ' || ${g.pick("desc2", classes)} || ' ' || ${d.str(g.ui("desc3", 1000))}",
-      "i_current_price" -> g.dec2(g.ui("curprice", 29900, 100)),
+      "i_current_price" -> g.dec2(priceC),
       "i_wholesale_cost" -> g.dec2(g.ui("wholesale", 9900, 100)),
       "i_brand_id" -> s"(($bidx + 1) * 1001)",
       "i_brand" -> d.elem(brands, bidx),
@@ -293,10 +374,10 @@ object TpcdsGen {
       "i_category" -> d.elem(categories, cidx),
       "i_manufact_id" -> mfid,
       "i_manufact" -> s"'mfg#' || ${d.str(mfid)}",
-      "i_size" -> g.pick("size", sizes),
+      "i_size" -> size,
       "i_formulation" -> s"'formula' || lpad(${d.str(g.ui("formulation", 100000))}, 9, '0')",
-      "i_color" -> g.pick("color", colors),
-      "i_units" -> g.pick("units", units),
+      "i_color" -> color,
+      "i_units" -> units,
       "i_container" -> "'Unknown'",
       "i_manager_id" -> g.ui("manager", 100, 1),
       "i_product_name" -> s"${g.pick("pn1", syllables)} || ${g.pick("pn2", syllables)} || ${g.pick("pn3", syllables)} || ${d.str("id + 1")}")
@@ -307,12 +388,18 @@ object TpcdsGen {
     val g = G(d, "id", "customer")
     val first = g.pick("fname", firstNames)
     val last = g.pick("lname", lastNames)
+    // q91 slice (1/12 of customers): current demo pinned to ('M','Unknown'),
+    // household to '501-1000' buy potential, address to gmt_offset -7.
+    val m91 = s"(${g.u("magic91")} % 12 = 0)"
     val cols = Seq(
       "c_customer_sk" -> "(id + 1)",
       "c_customer_id" -> s"'CUST' || lpad(${d.str("id + 1")}, 12, '0')",
-      "c_current_cdemo_sk" -> g.ui("cdemo", NCd, 1),
-      "c_current_hdemo_sk" -> g.ui("hdemo", NHd, 1),
-      "c_current_addr_sk" -> g.ui("addr", NCa, 1),
+      "c_current_cdemo_sk" -> (s"(CASE WHEN $m91 THEN ${cdMUnknown(g.u("cd91"))} " +
+        s"ELSE ${g.ui("cdemo", NCd, 1)} END)"),
+      "c_current_hdemo_sk" -> (s"(CASE WHEN $m91 THEN ${hd501(g.u("hd91a"), g.u("hd91b"))} " +
+        s"ELSE ${g.ui("hdemo", NHd, 1)} END)"),
+      "c_current_addr_sk" -> (s"(CASE WHEN $m91 THEN ${caGmt7(g.u("ad91"))} " +
+        s"ELSE ${g.ui("addr", NCa, 1)} END)"),
       "c_first_shipto_date_sk" -> g.ui("shipto", SoldDays - 40),
       "c_first_sales_date_sk" -> g.ui("firstsale", SoldDays - 40),
       "c_salutation" -> g.pick("salutation", Seq("Mr.", "Mrs.", "Ms.", "Dr.", "Miss", "Sir")),
@@ -331,6 +418,10 @@ object TpcdsGen {
 
   private def customerAddress(d: Dia): String = {
     val g = G(d, "id", "customer_address")
+    // geo: 1/5 of addresses share a (county, state) domain with stores so
+    // address-store geography joins (q54) are satisfiable; id%40=7 pins 'WI'
+    // for q85's planted returns; gmt derives from id so q91 can pin -7.
+    val geo = s"(${g.u("geo")} % 5 = 0)"
     val cols = Seq(
       "ca_address_sk" -> "(id + 1)",
       "ca_address_id" -> s"'ADDR' || lpad(${d.str("id + 1")}, 12, '0')",
@@ -339,11 +430,18 @@ object TpcdsGen {
       "ca_street_type" -> g.pick("stype", streetTypes),
       "ca_suite_number" -> s"'Suite ' || ${d.str(g.ui("suite", 100))}",
       "ca_city" -> g.pick("city", cities),
-      "ca_county" -> g.pick("county", counties),
-      "ca_state" -> g.pick("state", states),
-      "ca_zip" -> s"lpad(${d.str(g.ui("zip", 100000))}, 5, '0')",
+      "ca_county" -> (s"(CASE WHEN $geo THEN ${g.pick("cnty3", storeCounties)} " +
+        s"ELSE ${g.pick("county", counties)} END)"),
+      "ca_state" -> (s"(CASE WHEN id % 40 = 7 THEN 'WI' " +
+        s"WHEN $geo THEN ${g.pick("st8", storeStates)} " +
+        s"ELSE ${g.pick("state", states)} END)"),
+      // urban concentration: 1/8 of addresses share the market-9 stores' zip
+      // (zipPool(15), see store()'s market-keyed zip) so zip-equality joins
+      // against a single market's stores (q24) keep enough rows.
+      "ca_zip" -> (s"(CASE WHEN ${g.u("zipskew")} % 8 = 0 THEN '${zipPool(15)}' " +
+        s"ELSE ${g.pick("zip", zipPool)} END)"),
       "ca_country" -> "'United States'",
-      "ca_gmt_offset" -> s"cast((0 - ${g.ui("gmt", 4, 5)}) as decimal(5,2))",
+      "ca_gmt_offset" -> "cast((0 - (5 + (id % 4))) as decimal(5,2))",
       "ca_location_type" -> g.pick("loctype", Seq("apartment", "condo", "single family")))
     render(cols, d.seq(NCa))
   }
@@ -407,9 +505,11 @@ object TpcdsGen {
       "s_street_type" -> g.pick("stype", streetTypes),
       "s_suite_number" -> s"'Suite ' || ${d.str(g.ui("suite", 100))}",
       "s_city" -> g.pick("city", Seq("Fairview", "Five Points", "Midway", "Oak Grove", "Pleasant Hill", "Riverside")),
-      "s_county" -> g.pick("county", Seq("Walker County", "Williamson County", "Ziebach County")),
+      "s_county" -> g.pick("county", storeCounties),
       "s_state" -> g.pick("state", storeStates),
-      "s_zip" -> s"lpad(${d.str(g.ui("zip", 100000))}, 5, '0')",
+      // stores of the same market share a zip (market-keyed pool pick), so
+      // a zip-equality join against one market's stores (q24) is satisfiable
+      "s_zip" -> d.elem(zipPool, s"((${g.ui("market", 10, 1)} * 7) % 24)"),
       "s_country" -> "'United States'",
       "s_gmt_offset" -> s"cast((0 - ${g.ui("gmt", 2, 5)}) as decimal(5,2))",
       "s_tax_precentage" -> s"cast((${g.ui("tax", 12)}) * 0.01 as decimal(5,2))")
@@ -590,18 +690,23 @@ object TpcdsGen {
   // Sales columns are functions of a row-index expression so returns tables
   // can re-evaluate them at a remapped index (exact sale<->return linkage).
 
-  private val ItemsPerTicket = 12L
   private val ItemsPerCsOrder = 10L
   private val ItemsPerWsOrder = 8L
 
-  /** Common sales measures in cents, shared by all three channels. */
-  private final case class Measures(g: G, priceCap: Long) {
-    val qty: String = g.ui("qty", 100, 1)
-    val spC: String = s"(${g.u("sp")} % $priceCap)"
-    val wcC: String = s"(${g.u("wc")} % 10000)"
+  /** Echo slice size: the first NEcho catalog AND web rows mirror the
+    * store-sales row echoSrc(id)'s (item, customer, date, qty, price). */
+  private val NEcho = 3000L
+  private def echoSrc(idx: String): String = s"(((($idx) * 61) + 17) % $NSs)"
+
+  /** Common sales measures in cents, shared by all three channels. qty/spC
+    * (and optionally wc/coupon) are caller-supplied so planted slices can
+    * pin them; every derived column stays consistent with the pinned draw. */
+  private final case class Measures(g: G, qty: String, spC: String,
+      wcOver: Option[String] = None, coupOver: Option[String] = None) {
+    val wcC: String = wcOver.getOrElse(s"(${g.u("wc")} % 10000)")
     val lpC: String = s"($spC + (${g.u("lp")} % 5000) + 100)"
-    val coupC: String =
-      s"(CASE WHEN ${g.u("hascoup")} % 10 = 0 THEN ${g.u("coup")} % 2000000 ELSE 0 END)"
+    val coupC: String = coupOver.getOrElse(
+      s"(CASE WHEN ${g.u("hascoup")} % 10 = 0 THEN ${g.u("coup")} % 2000000 ELSE 0 END)")
     val extSalesC = s"(($qty) * ($spC))"
     val extWholesaleC = s"(($qty) * ($wcC))"
     val extListC = s"(($qty) * ($lpC))"
@@ -613,26 +718,66 @@ object TpcdsGen {
     val netProfitC = s"($netPaidC - $extWholesaleC)"
   }
 
+  /** Variable ticket id: each 25-row block splits into two tickets of sizes
+    * t and 25-t with t in 1..24, so per-ticket item counts span 1..24 and
+    * ticket-size windows (q34 15..20, q73 1..5) select rows. */
+  private def tickOf(d: Dia, idx: String): String = {
+    val block = idiv(idx, "25")
+    val tsize = s"(1 + (${G(d, block, "store_sales_b").u("tsize")} % 24))"
+    s"((2 * ($block)) + (CASE WHEN (($idx) % 25) < $tsize THEN 0 ELSE 1 END))"
+  }
+
+  /** The planted-slice-aware store-sales core columns, reusable at a remapped
+    * index by returns and by the catalog/web echo slices. */
+  private final case class SsRaw(
+      tick: String, item: String, cust: String, date: String,
+      qty: String, spC: String)
+
+  private def ssRaw(d: Dia, idx: String): SsRaw = {
+    val g = G(d, idx, "store_sales")
+    val tick = tickOf(d, idx)
+    val gt = G(d, tick, "store_sales_t")
+    // whale rows: every 18th row pins (customer=whale, qty=100, sp=199.99),
+    // giving each of the 50 whales an identical ~$4M store total — q23's
+    // "within 95% of the best customer" selects exactly the whales.
+    val whale = s"((($idx) % 18) = 0)"
+    val whaleId = s"(${idiv(idx, "18")} % 50)"
+    // hot cells: ~1/300 rows re-target a planted (item, date) cell so q23's
+    // frequent_ss_items (count(*) > 4 per item+date) is non-empty.
+    val hot = s"(${g.u("hot")} % 300 = 0)"
+    val h = s"(${g.u("hoth")} % 50)"
+    val item = s"(CASE WHEN $hot THEN ${hotItem(h)} ELSE ${g.ui("item", NItem, 1)} END)"
+    val date = s"(CASE WHEN $hot THEN ${hotDate(h)} ELSE ${gt.ui("solddate", SoldDays)} END)"
+    val cust = s"(CASE WHEN $whale THEN ${whaleCust(whaleId)} " +
+      s"WHEN ${gt.u("loyal")} % 20 = 0 THEN ${loyalCust(s"(${gt.u("loyal2")} % 100)")} " +
+      s"WHEN ${gt.u("custnull")} % 25 = 0 THEN cast(NULL as bigint) " +
+      s"ELSE ${gt.ui("customer", NCust, 1)} END)"
+    val qty = s"(CASE WHEN $whale THEN 100 ELSE ${g.ui("qty", 100, 1)} END)"
+    val spC = s"(CASE WHEN $whale THEN 19999 ELSE (${g.u("sp")} % 20000) END)"
+    SsRaw(tick, item, cust, date, qty, spC)
+  }
+
   private def ssCols(d: Dia, idx: String): Seq[(String, String)] = {
     val g = G(d, idx, "store_sales")
-    val tick = idiv(idx, ItemsPerTicket.toString)
-    val gt = G(d, tick, "store_sales_t")
-    val m = Measures(g, 20000)
+    val raw = ssRaw(d, idx)
+    val gt = G(d, raw.tick, "store_sales_t")
+    val m = Measures(g, raw.qty, raw.spC)
     Seq(
-      "ss_sold_date_sk" -> gt.ui("solddate", SoldDays),
+      "ss_sold_date_sk" -> raw.date,
       "ss_sold_time_sk" -> g.ui("soldtime", NTimeDim),
-      "ss_item_sk" -> g.ui("item", NItem, 1),
-      "ss_customer_sk" -> gt.ui("customer", NCust, 1),
-      "ss_cdemo_sk" -> gt.ui("cdemo", NCd, 1),
+      "ss_item_sk" -> raw.item,
+      "ss_customer_sk" -> raw.cust,
+      "ss_cdemo_sk" -> (s"(CASE WHEN ${g.u("cdnull")} % 50 = 0 THEN cast(NULL as bigint) " +
+        s"ELSE ${gt.ui("cdemo", NCd, 1)} END)"),
       "ss_hdemo_sk" -> gt.ui("hdemo", NHd, 1),
       "ss_addr_sk" -> gt.ui("addr", NCa, 1),
       "ss_store_sk" -> gt.ui("store", NStore, 1),
       "ss_promo_sk" -> g.ui("promo", NPromo, 1),
-      "ss_ticket_number" -> s"($tick + 1)",
-      "ss_quantity" -> m.qty,
+      "ss_ticket_number" -> s"(${raw.tick} + 1)",
+      "ss_quantity" -> raw.qty,
       "ss_wholesale_cost" -> g.dec2(m.wcC),
       "ss_list_price" -> g.dec2(m.lpC),
-      "ss_sales_price" -> g.dec2(m.spC),
+      "ss_sales_price" -> g.dec2(raw.spC),
       "ss_ext_discount_amt" -> g.dec2(m.extDiscountC),
       "ss_ext_sales_price" -> g.dec2(m.extSalesC),
       "ss_ext_wholesale_cost" -> g.dec2(m.extWholesaleC),
@@ -646,16 +791,26 @@ object TpcdsGen {
 
   private def storeSales(d: Dia): String = render(ssCols(d, "id"), d.seq(NSs))
 
+  /** Returned-date override: ~1/25 of returns land in one of q83's three
+    * week windows (weeks of 2000-05-29 / 2000-10-01 / 2000-11-04). */
+  private def retDate(g: G, sold: String): String = {
+    val win = s"(CASE (${g.u("wk83a")} % 3) WHEN 0 THEN 875 WHEN 1 THEN 1001 " +
+      s"ELSE 1036 END + (${g.u("wk83b")} % 7))"
+    s"(CASE WHEN ${g.u("wk83")} % 25 = 0 THEN $win " +
+      s"ELSE ($sold + ${g.ui("delay", 89, 1)}) END)"
+  }
+
   private def storeReturns(d: Dia): String = {
     val f = s"((id * 97 + 11) % $NSs)"
     val ss = ssCols(d, f).toMap
+    val src = ssRaw(d, f)
     val g = G(d, "id", "store_returns")
-    val retQty = s"((${g.u("retqty")} % (${G(d, f, "store_sales").ui("qty", 100, 1)})) + 1)"
-    val spC = s"(${G(d, f, "store_sales").u("sp")} % 20000)"
+    val retQty = s"((${g.u("retqty")} % (${src.qty})) + 1)"
+    val spC = src.spC
     val retAmtC = s"(($retQty) * ($spC))"
     val retTaxC = idiv(retAmtC, "20")
     val cols = Seq(
-      "sr_returned_date_sk" -> s"(${ss("ss_sold_date_sk")} + ${g.ui("delay", 89, 1)})",
+      "sr_returned_date_sk" -> retDate(g, src.date),
       "sr_return_time_sk" -> g.ui("rettime", NTimeDim),
       "sr_item_sk" -> ss("ss_item_sk"),
       "sr_customer_sk" -> ss("ss_customer_sk"),
@@ -678,19 +833,59 @@ object TpcdsGen {
     render(cols, d.seq(NSr))
   }
 
+  /** Catalog core columns with their planted slices: echo (mirror a store
+    * row — q25/q29), magic23 orders (whales buying hot items in July 1999 —
+    * q23), loyal orders (q4/q11/q74). */
+  private final case class CsRaw(item: String, cust: String, sold: String,
+      qty: String, spC: String)
+
+  private def csRaw(d: Dia, idx: String): CsRaw = {
+    val g = G(d, idx, "catalog_sales")
+    val ord = idiv(idx, ItemsPerCsOrder.toString)
+    val go = G(d, ord, "catalog_sales_o")
+    val echo = s"(($idx) < $NEcho)"
+    val src = ssRaw(d, echoSrc(idx))
+    val magic23 = s"(${go.u("magic23")} % 60 = 0)"
+    // q54 slice: loyal customers buy Men/shirts items (ids ≡ 55 mod 100,
+    // pinned in item()) in July 2000 — loyal customers have enough store
+    // tickets that q54's follow-up 3-month revenue window is non-empty.
+    val magic54 = s"(${go.u("magic54")} % 80 = 0)"
+    val loyal = s"(${go.u("loyal")} % 20 = 0)"
+    val item = s"(CASE WHEN $echo THEN ${src.item} " +
+      s"WHEN $magic23 THEN ${hotItem(s"(${g.u("hot23")} % 50)")} " +
+      s"WHEN $magic54 THEN ((100 * (${g.u("it54")} % 20)) + 56) " +
+      s"ELSE ${g.ui("item", NItem, 1)} END)"
+    // day 546 = 1999-07-01: July 1999, inside q23's frequent-items years;
+    // day 912 = 2000-07-01: q54's anchor month.
+    val sold = s"(CASE WHEN $echo THEN ${src.date} " +
+      s"WHEN $magic23 THEN (546 + (${go.u("july")} % 31)) " +
+      s"WHEN $magic54 THEN (912 + (${go.u("july54")} % 31)) " +
+      s"ELSE ${go.ui("solddate", SoldDays)} END)"
+    val cust = s"(CASE WHEN $echo THEN ${src.cust} " +
+      s"WHEN $magic23 THEN ${whaleCust(s"(${go.u("whale23")} % 50)")} " +
+      s"WHEN $magic54 THEN ${loyalCust(s"(${go.u("loyal54")} % 100)")} " +
+      s"WHEN $loyal THEN ${loyalCust(s"(${go.u("loyal2")} % 100)")} " +
+      s"ELSE ${go.ui("billcust", NCust, 1)} END)"
+    val qty = s"(CASE WHEN $echo THEN ${src.qty} ELSE ${g.ui("qty", 100, 1)} END)"
+    val spC = s"(CASE WHEN $echo THEN ${src.spC} ELSE (${g.u("sp")} % 60000) END)"
+    CsRaw(item, cust, sold, qty, spC)
+  }
+
   private def csCols(d: Dia, idx: String): Seq[(String, String)] = {
     val g = G(d, idx, "catalog_sales")
     val ord = idiv(idx, ItemsPerCsOrder.toString)
     val go = G(d, ord, "catalog_sales_o")
-    val m = Measures(g, 60000)
-    val sold = go.ui("solddate", SoldDays)
+    val raw = csRaw(d, idx)
+    val m = Measures(g, raw.qty, raw.spC)
+    val sold = raw.sold
     Seq(
       "cs_sold_date_sk" -> sold,
       "cs_sold_time_sk" -> g.ui("soldtime", NTimeDim),
       "cs_ship_date_sk" -> s"($sold + ${g.ui("shipdelay", 120, 2)})",
-      "cs_bill_customer_sk" -> go.ui("billcust", NCust, 1),
+      "cs_bill_customer_sk" -> raw.cust,
       "cs_bill_cdemo_sk" -> go.ui("billcdemo", NCd, 1),
-      "cs_bill_hdemo_sk" -> go.ui("billhdemo", NHd, 1),
+      "cs_bill_hdemo_sk" -> (s"(CASE WHEN ${g.u("hdnull")} % 50 = 0 " +
+        s"THEN cast(NULL as bigint) ELSE ${go.ui("billhdemo", NHd, 1)} END)"),
       "cs_bill_addr_sk" -> go.ui("billaddr", NCa, 1),
       "cs_ship_customer_sk" -> go.ui("shipcust", NCust, 1),
       "cs_ship_cdemo_sk" -> go.ui("shipcdemo", NCd, 1),
@@ -700,13 +895,13 @@ object TpcdsGen {
       "cs_catalog_page_sk" -> g.ui("catalogpage", NCp, 1),
       "cs_ship_mode_sk" -> g.ui("shipmode", NSm, 1),
       "cs_warehouse_sk" -> g.ui("warehouse", NWh, 1),
-      "cs_item_sk" -> g.ui("item", NItem, 1),
+      "cs_item_sk" -> raw.item,
       "cs_promo_sk" -> g.ui("promo", NPromo, 1),
       "cs_order_number" -> s"($ord + 1)",
-      "cs_quantity" -> m.qty,
+      "cs_quantity" -> raw.qty,
       "cs_wholesale_cost" -> g.dec2(m.wcC),
       "cs_list_price" -> g.dec2(m.lpC),
-      "cs_sales_price" -> g.dec2(m.spC),
+      "cs_sales_price" -> g.dec2(raw.spC),
       "cs_ext_discount_amt" -> g.dec2(m.extDiscountC),
       "cs_ext_sales_price" -> g.dec2(m.extSalesC),
       "cs_ext_wholesale_cost" -> g.dec2(m.extWholesaleC),
@@ -726,13 +921,14 @@ object TpcdsGen {
   private def catalogReturns(d: Dia): String = {
     val f = s"((id * 101 + 7) % $NCs)"
     val cs = csCols(d, f).toMap
+    val src = csRaw(d, f)
     val g = G(d, "id", "catalog_returns")
-    val retQty = s"((${g.u("retqty")} % (${G(d, f, "catalog_sales").ui("qty", 100, 1)})) + 1)"
-    val spC = s"(${G(d, f, "catalog_sales").u("sp")} % 60000)"
+    val retQty = s"((${g.u("retqty")} % (${src.qty})) + 1)"
+    val spC = src.spC
     val retAmtC = s"(($retQty) * ($spC))"
     val retTaxC = idiv(retAmtC, "20")
     val cols = Seq(
-      "cr_returned_date_sk" -> s"(${cs("cs_sold_date_sk")} + ${g.ui("delay", 89, 1)})",
+      "cr_returned_date_sk" -> retDate(g, src.sold),
       "cr_returned_time_sk" -> g.ui("rettime", NTimeDim),
       "cr_item_sk" -> cs("cs_item_sk"),
       "cr_refunded_customer_sk" -> cs("cs_bill_customer_sk"),
@@ -762,18 +958,51 @@ object TpcdsGen {
     render(cols, d.seq(NCr))
   }
 
+  /** Web core columns with their planted slices: echo (q58/TPCx-BB q21),
+    * loyal orders (q4), and the q85 slice — 1/40 of rows pin qty=1,
+    * sales_price in [100,150) and wholesale so net_profit lands in [50,90),
+    * matching q85's (price-branch-1 AND profit-branch-3) intersection. */
+  private final case class WsRaw(item: String, cust: String, sold: String,
+      qty: String, spC: String, magic85: String)
+
+  private def wsRaw(d: Dia, idx: String): WsRaw = {
+    val g = G(d, idx, "web_sales")
+    val ord = idiv(idx, ItemsPerWsOrder.toString)
+    val go = G(d, ord, "web_sales_o")
+    val echo = s"(($idx) < $NEcho)"
+    val src = ssRaw(d, echoSrc(idx))
+    val magic85 = s"(${g.u("magic85")} % 40 = 0)"
+    val loyal = s"(${go.u("loyal")} % 20 = 0)"
+    val item = s"(CASE WHEN $echo THEN ${src.item} ELSE ${g.ui("item", NItem, 1)} END)"
+    val sold = s"(CASE WHEN $echo THEN ${src.date} ELSE ${go.ui("solddate", SoldDays)} END)"
+    val cust = s"(CASE WHEN $echo THEN ${src.cust} " +
+      s"WHEN $loyal THEN ${loyalCust(s"(${go.u("loyal2")} % 100)")} " +
+      s"ELSE ${go.ui("billcust", NCust, 1)} END)"
+    val qty = s"(CASE WHEN $echo THEN ${src.qty} WHEN $magic85 THEN 1 " +
+      s"ELSE ${g.ui("qty", 100, 1)} END)"
+    val spC = s"(CASE WHEN $echo THEN ${src.spC} " +
+      s"WHEN $magic85 THEN (10000 + (${g.u("sp85")} % 5000)) " +
+      s"ELSE (${g.u("sp")} % 20000) END)"
+    WsRaw(item, cust, sold, qty, spC, magic85)
+  }
+
   private def wsCols(d: Dia, idx: String): Seq[(String, String)] = {
     val g = G(d, idx, "web_sales")
     val ord = idiv(idx, ItemsPerWsOrder.toString)
     val go = G(d, ord, "web_sales_o")
-    val m = Measures(g, 20000)
-    val sold = go.ui("solddate", SoldDays)
+    val raw = wsRaw(d, idx)
+    val wcC = s"(CASE WHEN ${raw.magic85} THEN (${raw.spC} - (5000 + (${g.u("wc85")} % 4000))) " +
+      s"ELSE (${g.u("wc")} % 10000) END)"
+    val coupC = s"(CASE WHEN ${raw.magic85} THEN 0 " +
+      s"WHEN ${g.u("hascoup")} % 10 = 0 THEN ${g.u("coup")} % 2000000 ELSE 0 END)"
+    val m = Measures(g, raw.qty, raw.spC, wcOver = Some(wcC), coupOver = Some(coupC))
+    val sold = raw.sold
     Seq(
       "ws_sold_date_sk" -> sold,
       "ws_sold_time_sk" -> g.ui("soldtime", NTimeDim),
       "ws_ship_date_sk" -> s"($sold + ${g.ui("shipdelay", 120, 2)})",
-      "ws_item_sk" -> g.ui("item", NItem, 1),
-      "ws_bill_customer_sk" -> go.ui("billcust", NCust, 1),
+      "ws_item_sk" -> raw.item,
+      "ws_bill_customer_sk" -> raw.cust,
       "ws_bill_cdemo_sk" -> go.ui("billcdemo", NCd, 1),
       "ws_bill_hdemo_sk" -> go.ui("billhdemo", NHd, 1),
       "ws_bill_addr_sk" -> go.ui("billaddr", NCa, 1),
@@ -784,13 +1013,14 @@ object TpcdsGen {
       "ws_web_page_sk" -> g.ui("webpage", NWp, 1),
       "ws_web_site_sk" -> go.ui("website", NWeb, 1),
       "ws_ship_mode_sk" -> g.ui("shipmode", NSm, 1),
-      "ws_warehouse_sk" -> g.ui("warehouse", NWh, 1),
+      "ws_warehouse_sk" -> (s"(CASE WHEN ${g.u("whnull")} % 50 = 0 " +
+        s"THEN cast(NULL as bigint) ELSE ${g.ui("warehouse", NWh, 1)} END)"),
       "ws_promo_sk" -> g.ui("promo", NPromo, 1),
       "ws_order_number" -> s"($ord + 1)",
-      "ws_quantity" -> m.qty,
+      "ws_quantity" -> raw.qty,
       "ws_wholesale_cost" -> g.dec2(m.wcC),
       "ws_list_price" -> g.dec2(m.lpC),
-      "ws_sales_price" -> g.dec2(m.spC),
+      "ws_sales_price" -> g.dec2(raw.spC),
       "ws_ext_discount_amt" -> g.dec2(m.extDiscountC),
       "ws_ext_sales_price" -> g.dec2(m.extSalesC),
       "ws_ext_wholesale_cost" -> g.dec2(m.extWholesaleC),
@@ -810,21 +1040,29 @@ object TpcdsGen {
   private def webReturns(d: Dia): String = {
     val f = s"((id * 89 + 3) % $NWs)"
     val ws = wsCols(d, f).toMap
+    val src = wsRaw(d, f)
     val g = G(d, "id", "web_returns")
-    val retQty = s"((${g.u("retqty")} % (${G(d, f, "web_sales").ui("qty", 100, 1)})) + 1)"
-    val spC = s"(${G(d, f, "web_sales").u("sp")} % 20000)"
+    val retQty = s"((${g.u("retqty")} % (${src.qty})) + 1)"
+    val spC = src.spC
     val retAmtC = s"(($retQty) * ($spC))"
     val retTaxC = idiv(retAmtC, "20")
+    // q85 pins: returns of the magic85 web rows refund to a ('U','Advanced
+    // Degree') demographic pair (same cd for refunded and returning — the
+    // common ship-to = bill-to case) at a Wisconsin address, completing the
+    // demographic/price/profit/state branch intersection.
+    val m85 = src.magic85
+    val cd85 = cdUAdv(g.u("cd85"))
     val cols = Seq(
-      "wr_returned_date_sk" -> s"(${ws("ws_sold_date_sk")} + ${g.ui("delay", 89, 1)})",
+      "wr_returned_date_sk" -> retDate(g, src.sold),
       "wr_returned_time_sk" -> g.ui("rettime", NTimeDim),
       "wr_item_sk" -> ws("ws_item_sk"),
       "wr_refunded_customer_sk" -> ws("ws_bill_customer_sk"),
-      "wr_refunded_cdemo_sk" -> ws("ws_bill_cdemo_sk"),
+      "wr_refunded_cdemo_sk" -> s"(CASE WHEN $m85 THEN $cd85 ELSE ${ws("ws_bill_cdemo_sk")} END)",
       "wr_refunded_hdemo_sk" -> ws("ws_bill_hdemo_sk"),
-      "wr_refunded_addr_sk" -> ws("ws_bill_addr_sk"),
+      "wr_refunded_addr_sk" -> (s"(CASE WHEN $m85 THEN ${caWi(g.u("ad85"))} " +
+        s"ELSE ${ws("ws_bill_addr_sk")} END)"),
       "wr_returning_customer_sk" -> ws("ws_ship_customer_sk"),
-      "wr_returning_cdemo_sk" -> ws("ws_ship_cdemo_sk"),
+      "wr_returning_cdemo_sk" -> s"(CASE WHEN $m85 THEN $cd85 ELSE ${ws("ws_ship_cdemo_sk")} END)",
       "wr_returning_hdemo_sk" -> ws("ws_ship_hdemo_sk"),
       "wr_returning_addr_sk" -> ws("ws_ship_addr_sk"),
       "wr_web_page_sk" -> ws("ws_web_page_sk"),
@@ -845,11 +1083,20 @@ object TpcdsGen {
 
   private def inventory(d: Dia): String = {
     val g = G(d, "id", "inventory")
+    // Heavy-tailed on-hand quantity: a mostly-small base (0..399, keeping
+    // q37's 100..500 window selective) with 1/8 large-negative and 1/8
+    // large-positive spikes — monthly cells mixing both spike signs reach
+    // the coefficient-of-variation >= 1.3 that TPCx-BB q23 scans for, which
+    // a uniform draw can never produce (cov of uniform ≈ 0.58).
+    val spike = s"(${g.u("spike")} % 8)"
+    val qoh = s"(CASE WHEN $spike = 0 THEN (0 - (500 + (${g.u("neg")} % 500))) " +
+      s"WHEN $spike = 1 THEN (2000 + (${g.u("pos")} % 1500)) " +
+      s"ELSE (${g.u("qoh")} % 400) END)"
     val cols = Seq(
       "inv_date_sk" -> s"(${idiv("id", (NItem * NWh).toString)} * 7)",
       "inv_item_sk" -> s"(id % $NItem + 1)",
       "inv_warehouse_sk" -> s"(${idiv("id", NItem.toString)} % $NWh + 1)",
-      "inv_quantity_on_hand" -> g.ui("qoh", 1000))
+      "inv_quantity_on_hand" -> qoh)
     render(cols, d.seq(NInv))
   }
 

@@ -97,6 +97,24 @@ class DedupSpec extends SparkSpec {
       s"candidates ${candSet.size} not sparse vs $allPairs")
   }
 
+  test("sign-band probe volume is exactly the closed-form bound at n=20k") {
+    import spark.implicits._
+    // Locks dedup_embed_cos's candidate generation to ≤199 probe rows per
+    // vector (6 combos × 33 masks + 6 exact keys): a future keyspace edit
+    // that widens probing (e.g. 2-bit flips) or adds combos fails here
+    // BEFORE it reintroduces a pair explosion at bench scale.
+    val rnd = new scala.util.Random(17)
+    val n = 20000
+    val df = (0 until n).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val keys = graft.data.Dedup.signBandKeys(df)
+    assert(keys.count() == n.toLong * 6, "6 combo keys per vector")
+    val probeRows = graft.data.Dedup.signBandProbes(keys).count()
+    assert(probeRows == n.toLong * graft.data.Dedup.SignBandProbesPerVec,
+      s"probe volume $probeRows != n × ${graft.data.Dedup.SignBandProbesPerVec}")
+    assert(graft.data.Dedup.SignBandProbesPerVec <= 199, "probe multiplier bound")
+  }
+
   test("sim_ann_lsh multi-probe: top-5 recall vs brute force") {
     // The testdata embeddings are near-random, so the exact top-5 are only
     // weakly correlated with their queries — the hardest case for LSH (the

@@ -28,6 +28,67 @@ class UdfSpec extends SparkSpec {
     assert(plan.contains("HI!"), s"macro not folded: $plan")
   }
 
+  test("python UDF: tuple assignment swaps via parallel semantics") {
+    UdfSurface.execute(spark,
+      """CREATE FUNCTION py_swapdiff(a bigint, b bigint) RETURNS bigint LANGUAGE python AS $$
+def py_swapdiff(a, b):
+    if a < b:
+        a, b = b, a
+    return a - b
+$$""")
+    assert(spark.sql("SELECT py_swapdiff(3, 10) AS v").collect().head.getLong(0) == 7L)
+    assert(spark.sql("SELECT py_swapdiff(10, 3) AS v").collect().head.getLong(0) == 7L)
+  }
+
+  test("python UDF: for over a list literal with len/str/int builtins") {
+    UdfSurface.execute(spark,
+      """CREATE FUNCTION py_sumsel(x bigint) RETURNS varchar LANGUAGE python AS $$
+def py_sumsel(x):
+    total = 0
+    for w in [1, 10, 100]:
+        total += w * x
+    return str(total) + '/' + str(len([1, 2, 3])) + '/' + str(int('7') + x)
+$$""")
+    assert(spark.sql("SELECT py_sumsel(2) AS v").collect().head.getString(0) == "222/3/9")
+  }
+
+  test("python UDF: subscripts with negative indices on strings and lists") {
+    UdfSurface.execute(spark,
+      """CREATE FUNCTION py_ends(s varchar) RETURNS varchar LANGUAGE python AS $$
+def py_ends(s):
+    parts = [s[0], s[-1]]
+    return parts[0] + parts[1] + parts[-1]
+$$""")
+    assert(spark.sql("SELECT py_ends('hello') AS v").collect().head.getString(0) == "hoo")
+  }
+
+  test("python UDF: unpacking a list-valued RHS into names") {
+    UdfSurface.execute(spark,
+      """CREATE FUNCTION py_unpack(x bigint) RETURNS bigint LANGUAGE python AS $$
+def py_unpack(x):
+    lo, hi = [x - 1, x + 1]
+    return lo * hi
+$$""")
+    assert(spark.sql("SELECT py_unpack(5) AS v").collect().head.getLong(0) == 24L)
+  }
+
+  test("python UDF: for over a string iterates characters") {
+    UdfSurface.execute(spark,
+      """CREATE FUNCTION py_vowels(s varchar) RETURNS bigint LANGUAGE python AS $$
+def py_vowels(s):
+    n = 0
+    for ch in s:
+        if ch == 'a':
+            n += 1
+        else:
+            if ch == 'e':
+                n += 1
+    return n
+$$""")
+    // a's: sea, at, dawn = 3; e's: sea, breeze×3 = 4
+    assert(spark.sql("SELECT py_vowels('sea breeze at dawn') AS v").collect().head.getLong(0) == 7L)
+  }
+
   test("router dispatches SQL, pipe-SQL, SET, CREATE FUNCTION") {
     Tables.registerAll(spark, sf)
     assert(GraftSql(spark, "SELECT count(*) AS n FROM region").collect().head.getLong(0) == 5L)
