@@ -6,29 +6,52 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import java.time.LocalDate
+import scala.collection.mutable.{ArrayBuffer, HashMap, LinkedHashMap}
 
-/** Minimal Python interpreter for the reference's `LANGUAGE python` UDF
+/** Structured-Python interpreter for the reference's `LANGUAGE python` UDF
   * surface (reference PyInterpOps.td:34-76; scored by
   * test/sqlite-small-python/python-udfs.test).
   *
   * The reference embeds CPython and interprets the function body per row
   * (py_interp bridge); this container has no Python runtime on the executor
-  * path, so the same subset is interpreted on the JVM: def-functions with
-  * assignments (including parallel tuple assignment `a, b = b, a`),
-  * `for ... in range(...)`, `for x in <expr>` over list values, `if/else`,
-  * `return`, list literals `[..]`, subscripts with Python negative-index
-  * semantics, arithmetic with Python semantics (`/` is float division,
-  * `//` floors, int×int stays int), comparisons,
-  * `len`/`int`/`float`/`abs`/`str` builtins (len covers strings and lists),
-  * string methods (upper/lower/strip/startswith/endswith/replace), and date
-  * attributes (year/month/day). The exact accepted grammar is documented in
+  * path, so a substantial structured subset is interpreted on the JVM:
+  *
+  *   - statements: `def` (several per body, helpers + recursion, default
+  *     args, annotations stripped), assignment (plain / parallel-tuple /
+  *     augmented / subscript), `if`/`elif`/`else`, `for` over
+  *     range/list/tuple/string/dict (with tuple targets), `while`,
+  *     `break`/`continue`/`pass`/`return`, module-level constants,
+  *     `import math` / `from math import f`;
+  *   - expressions: Python arithmetic (`/` float, `//` floors, `%` follows
+  *     the divisor, int×int stays int), chained comparisons
+  *     (`a < b <= c`), `and`/`or` returning the operand (short-circuit),
+  *     `not`, `in`/`not in`, `is (not)` None, ternary `x if c else y`,
+  *     slicing `s[a:b:c]` with Python clamping, list/tuple/dict literals,
+  *     list comprehensions and bare generator expressions (in `sum(...)`
+  *     etc.), f-strings with `{expr}` / `{expr:.Nf}`;
+  *   - values: int/float/bool/str/None, mutable lists, tuples, dicts
+  *     (insertion-ordered), `range` objects;
+  *   - builtins: len int float str bool abs min max sum round (half-even)
+  *     sorted reversed list tuple dict range enumerate zip any all ord chr;
+  *   - methods: strings (upper lower strip lstrip rstrip startswith
+  *     endswith replace split join find rfind count index isdigit isalpha
+  *     isalnum isspace zfill capitalize title format), lists (append pop
+  *     insert extend remove index count sort reverse copy), dicts (get
+  *     keys values items pop setdefault update copy), `math.*`
+  *     (sqrt floor ceil log log2 log10 exp pow sin cos tan asin acos atan
+  *     atan2 fabs hypot fmod trunc isnan isinf degrees radians gcd
+  *     copysign + pi/e/inf/nan/tau), date `.year/.month/.day`.
+  *
+  * Out of scope (rejected with a clear parse error, documented in
+  * COVERAGE.md known-gaps): classes, try/except, imports beyond `math`,
+  * closures over mutable state, keyword arguments, `*args`, generators
+  * with `yield`. The exact accepted grammar is documented in
   * [[graft.sqlsurface.UdfSurface]].
   *
   * Deliberately interpreted, not codegen'd: an external-language UDF is
-  * opaque to Catalyst in the reference too (SURVEY §2.7 — same stance as
-  * the multimodal decode stub). NULL inputs short-circuit to NULL without
-  * entering the interpreter, matching the reference's null propagation
-  * (python-udfs.test py-9).
+  * opaque to Catalyst in the reference too (SURVEY §2.7). NULL inputs
+  * short-circuit to NULL without entering the interpreter, matching the
+  * reference's null propagation (python-udfs.test py-9).
   */
 object PyInterp {
 
@@ -42,23 +65,44 @@ object PyInterp {
   private case object PNone extends PExpr
   private final case class PName(n: String) extends PExpr
   private final case class PBin(op: String, l: PExpr, r: PExpr) extends PExpr
+  private final case class PCompare(first: PExpr, ops: Seq[String], rest: Seq[PExpr]) extends PExpr
+  private final case class PBoolOp(op: String, parts: Seq[PExpr]) extends PExpr
   private final case class PUnary(op: String, e: PExpr) extends PExpr
   private final case class PCall(fn: PExpr, args: Seq[PExpr]) extends PExpr
   private final case class PAttr(e: PExpr, name: String) extends PExpr
   private final case class PList(items: Seq[PExpr]) extends PExpr
+  private final case class PTuple(items: Seq[PExpr]) extends PExpr
+  private final case class PDict(keys: Seq[PExpr], vals: Seq[PExpr]) extends PExpr
   private final case class PIndex(e: PExpr, idx: PExpr) extends PExpr
+  private final case class PSliceIdx(e: PExpr, lo: Option[PExpr], hi: Option[PExpr],
+      step: Option[PExpr]) extends PExpr
+  private final case class PTernary(cond: PExpr, thn: PExpr, els: PExpr) extends PExpr
+  private sealed trait CompClause
+  private final case class CFor(names: Seq[String], iter: PExpr) extends CompClause
+  private final case class CIf(cond: PExpr) extends CompClause
+  /** list comprehension / generator expression */
+  private final case class PComp(elem: PExpr, clauses: Seq[CompClause]) extends PExpr
+  /** f-string: Left(literal) | Right((expr, formatSpec)) */
+  private final case class PFStr(parts: Seq[Either[String, (PExpr, String)]]) extends PExpr
 
   sealed trait PStmt
   private final case class PReturn(e: PExpr) extends PStmt
   private final case class PAssign(name: String, e: PExpr) extends PStmt
   private final case class PTupleAssign(names: Seq[String], rhs: Seq[PExpr]) extends PStmt
   private final case class PAugAssign(name: String, op: String, e: PExpr) extends PStmt
-  private final case class PFor(v: String, range: Seq[PExpr], body: Seq[PStmt]) extends PStmt
-  private final case class PForIn(v: String, iter: PExpr, body: Seq[PStmt]) extends PStmt
+  private final case class PIndexAssign(target: PExpr, idx: PExpr, e: PExpr,
+      augOp: Option[String]) extends PStmt
+  private final case class PFor(names: Seq[String], iter: PExpr, body: Seq[PStmt]) extends PStmt
+  private final case class PWhile(cond: PExpr, body: Seq[PStmt]) extends PStmt
+  private case object PBreak extends PStmt
+  private case object PContinue extends PStmt
   private final case class PIf(cond: PExpr, thn: Seq[PStmt], els: Seq[PStmt]) extends PStmt
   private final case class PExprStmt(e: PExpr) extends PStmt
 
-  final case class PyFunc(name: String, params: Seq[String], body: Seq[PStmt])
+  final case class PyFunc(name: String, params: Seq[String], body: Seq[PStmt],
+      defaults: Map[String, PExpr] = Map.empty,
+      defs: Map[String, PyFunc] = Map.empty,
+      consts: Seq[PStmt] = Nil)
 
   // ----------------------------------------------------------- tokenizer
 
@@ -72,22 +116,36 @@ object PyInterp {
       val c = src.charAt(i)
       if (c.isDigit || (c == '.' && i + 1 < src.length && src.charAt(i + 1).isDigit)) {
         val s = i
-        while (i < src.length && (src.charAt(i).isDigit || src.charAt(i) == '.')) i += 1
-        tok = src.substring(s, i)
+        while (i < src.length && (src.charAt(i).isDigit || src.charAt(i) == '.' ||
+          src.charAt(i) == '_')) i += 1
+        tok = src.substring(s, i).replace("_", "")
       } else if (c.isLetter || c == '_') {
         val s = i
         while (i < src.length && (src.charAt(i).isLetterOrDigit || src.charAt(i) == '_')) i += 1
-        tok = src.substring(s, i)
+        val ident = src.substring(s, i)
+        // f-string prefix: the identifier is exactly f/F and a quote follows
+        if ((ident == "f" || ident == "F") && i < src.length &&
+          (src.charAt(i) == '\'' || src.charAt(i) == '"')) {
+          tok = "f" + readString()
+        } else tok = ident
       } else if (c == '\'' || c == '"') {
-        val s = i; i += 1
-        while (i < src.length && src.charAt(i) != c) i += 1
-        i += 1
-        tok = src.substring(s, i)
+        tok = readString()
       } else {
         val two = if (i + 1 < src.length) src.substring(i, i + 2) else ""
         if (Set("==", "!=", "<=", ">=", "//", "**")(two)) { tok = two; i += 2 }
         else { tok = c.toString; i += 1 }
       }
+    }
+    /** Consume a quoted string (cursor on the quote); keep quotes, keep raw
+      * escapes (processed by [[unescape]]). */
+    private def readString(): String = {
+      val q = src.charAt(i)
+      val s = i; i += 1
+      while (i < src.length && src.charAt(i) != q) {
+        if (src.charAt(i) == '\\' && i + 1 < src.length) i += 2 else i += 1
+      }
+      i += 1
+      src.substring(s, math.min(i, src.length))
     }
     def eat(expected: String): Unit = {
       require(tok == expected, s"py parse: expected '$expected', got '$tok' in: $src")
@@ -95,17 +153,79 @@ object PyInterp {
     }
   }
 
-  // ----------------------------------------------------- expression parse
+  private def unescape(raw: String): String = {
+    val sb = new java.lang.StringBuilder(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '\\' && i + 1 < raw.length) {
+        raw.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+          case 'r' => sb.append('\r'); case '\\' => sb.append('\\')
+          case '\'' => sb.append('\''); case '"' => sb.append('"')
+          case '0' => sb.append(' ')
+          case o => sb.append('\\').append(o)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
-  private def parseExpr(lx: Lexer): PExpr = parseCmp(lx)
+  // ----------------------------------------------------- expression parse
+  //
+  // Precedence (low→high), matching Python: ternary, or, and, not,
+  // comparison (chained, incl. in / not in / is), |,&,^ (unsupported),
+  // +,-, *,/,//,%, unary -, **, postfix (call/attr/index), atom.
+
+  private def parseExpr(lx: Lexer): PExpr = {
+    val e = parseOr(lx)
+    if (lx.tok == "if") {
+      lx.advance()
+      val cond = parseOr(lx)
+      lx.eat("else")
+      PTernary(cond, e, parseExpr(lx))
+    } else e
+  }
+
+  private def parseOr(lx: Lexer): PExpr = {
+    var parts = List(parseAnd(lx))
+    while (lx.tok == "or") { lx.advance(); parts ::= parseAnd(lx) }
+    if (parts.size == 1) parts.head else PBoolOp("or", parts.reverse)
+  }
+
+  private def parseAnd(lx: Lexer): PExpr = {
+    var parts = List(parseNot(lx))
+    while (lx.tok == "and") { lx.advance(); parts ::= parseNot(lx) }
+    if (parts.size == 1) parts.head else PBoolOp("and", parts.reverse)
+  }
+
+  private def parseNot(lx: Lexer): PExpr =
+    if (lx.tok == "not") { lx.advance(); PUnary("not", parseNot(lx)) }
+    else parseCmp(lx)
 
   private def parseCmp(lx: Lexer): PExpr = {
-    var l = parseAdd(lx)
-    while (lx.tok != null && Set("==", "!=", "<", "<=", ">", ">=")(lx.tok)) {
-      val op = lx.tok; lx.advance()
-      l = PBin(op, l, parseAdd(lx))
+    val first = parseAdd(lx)
+    val ops = ArrayBuffer.empty[String]
+    val rest = ArrayBuffer.empty[PExpr]
+    var done = false
+    while (!done) {
+      lx.tok match {
+        case "==" | "!=" | "<" | "<=" | ">" | ">=" =>
+          val op = lx.tok; lx.advance()
+          ops += op; rest += parseAdd(lx)
+        case "in" =>
+          lx.advance(); ops += "in"; rest += parseAdd(lx)
+        case "not" => // `not in`
+          lx.advance(); lx.eat("in"); ops += "not in"; rest += parseAdd(lx)
+        case "is" =>
+          lx.advance()
+          if (lx.tok == "not") { lx.advance(); ops += "is not" } else ops += "is"
+          rest += parseAdd(lx)
+        case _ => done = true
+      }
     }
-    l
+    if (ops.isEmpty) first else PCompare(first, ops.toSeq, rest.toSeq)
   }
 
   private def parseAdd(lx: Lexer): PExpr = {
@@ -119,7 +239,7 @@ object PyInterp {
 
   private def parseMul(lx: Lexer): PExpr = {
     var l = parseUnary(lx)
-    while (lx.tok != null && Set("*", "/", "%", "//", "**")(lx.tok)) {
+    while (lx.tok != null && Set("*", "/", "%", "//")(lx.tok)) {
       val op = lx.tok; lx.advance()
       l = PBin(op, l, parseUnary(lx))
     }
@@ -128,8 +248,14 @@ object PyInterp {
 
   private def parseUnary(lx: Lexer): PExpr =
     if (lx.tok == "-") { lx.advance(); PUnary("-", parseUnary(lx)) }
-    else if (lx.tok == "not") { lx.advance(); PUnary("not", parseUnary(lx)) }
-    else parsePostfix(lx)
+    else if (lx.tok == "+") { lx.advance(); parseUnary(lx) }
+    else parsePow(lx)
+
+  private def parsePow(lx: Lexer): PExpr = {
+    val base = parsePostfix(lx)
+    if (lx.tok == "**") { lx.advance(); PBin("**", base, parseUnary(lx)) } // right-assoc
+    else base
+  }
 
   private def parsePostfix(lx: Lexer): PExpr = {
     var e = parseAtom(lx)
@@ -141,46 +267,168 @@ object PyInterp {
         e = PAttr(e, name)
       case "(" =>
         lx.advance()
-        val args = scala.collection.mutable.ArrayBuffer.empty[PExpr]
+        val args = ArrayBuffer.empty[PExpr]
         if (lx.tok != ")") {
-          args += parseExpr(lx)
-          while (lx.tok == ",") { lx.advance(); args += parseExpr(lx) }
+          val a0 = parseExpr(lx)
+          // bare generator expression: sum(x*x for x in xs)
+          if (lx.tok == "for") args += parseCompClauses(lx, a0)
+          else {
+            args += a0
+            while (lx.tok == ",") { lx.advance(); args += parseExpr(lx) }
+          }
         }
         lx.eat(")")
         e = PCall(e, args.toSeq)
       case "[" =>
         lx.advance()
-        val idx = parseExpr(lx)
-        lx.eat("]")
-        e = PIndex(e, idx)
+        // index or slice
+        val lo = if (lx.tok == ":") None else Some(parseExpr(lx))
+        if (lx.tok == ":") {
+          lx.advance()
+          val hi = if (lx.tok == ":" || lx.tok == "]") None else Some(parseExpr(lx))
+          val step = if (lx.tok == ":") {
+            lx.advance()
+            if (lx.tok == "]") None else Some(parseExpr(lx))
+          } else None
+          lx.eat("]")
+          e = PSliceIdx(e, lo, hi, step)
+        } else {
+          lx.eat("]")
+          e = PIndex(e, lo.get)
+        }
       case _ => done = true
     }
     e
   }
 
+  /** Parse `for n(,n)* in <or-expr> (for …|if …)*` after the element expr. */
+  private def parseCompClauses(lx: Lexer, elem: PExpr): PExpr = {
+    val clauses = ArrayBuffer.empty[CompClause]
+    while (lx.tok == "for" || lx.tok == "if") {
+      if (lx.tok == "for") {
+        lx.advance()
+        val names = ArrayBuffer(lx.tok); lx.advance()
+        while (lx.tok == ",") { lx.advance(); names += lx.tok; lx.advance() }
+        lx.eat("in")
+        clauses += CFor(names.toSeq, parseOr(lx))
+      } else {
+        lx.advance()
+        clauses += CIf(parseOr(lx))
+      }
+    }
+    PComp(elem, clauses.toSeq)
+  }
+
   private def parseAtom(lx: Lexer): PExpr = {
     val t = lx.tok
     require(t != null, "py parse: unexpected end of expression")
-    if (t == "(") { lx.advance(); val e = parseExpr(lx); lx.eat(")"); e }
+    if (t == "(") {
+      lx.advance()
+      if (lx.tok == ")") { lx.advance(); return PTuple(Nil) }
+      val e = parseExpr(lx)
+      if (lx.tok == ",") { // tuple literal
+        val items = ArrayBuffer(e)
+        while (lx.tok == ",") {
+          lx.advance()
+          if (lx.tok != ")") items += parseExpr(lx)
+        }
+        lx.eat(")")
+        PTuple(items.toSeq)
+      } else if (lx.tok == "for") { // parenthesised generator expression
+        val c = parseCompClauses(lx, e); lx.eat(")"); c
+      } else { lx.eat(")"); e }
+    }
     else if (t == "[") {
       lx.advance()
-      val items = scala.collection.mutable.ArrayBuffer.empty[PExpr]
-      if (lx.tok != "]") {
-        items += parseExpr(lx)
-        while (lx.tok == ",") { lx.advance(); items += parseExpr(lx) }
+      if (lx.tok == "]") { lx.advance(); return PList(Nil) }
+      val e0 = parseExpr(lx)
+      if (lx.tok == "for") { // list comprehension
+        val c = parseCompClauses(lx, e0)
+        lx.eat("]")
+        PCall(PName("list"), Seq(c))
+      } else {
+        val items = ArrayBuffer(e0)
+        while (lx.tok == ",") {
+          lx.advance()
+          if (lx.tok != "]") items += parseExpr(lx)
+        }
+        lx.eat("]")
+        PList(items.toSeq)
       }
-      lx.eat("]")
-      PList(items.toSeq)
     }
-    else if (t.head.isDigit || t.head == '.') {
+    else if (t == "{") {
+      lx.advance()
+      val ks = ArrayBuffer.empty[PExpr]; val vs = ArrayBuffer.empty[PExpr]
+      if (lx.tok != "}") {
+        var more = true
+        while (more) {
+          ks += parseExpr(lx); lx.eat(":"); vs += parseExpr(lx)
+          if (lx.tok == ",") { lx.advance(); more = lx.tok != "}" } else more = false
+        }
+      }
+      lx.eat("}")
+      PDict(ks.toSeq, vs.toSeq)
+    }
+    else if (t.head.isDigit || (t.head == '.' && t.length > 1)) {
       lx.advance()
       if (t.contains('.')) PFloat(t.toDouble) else PInt(t.toLong)
     }
-    else if (t.head == '\'' || t.head == '"') { lx.advance(); PStr(t.substring(1, t.length - 1)) }
+    else if (t.head == '\'' || t.head == '"') {
+      lx.advance(); PStr(unescape(t.substring(1, t.length - 1)))
+    }
+    else if (t.length > 1 && t.head == 'f' && (t(1) == '\'' || t(1) == '"')) {
+      lx.advance(); parseFString(t.substring(2, t.length - 1))
+    }
     else if (t == "True") { lx.advance(); PBool(true) }
     else if (t == "False") { lx.advance(); PBool(false) }
     else if (t == "None") { lx.advance(); PNone }
+    else if (Set("class", "lambda", "yield", "try", "except", "global", "nonlocal")(t))
+      throw new IllegalArgumentException(
+        s"py parse: '$t' is outside the supported subset (see UdfSurface docs)")
     else { lx.advance(); PName(t) }
+  }
+
+  /** `text {expr} more {expr:.2f}` → parts; `{{`/`}}` are literal braces. */
+  private def parseFString(raw: String): PExpr = {
+    val parts = ArrayBuffer.empty[Either[String, (PExpr, String)]]
+    val lit = new java.lang.StringBuilder
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '{' && i + 1 < raw.length && raw.charAt(i + 1) == '{') { lit.append('{'); i += 2 }
+      else if (c == '}' && i + 1 < raw.length && raw.charAt(i + 1) == '}') { lit.append('}'); i += 2 }
+      else if (c == '{') {
+        if (lit.length > 0) { parts += Left(unescape(lit.toString)); lit.setLength(0) }
+        var depth = 1; val s = i + 1; var j = i + 1
+        while (j < raw.length && depth > 0) {
+          raw.charAt(j) match {
+            case '{' => depth += 1; case '}' => depth -= 1; case _ =>
+          }
+          j += 1
+        }
+        require(depth == 0, s"py parse: unbalanced f-string braces in: $raw")
+        val inner = raw.substring(s, j - 1)
+        // a ':' at depth 0 outside quotes separates the format spec
+        var k = -1; var d2 = 0; var q = ' '; var m = 0
+        while (m < inner.length && k < 0) {
+          val ch = inner.charAt(m)
+          if (q != ' ') { if (ch == q) q = ' ' }
+          else ch match {
+            case '\'' | '"' => q = ch
+            case '(' | '[' | '{' => d2 += 1
+            case ')' | ']' | '}' => d2 -= 1
+            case ':' if d2 == 0 => k = m
+            case _ =>
+          }
+          m += 1
+        }
+        val (exprSrc, spec) = if (k < 0) (inner, "") else (inner.take(k), inner.drop(k + 1))
+        parts += Right((exprOf(exprSrc), spec))
+        i = j
+      } else { lit.append(c); i += 1 }
+    }
+    if (lit.length > 0) parts += Left(unescape(lit.toString))
+    PFStr(parts.toSeq)
   }
 
   private def exprOf(s: String): PExpr = {
@@ -195,9 +443,59 @@ object PyInterp {
   private def indentOf(line: String): Int = line.takeWhile(c => c == ' ' || c == '\t')
     .map(c => if (c == '\t') 8 else 1).sum
 
+  /** Strip a trailing `# comment` outside string literals. */
+  private def stripComment(line: String): String = {
+    var q = ' '; var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (q != ' ') {
+        if (c == '\\') i += 1 else if (c == q) q = ' '
+      } else if (c == '\'' || c == '"') q = c
+      else if (c == '#') return line.take(i)
+      i += 1
+    }
+    line
+  }
+
+  /** Join physical lines while brackets are open (implicit continuation)
+    * or the line ends with a backslash. */
+  private def joinLines(raw: Seq[String]): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    val cur = new java.lang.StringBuilder
+    var depth = 0
+    for (line0 <- raw) {
+      val line = stripComment(line0)
+      var q = ' '; var i = 0
+      while (i < line.length) {
+        val c = line.charAt(i)
+        if (q != ' ') { if (c == '\\') i += 1 else if (c == q) q = ' ' }
+        else c match {
+          case '\'' | '"' => q = c
+          case '(' | '[' | '{' => depth += 1
+          case ')' | ']' | '}' => depth -= 1
+          case _ =>
+        }
+        i += 1
+      }
+      val cont = line.endsWith("\\") && q == ' '
+      val body = if (cont) line.dropRight(1) else line
+      if (cur.length == 0) cur.append(body)
+      else cur.append(' ').append(body.trim)
+      if (depth <= 0 && !cont) { out += cur.toString; cur.setLength(0); depth = 0 }
+    }
+    if (cur.length > 0) out += cur.toString
+    out.toSeq
+  }
+
+  private val augRe = "^(\\w+)\\s*(\\+|-|\\*|/|//|%|\\*\\*)=\\s*(.*)$".r
+  private val augIdxRe = "^(\\w+)\\s*\\[(.*)\\]\\s*(\\+|-|\\*|/|//|%)=\\s*(.*)$".r
+  private val idxAsnRe = "^(\\w+)\\s*\\[(.*)\\]\\s*=\\s*([^=].*)$".r
+  private val tupRe = "^(\\w+(?:\\s*,\\s*\\w+)+)\\s*=\\s*([^=].*)$".r
+  private val asnRe = "^(\\w+)\\s*=\\s*(.*)$".r
+
   /** Parse statements at one indent level; recursion handles nested blocks. */
   private def parseBlock(lines: Seq[String], pos: Int, indent: Int): (Seq[PStmt], Int) = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[PStmt]
+    val out = ArrayBuffer.empty[PStmt]
     var p = pos
     while (p < lines.length) {
       val line = lines(p)
@@ -207,45 +505,47 @@ object PyInterp {
       else if (ind < indent) return (out.toSeq, p)
       else {
         require(ind == indent, s"py parse: bad indent at '$t'")
-        if (t.startsWith("return")) {
+        if (t == "pass") { p += 1 }
+        else if (t == "break") { out += PBreak; p += 1 }
+        else if (t == "continue") { out += PContinue; p += 1 }
+        else if (t == "return" || t.startsWith("return ")) {
           out += PReturn(exprOf(t.stripPrefix("return").trim match {
             case "" => "None"; case e => e
           }))
           p += 1
-        } else if (t.startsWith("for ")) {
+        } else if (t.startsWith("for ") && t.endsWith(":")) {
           val (body, np) = parseBlock(lines, p + 1, nextIndent(lines, p + 1, indent))
-          "^for\\s+(\\w+)\\s+in\\s+range\\s*\\((.*)\\)\\s*:$".r.findFirstMatchIn(t) match {
-            case Some(m) =>
-              out += PFor(m.group(1), splitArgs(m.group(2)).map(exprOf), body)
-            case None =>
-              val m = "^for\\s+(\\w+)\\s+in\\s+(.*?)\\s*:$".r.findFirstMatchIn(t)
-                .getOrElse(throw new IllegalArgumentException(s"py parse: unsupported for: $t"))
-              out += PForIn(m.group(1), exprOf(m.group(2)), body)
-          }
+          val m = "^for\\s+(\\w+(?:\\s*,\\s*\\w+)*)\\s+in\\s+(.*?)\\s*:$".r.findFirstMatchIn(t)
+            .getOrElse(throw new IllegalArgumentException(s"py parse: unsupported for: $t"))
+          out += PFor(m.group(1).split(",").map(_.trim).toSeq, exprOf(m.group(2)), body)
+          p = np
+        } else if (t.startsWith("while ") && t.endsWith(":")) {
+          val cond = exprOf(t.substring(6, t.length - 1).trim)
+          val (body, np) = parseBlock(lines, p + 1, nextIndent(lines, p + 1, indent))
+          out += PWhile(cond, body)
           p = np
         } else if (t.startsWith("if ") && t.endsWith(":")) {
-          val cond = exprOf(t.substring(3, t.length - 1).trim)
-          val (thn, np) = parseBlock(lines, p + 1, nextIndent(lines, p + 1, indent))
-          var p2 = np
-          var els: Seq[PStmt] = Nil
-          if (p2 < lines.length && lines(p2).trim == "else:" &&
-            indentOf(lines(p2)) == indent) {
-            val (e, np2) = parseBlock(lines, p2 + 1, nextIndent(lines, p2 + 1, indent))
-            els = e; p2 = np2
-          }
-          out += PIf(cond, thn, els)
-          p = p2
+          val (stmt, np) = parseIfChain(lines, p, indent)
+          out += stmt
+          p = np
+        } else if (t.startsWith("def ")) {
+          throw new IllegalArgumentException(
+            "py parse: nested def (closures) is outside the supported subset")
+        } else if (t.startsWith("import ") || t.startsWith("from ")) {
+          throw new IllegalArgumentException(
+            "py parse: imports are only allowed at module level, and only 'math'")
         } else {
-          val aug = "^(\\w+)\\s*(\\+|-|\\*|/)=\\s*(.*)$".r
-          val tup = "^(\\w+(?:\\s*,\\s*\\w+)+)\\s*=\\s*([^=].*)$".r
-          val asn = "^(\\w+)\\s*=\\s*(.*)$".r
           t match {
-            case aug(n, op, e) => out += PAugAssign(n, op, exprOf(e))
-            case tup(ns, e) =>
+            case augIdxRe(n, ix, op, e) =>
+              out += PIndexAssign(PName(n), exprOf(ix), exprOf(e), Some(op))
+            case idxAsnRe(n, ix, e) =>
+              out += PIndexAssign(PName(n), exprOf(ix), exprOf(e), None)
+            case augRe(n, op, e) => out += PAugAssign(n, op, exprOf(e))
+            case tupRe(ns, e) =>
               // parallel assignment: RHS fully evaluates before any binding
               out += PTupleAssign(ns.split(",").map(_.trim).toSeq,
                 splitArgs(e).map(exprOf))
-            case asn(n, e) if !e.startsWith("=") => out += PAssign(n, exprOf(e))
+            case asnRe(n, e) if !e.startsWith("=") => out += PAssign(n, exprOf(e))
             case _ => out += PExprStmt(exprOf(t))
           }
           p += 1
@@ -253,6 +553,29 @@ object PyInterp {
       }
     }
     (out.toSeq, p)
+  }
+
+  /** if / elif* / else? at one indent level → nested PIf. */
+  private def parseIfChain(lines: Seq[String], pos: Int, indent: Int): (PIf, Int) = {
+    val t = lines(pos).trim
+    val condSrc =
+      if (t.startsWith("if ")) t.substring(3, t.length - 1)
+      else t.substring(5, t.length - 1) // elif
+    val cond = exprOf(condSrc.trim)
+    val (thn, np) = parseBlock(lines, pos + 1, nextIndent(lines, pos + 1, indent))
+    var p2 = np
+    var els: Seq[PStmt] = Nil
+    if (p2 < lines.length && indentOf(lines(p2)) == indent) {
+      val nt = lines(p2).trim
+      if (nt.startsWith("elif ") && nt.endsWith(":")) {
+        val (chained, np2) = parseIfChain(lines, p2, indent)
+        els = Seq(chained); p2 = np2
+      } else if (nt == "else:") {
+        val (e, np2) = parseBlock(lines, p2 + 1, nextIndent(lines, p2 + 1, indent))
+        els = e; p2 = np2
+      }
+    }
+    (PIf(cond, thn, els), p2)
   }
 
   private def nextIndent(lines: Seq[String], pos: Int, outer: Int): Int = {
@@ -263,86 +586,224 @@ object PyInterp {
   }
 
   private def splitArgs(s: String): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var depth = 0; var start = 0
-    for (i <- s.indices) s.charAt(i) match {
-      case '(' | '[' => depth += 1
-      case ')' | ']' => depth -= 1
-      case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
-      case _ =>
+    val out = ArrayBuffer.empty[String]
+    var depth = 0; var start = 0; var q = ' '
+    for (i <- s.indices) {
+      val c = s.charAt(i)
+      if (q != ' ') { if (c == q) q = ' ' }
+      else c match {
+        case '\'' | '"' => q = c
+        case '(' | '[' | '{' => depth += 1
+        case ')' | ']' | '}' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
     }
     if (s.trim.nonEmpty) out += s.substring(start)
     out.toSeq.map(_.trim)
   }
 
-  /** Parse a `def f(a, b): ...` body into a callable function. */
-  def parse(src: String): PyFunc = {
-    val lines = src.linesIterator.toSeq.dropWhile(_.trim.isEmpty)
+  // --------------------------------------------------------- module parse
+
+  private val defRe = "^def\\s+(\\w+)\\s*\\(([^)]*)\\)\\s*(?:->\\s*[\\w\\[\\], ]+\\s*)?:\\s*$".r
+
+  /** Parse a module: `import math`, module constants, one or more `def`s.
+    * The entry point is the def named `entry` if given, else the LAST def
+    * (matching the reference's convention that the UDF body defines the
+    * function being created); every other def is callable as a helper,
+    * including recursively. */
+  def parse(src: String, entry: Option[String] = None): PyFunc = {
+    val lines = joinLines(src.linesIterator.toSeq).dropWhile(_.trim.isEmpty)
     require(lines.nonEmpty, "py parse: empty body")
-    val defRe = "^def\\s+(\\w+)\\s*\\(([^)]*)\\)\\s*:\\s*$".r
-    val m = defRe.findFirstMatchIn(lines.head.trim).getOrElse(
-      throw new IllegalArgumentException(s"py parse: expected def, got: ${lines.head}"))
-    val params = m.group(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    val (body, _) = parseBlock(lines.tail, 0, nextIndent(lines.tail, 0, -1))
-    PyFunc(m.group(1), params, body)
+    val defs = LinkedHashMap.empty[String, PyFunc]
+    val consts = ArrayBuffer.empty[PStmt]
+    var p = 0
+    val modIndent = indentOf(lines.dropWhile(_.trim.isEmpty).head)
+    while (p < lines.length) {
+      val t = lines(p).trim
+      if (t.isEmpty || t.startsWith("#")) p += 1
+      else if (t == "import math" || t.matches("^from\\s+math\\s+import\\s+[\\w, ]+$")) {
+        if (t.startsWith("from")) {
+          t.replaceFirst("^from\\s+math\\s+import\\s+", "").split(",").map(_.trim)
+            .foreach(n => consts += PAssign(n, PAttr(PName("math"), n)))
+        }
+        // `import math` itself needs no binding: PName("math") resolves to
+        // the module in eval.
+        p += 1
+      } else if (t.startsWith("import ") || t.startsWith("from ")) {
+        throw new IllegalArgumentException(
+          s"py parse: only 'import math' is supported, got: $t")
+      } else if (t.startsWith("def ")) {
+        val m = defRe.findFirstMatchIn(t).getOrElse(
+          throw new IllegalArgumentException(s"py parse: unsupported def form: $t"))
+        val rawParams = m.group(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        // strip annotations, collect defaults: `x: int = 3` → ("x", Some(3))
+        val params = ArrayBuffer.empty[String]
+        val defaults = LinkedHashMap.empty[String, PExpr]
+        rawParams.foreach { rp =>
+          val (nameAnn, dflt) = rp.indexOf('=') match {
+            case -1 => (rp, None)
+            case i => (rp.take(i).trim, Some(rp.drop(i + 1).trim))
+          }
+          val name = nameAnn.split(":").head.trim
+          require(name.matches("\\w+") && !name.startsWith("*"),
+            s"py parse: unsupported parameter form: $rp")
+          params += name
+          dflt.foreach(d => defaults(name) = exprOf(d))
+        }
+        val (body, np) = parseBlock(lines, p + 1, nextIndent(lines, p + 1, modIndent))
+        defs(m.group(1)) = PyFunc(m.group(1), params.toSeq, body, defaults.toMap)
+        p = np
+      } else {
+        // module-level constant (re-evaluated per call: cheap, and keeps
+        // mutable values from leaking across rows / executor threads)
+        t match {
+          case tupRe(ns, e) =>
+            consts += PTupleAssign(ns.split(",").map(_.trim).toSeq, splitArgs(e).map(exprOf))
+          case asnRe(n, e) if !e.startsWith("=") => consts += PAssign(n, exprOf(e))
+          case _ => throw new IllegalArgumentException(
+            s"py parse: unsupported module-level statement: $t")
+        }
+        p += 1
+      }
+    }
+    require(defs.nonEmpty, "py parse: no def in body")
+    val main = entry.flatMap(defs.get).getOrElse(defs.last._2)
+    main.copy(defs = defs.toMap, consts = consts.toSeq)
   }
 
   // ------------------------------------------------------------ evaluate
 
-  /** Non-stack-filling control-flow exception; one instance per call so
-    * concurrent executor threads never share state. */
+  /** Non-stack-filling control-flow exceptions. Return carries a value per
+    * instance; break/continue are stateless singletons. */
   private final class ReturnException(val value: Any)
     extends Exception(null, null, false, false)
+  private object BreakException extends Exception(null, null, false, false)
+  private object ContinueException extends Exception(null, null, false, false)
 
-  def call(fn: PyFunc, args: Seq[Any]): Any = {
-    val env = scala.collection.mutable.HashMap.empty[String, Any]
-    fn.params.zip(args).foreach { case (p, v) => env(p) = v }
-    try { exec(fn.body, env); null }
-    catch { case r: ReturnException => r.value }
+  /** Function table threaded through evaluation (helpers + recursion). */
+  private final class Ctx(val defs: Map[String, PyFunc], val consts: Seq[PStmt]) {
+    var depth = 0
   }
 
-  private def exec(stmts: Seq[PStmt], env: scala.collection.mutable.HashMap[String, Any]): Unit =
+  // Interpreter frames are JVM-stack-heavy (~15 JVM frames per Python
+  // frame), so the guard sits well below CPython's 1000 default to raise a
+  // catchable error instead of a StackOverflowError.
+  private val MaxDepth = 200
+
+  def call(fn: PyFunc, args: Seq[Any]): Any = {
+    val ctx = new Ctx(fn.defs + (fn.name -> fn), fn.consts)
+    callIn(fn, args, ctx)
+  }
+
+  private def callIn(fn: PyFunc, args: Seq[Any], ctx: Ctx): Any = {
+    ctx.depth += 1
+    require(ctx.depth <= MaxDepth,
+      s"py: maximum recursion depth exceeded in ${fn.name}")
+    try {
+      val env = HashMap.empty[String, Any]
+      if (ctx.consts.nonEmpty) exec(ctx.consts, env, ctx)
+      require(args.size <= fn.params.size,
+        s"py: ${fn.name}() takes ${fn.params.size} arguments, got ${args.size}")
+      fn.params.zip(args).foreach { case (p, v) => env(p) = v }
+      fn.params.drop(args.size).foreach { p =>
+        val d = fn.defaults.getOrElse(p, throw new IllegalArgumentException(
+          s"py: ${fn.name}() missing argument '$p'"))
+        env(p) = eval(d, env, ctx)
+      }
+      try { exec(fn.body, env, ctx); null }
+      catch { case r: ReturnException => r.value }
+    } finally ctx.depth -= 1
+  }
+
+  private def exec(stmts: Seq[PStmt], env: HashMap[String, Any], ctx: Ctx): Unit =
     stmts.foreach {
       case PReturn(e) =>
-        throw new ReturnException(eval(e, env))
-      case PAssign(n, e) => env(n) = eval(e, env)
+        throw new ReturnException(eval(e, env, ctx))
+      case PAssign(n, e) => env(n) = eval(e, env, ctx)
       case PTupleAssign(names, rhs) =>
         // Python semantics: the whole RHS evaluates before any name binds,
         // so `a, b = b, a` swaps.
         val vals =
-          if (rhs.size == 1) eval(rhs.head, env) match {
-            case seq: Seq[_] => seq
+          if (rhs.size == 1) eval(rhs.head, env, ctx) match {
+            case seq: scala.collection.Seq[_] => seq
             case other => throw new IllegalArgumentException(s"py: cannot unpack $other")
-          } else rhs.map(eval(_, env))
+          } else rhs.map(eval(_, env, ctx))
         require(vals.size == names.size,
           s"py: cannot unpack ${vals.size} values into ${names.size} names")
         names.zip(vals).foreach { case (n, v) => env(n) = v }
-      case PAugAssign(n, op, e) => env(n) = binop(op, env(n), eval(e, env))
-      case PFor(v, rangeArgs, body) =>
-        val nums = rangeArgs.map(a => asLong(eval(a, env)))
-        val (from, until, step) = nums match {
-          case Seq(u) => (0L, u, 1L)
-          case Seq(f, u) => (f, u, 1L)
-          case Seq(f, u, s) => (f, u, s)
-          case _ => throw new IllegalArgumentException("py: bad range()")
+      case PAugAssign(n, op, e) =>
+        env(n) = binop(op, env.getOrElse(n,
+          throw new IllegalArgumentException(s"py: undefined name '$n'")), eval(e, env, ctx))
+      case PIndexAssign(target, ix, e, aug) =>
+        val coll = eval(target, env, ctx)
+        val v = eval(e, env, ctx)
+        coll match {
+          case buf: ArrayBuffer[_] =>
+            val b = buf.asInstanceOf[ArrayBuffer[Any]]
+            val i0 = asLong(eval(ix, env, ctx)).toInt
+            val j = if (i0 < 0) b.size + i0 else i0
+            require(j >= 0 && j < b.size, s"py: list index $i0 out of range")
+            b(j) = aug.fold(v)(op => binop(op, b(j), v))
+          case d: LinkedHashMap[_, _] =>
+            val m = d.asInstanceOf[LinkedHashMap[Any, Any]]
+            val k = eval(ix, env, ctx)
+            aug match {
+              case None => m(k) = v
+              case Some(op) =>
+                m(k) = binop(op, m.getOrElse(k,
+                  throw new IllegalArgumentException(s"py: KeyError: $k")), v)
+            }
+          case other => throw new IllegalArgumentException(s"py: cannot assign into $other")
         }
-        var i = from
-        while (if (step > 0) i < until else i > until) {
-          env(v) = i
-          exec(body, env)
-          i += step
-        }
-      case PForIn(v, iter, body) =>
-        val vals = eval(iter, env) match {
-          case seq: Seq[_] => seq
-          case s: String => s.map(_.toString)
-          case other => throw new IllegalArgumentException(s"py: not iterable: $other")
-        }
-        vals.foreach { x => env(v) = x; exec(body, env) }
+      case PFor(names, iterE, body) =>
+        val it = iterate(eval(iterE, env, ctx))
+        try {
+          while (it.hasNext) {
+            bindTarget(names, it.next(), env)
+            try exec(body, env, ctx)
+            catch { case ContinueException => () }
+          }
+        } catch { case BreakException => () }
+      case PWhile(cond, body) =>
+        try {
+          while (truthy(eval(cond, env, ctx))) {
+            try exec(body, env, ctx)
+            catch { case ContinueException => () }
+          }
+        } catch { case BreakException => () }
+      case PBreak => throw BreakException
+      case PContinue => throw ContinueException
       case PIf(c, t, e) =>
-        if (truthy(eval(c, env))) exec(t, env) else exec(e, env)
-      case PExprStmt(e) => eval(e, env)
+        if (truthy(eval(c, env, ctx))) exec(t, env, ctx) else exec(e, env, ctx)
+      case PExprStmt(e) => eval(e, env, ctx)
     }
+
+  private def bindTarget(names: Seq[String], v: Any, env: HashMap[String, Any]): Unit =
+    if (names.size == 1) env(names.head) = v
+    else v match {
+      case seq: scala.collection.Seq[_] =>
+        require(seq.size == names.size,
+          s"py: cannot unpack ${seq.size} values into ${names.size} names")
+        names.zip(seq).foreach { case (n, x) => env(n) = x }
+      case other => throw new IllegalArgumentException(s"py: cannot unpack $other")
+    }
+
+  /** Python `range` object: lazy, iterable, indexable, len()-able. */
+  final case class RangeVal(start: Long, stop: Long, step: Long) {
+    def size: Long =
+      if (step > 0) math.max(0L, (stop - start + step - 1) / step)
+      else math.max(0L, (start - stop - step - 1) / (-step))
+  }
+
+  private def iterate(v: Any): Iterator[Any] = v match {
+    case seq: scala.collection.Seq[_] => seq.iterator
+    case s: String => s.iterator.map(_.toString)
+    case r: RangeVal => Iterator.iterate(r.start)(_ + r.step).takeWhile(i =>
+      if (r.step > 0) i < r.stop else i > r.stop)
+    case d: LinkedHashMap[_, _] => d.keysIterator
+    case other => throw new IllegalArgumentException(s"py: not iterable: $other")
+  }
 
   private def truthy(v: Any): Boolean = v match {
     case b: Boolean => b
@@ -350,6 +811,9 @@ object PyInterp {
     case d: Double => d != 0.0
     case s: String => s.nonEmpty
     case null => false
+    case seq: scala.collection.Seq[_] => seq.nonEmpty
+    case d: LinkedHashMap[_, _] => d.nonEmpty
+    case r: RangeVal => r.size > 0
     case _ => true
   }
 
@@ -373,20 +837,19 @@ object PyInterp {
   private def binop(op: String, l: Any, r: Any): Any = (op, l, r) match {
     case ("+", a: String, b: String) => a + b
     case ("*", a: String, b: Long) => a * b.toInt
+    case ("*", a: Long, b: String) => b * a.toInt
+    case ("+", a: ArrayBuffer[_], b: ArrayBuffer[_]) =>
+      (a ++ b).asInstanceOf[ArrayBuffer[Any]]
+    case ("+", a: Vector[_], b: Vector[_]) => a ++ b
+    case ("*", a: ArrayBuffer[_], b: Long) =>
+      val out = ArrayBuffer.empty[Any]
+      (0L until b).foreach(_ => out ++= a)
+      out
     case ("==", _, _) => pyEq(l, r)
     case ("!=", _, _) => !pyEq(l, r)
     case ("<", _, _) | ("<=", _, _) | (">", _, _) | (">=", _, _) =>
-      (l, r) match {
-        case (a: String, b: String) =>
-          val c = a.compareTo(b)
-          op match { case "<" => c < 0; case "<=" => c <= 0; case ">" => c > 0; case _ => c >= 0 }
-        case _ => num2(l, r) match {
-          case Left((a, b)) =>
-            op match { case "<" => a < b; case "<=" => a <= b; case ">" => a > b; case _ => a >= b }
-          case Right((a, b)) =>
-            op match { case "<" => a < b; case "<=" => a <= b; case ">" => a > b; case _ => a >= b }
-        }
-      }
+      val c = pyCompare(l, r)
+      op match { case "<" => c < 0; case "<=" => c <= 0; case ">" => c > 0; case _ => c >= 0 }
     case ("/", _, _) => // Python 3: true division is always float
       num2(l, r) match {
         case Left((a, b)) => a.toDouble / b
@@ -404,10 +867,15 @@ object PyInterp {
           case "-" => a - b
           case "*" => a * b
           case "%" => Math.floorMod(a, b) // Python % follows divisor sign
-          case "**" => math.pow(a.toDouble, b.toDouble) match {
-            case d if d.isWhole && d.abs < 9e15 => d.toLong
-            case d => d
-          }
+          case "**" =>
+            if (b >= 0 && b < 63) { // exact integer power where it fits
+              var acc = 1L; var i = 0L; var ok = true
+              while (i < b && ok) {
+                val next = acc * a
+                if (a != 0 && next / a != acc) ok = false else { acc = next; i += 1 }
+              }
+              if (ok) acc else math.pow(a.toDouble, b.toDouble)
+            } else math.pow(a.toDouble, b.toDouble)
         }
         case Right((a, b)) => op match {
           case "+" => a + b
@@ -421,81 +889,375 @@ object PyInterp {
 
   private def pyEq(l: Any, r: Any): Boolean = (l, r) match {
     case (a: String, b: String) => a == b
-    case (a: Boolean, b: Boolean) => a == b
     case (null, null) => true
     case (null, _) | (_, null) => false
+    case (a: scala.collection.Seq[_], b: scala.collection.Seq[_]) =>
+      a.size == b.size && a.zip(b).forall { case (x, y) => pyEq(x, y) }
+    case (a: LinkedHashMap[_, _], b: LinkedHashMap[_, _]) =>
+      a.size == b.size && a.forall { case (k, v) =>
+        b.asInstanceOf[LinkedHashMap[Any, Any]].get(k).exists(pyEq(v, _)) }
+    case (a: Boolean, b: Boolean) => a == b
+    case (_: Boolean, _) | (_, _: Boolean) |
+         (_: Long, _: Long) | (_: Long, _: Double) |
+         (_: Double, _: Long) | (_: Double, _: Double) =>
+      num2(l, r) match {
+        case Left((a, b)) => a == b
+        case Right((a, b)) => a == b
+      }
+    case _ => false // str vs int etc: Python says unequal, not error
+  }
+
+  private def pyCompare(l: Any, r: Any): Int = (l, r) match {
+    case (a: String, b: String) => a.compareTo(b)
+    case (a: scala.collection.Seq[_], b: scala.collection.Seq[_]) => // lexicographic, like Python
+      a.zip(b).iterator.map { case (x, y) => pyCompare(x, y) }.find(_ != 0)
+        .getOrElse(a.size.compareTo(b.size))
     case _ => num2(l, r) match {
-      case Left((a, b)) => a == b
-      case Right((a, b)) => a == b
+      case Left((a, b)) => java.lang.Long.compare(a, b)
+      case Right((a, b)) => java.lang.Double.compare(a, b)
     }
   }
 
-  private def eval(e: PExpr, env: scala.collection.mutable.HashMap[String, Any]): Any = e match {
+  /** Marker for the whitelisted math module. */
+  private case object MathModule
+
+  private def eval(e: PExpr, env: HashMap[String, Any], ctx: Ctx): Any = e match {
     case PInt(v) => v
     case PFloat(v) => v
     case PStr(v) => v
     case PBool(v) => v
     case PNone => null
-    case PName(n) => env.getOrElse(n,
-      throw new IllegalArgumentException(s"py: undefined name '$n'"))
-    case PUnary("-", x) => eval(x, env) match {
+    case PName("math") if !env.contains("math") => MathModule
+    case PName(n) =>
+      env.getOrElse(n, ctx.defs.getOrElse(n,
+        throw new IllegalArgumentException(s"py: undefined name '$n'")))
+    case PUnary("-", x) => eval(x, env, ctx) match {
       case l: Long => -l
       case d: Double => -d
+      case b: Boolean => -asLong(b)
       case other => throw new IllegalArgumentException(s"py: cannot negate $other")
     }
-    case PUnary("not", x) => !truthy(eval(x, env))
+    case PUnary("not", x) => !truthy(eval(x, env, ctx))
     case PUnary(op, _) => throw new IllegalArgumentException(s"py: unary $op")
-    case PBin(op, l, r) => binop(op, eval(l, env), eval(r, env))
-    case PAttr(x, name) => (eval(x, env), name) match {
+    case PBoolOp("and", parts) =>
+      var v: Any = true
+      val it = parts.iterator
+      while (it.hasNext) {
+        v = eval(it.next(), env, ctx)
+        if (!truthy(v)) return v // Python returns the operand itself
+      }
+      v
+    case PBoolOp("or", parts) =>
+      var v: Any = false
+      val it = parts.iterator
+      while (it.hasNext) {
+        v = eval(it.next(), env, ctx)
+        if (truthy(v)) return v
+      }
+      v
+    case PBoolOp(op, _) => throw new IllegalArgumentException(s"py: boolop $op")
+    case PCompare(first, ops, rest) =>
+      // chained: a < b <= c ⟺ (a < b) and (b <= c), each operand once
+      var left = eval(first, env, ctx)
+      var i = 0
+      while (i < ops.length) {
+        val right = eval(rest(i), env, ctx)
+        val ok = ops(i) match {
+          case "in" => pyContains(right, left)
+          case "not in" => !pyContains(right, left)
+          case "is" => (left == null) == (right == null) &&
+            (left == null || left.asInstanceOf[AnyRef].eq(right.asInstanceOf[AnyRef]))
+          case "is not" => !((left == null) == (right == null) &&
+            (left == null || left.asInstanceOf[AnyRef].eq(right.asInstanceOf[AnyRef])))
+          case op => binop(op, left, right).asInstanceOf[Boolean]
+        }
+        if (!ok) return false
+        left = right
+        i += 1
+      }
+      true
+    case PBin(op, l, r) => binop(op, eval(l, env, ctx), eval(r, env, ctx))
+    case PTernary(c, t, f) =>
+      if (truthy(eval(c, env, ctx))) eval(t, env, ctx) else eval(f, env, ctx)
+    case PAttr(x, name) => (eval(x, env, ctx), name) match {
       case (d: LocalDate, "year") => d.getYear.toLong
       case (d: LocalDate, "month") => d.getMonthValue.toLong
       case (d: LocalDate, "day") => d.getDayOfMonth.toLong
+      case (MathModule, "pi") => math.Pi
+      case (MathModule, "e") => math.E
+      case (MathModule, "tau") => 2 * math.Pi
+      case (MathModule, "inf") => Double.PositiveInfinity
+      case (MathModule, "nan") => Double.NaN
       case (v, n) => BoundMethod(v, n) // resolved at call time
     }
-    case PList(items) => items.map(eval(_, env)).toVector
+    case PList(items) => ArrayBuffer[Any](items.map(eval(_, env, ctx)): _*)
+    case PTuple(items) => items.map(eval(_, env, ctx)).toVector
+    case PDict(ks, vs) =>
+      val m = LinkedHashMap.empty[Any, Any]
+      ks.zip(vs).foreach { case (k, v) => m(eval(k, env, ctx)) = eval(v, env, ctx) }
+      m
+    case PComp(elem, clauses) => compIter(elem, clauses, env, ctx)
+    case PFStr(parts) =>
+      val sb = new java.lang.StringBuilder
+      parts.foreach {
+        case Left(s) => sb.append(s)
+        case Right((ex, spec)) => sb.append(formatSpec(eval(ex, env, ctx), spec))
+      }
+      sb.toString
     case PIndex(x, ix) =>
-      val i = asLong(eval(ix, env)).toInt
-      eval(x, env) match {
+      eval(x, env, ctx) match {
+        case d: LinkedHashMap[_, _] =>
+          val k = eval(ix, env, ctx)
+          d.asInstanceOf[LinkedHashMap[Any, Any]].getOrElse(k,
+            throw new IllegalArgumentException(s"py: KeyError: $k"))
         case s: String =>
+          val i = asLong(eval(ix, env, ctx)).toInt
           val j = if (i < 0) s.length + i else i
           require(j >= 0 && j < s.length, s"py: string index $i out of range")
           s.charAt(j).toString
-        case seq: Seq[_] =>
+        case seq: scala.collection.Seq[_] =>
+          val i = asLong(eval(ix, env, ctx)).toInt
           val j = if (i < 0) seq.size + i else i
           require(j >= 0 && j < seq.size, s"py: list index $i out of range")
           seq(j)
+        case r: RangeVal =>
+          val i = asLong(eval(ix, env, ctx))
+          val j = if (i < 0) r.size + i else i
+          require(j >= 0 && j < r.size, s"py: range index $i out of range")
+          r.start + j * r.step
         case other => throw new IllegalArgumentException(s"py: cannot index $other")
       }
-    case PCall(PName("len"), Seq(a)) => eval(a, env) match {
+    case PSliceIdx(x, lo, hi, stepE) =>
+      val v = eval(x, env, ctx)
+      val step = stepE.map(s => asLong(eval(s, env, ctx)).toInt).getOrElse(1)
+      require(step != 0, "py: slice step cannot be zero")
+      def idxs(len: Int): Seq[Int] = {
+        def clamp(raw: Option[Int], dflt: Int): Int = raw match {
+          case None => dflt
+          case Some(i0) =>
+            val i = if (i0 < 0) len + i0 else i0
+            if (step > 0) math.max(0, math.min(len, i))
+            else math.max(-1, math.min(len - 1, i))
+        }
+        val a = clamp(lo.map(e2 => asLong(eval(e2, env, ctx)).toInt),
+          if (step > 0) 0 else len - 1)
+        val b = clamp(hi.map(e2 => asLong(eval(e2, env, ctx)).toInt),
+          if (step > 0) len else -1)
+        (if (step > 0) a.until(b, step) else a.until(b, step)).toSeq
+      }
+      v match {
+        case s: String => idxs(s.length).map(s.charAt).mkString
+        case buf: ArrayBuffer[_] => ArrayBuffer[Any](idxs(buf.size).map(buf): _*)
+        case t: Vector[_] => idxs(t.size).map(t).toVector
+        case other => throw new IllegalArgumentException(s"py: cannot slice $other")
+      }
+    case PCall(PName(bi), args) if Builtins(bi) && !ctx.defs.contains(bi) =>
+      builtin(bi, args.map(eval(_, env, ctx)))
+    case PCall(f, args) => eval(f, env, ctx) match {
+      case BoundMethod(recv, name) => callMethod(recv, name, args.map(eval(_, env, ctx)))
+      case fn: PyFunc => callIn(fn, args.map(eval(_, env, ctx)), ctx)
+      case other => throw new IllegalArgumentException(s"py: not callable: $other")
+    }
+  }
+
+  /** Materialize a comprehension / generator expression into a list. */
+  private def compIter(elem: PExpr, clauses: Seq[CompClause],
+      env: HashMap[String, Any], ctx: Ctx): ArrayBuffer[Any] = {
+    val out = ArrayBuffer.empty[Any]
+    def go(cs: Seq[CompClause]): Unit = cs match {
+      case Nil => out += eval(elem, env, ctx)
+      case CFor(names, iterE) +: tail =>
+        val it = iterate(eval(iterE, env, ctx))
+        while (it.hasNext) { bindTarget(names, it.next(), env); go(tail) }
+      case CIf(cond) +: tail =>
+        if (truthy(eval(cond, env, ctx))) go(tail)
+    }
+    go(clauses)
+    out
+  }
+
+  private def pyContains(container: Any, item: Any): Boolean = container match {
+    case s: String => item match {
+      case sub: String => s.contains(sub)
+      case other => throw new IllegalArgumentException(s"py: 'in <str>' needs str, got $other")
+    }
+    case seq: scala.collection.Seq[_] => seq.exists(pyEq(_, item))
+    case d: LinkedHashMap[_, _] => d.asInstanceOf[LinkedHashMap[Any, Any]].contains(item)
+    case r: RangeVal => item match {
+      case l: Long => l >= math.min(r.start, r.stop) && l <= math.max(r.start, r.stop) &&
+        (l - r.start) % r.step == 0 &&
+        (if (r.step > 0) l >= r.start && l < r.stop else l <= r.start && l > r.stop)
+      case _ => false
+    }
+    case other => throw new IllegalArgumentException(s"py: not a container: $other")
+  }
+
+  // ------------------------------------------------------------ builtins
+
+  private val Builtins = Set("len", "int", "float", "str", "bool", "abs", "min", "max",
+    "sum", "round", "sorted", "reversed", "list", "tuple", "dict", "range",
+    "enumerate", "zip", "any", "all", "ord", "chr", "print", "repr")
+
+  private def builtin(name: String, args: Seq[Any]): Any = (name, args) match {
+    case ("len", Seq(a)) => a match {
       case s: String => s.length.toLong
-      case seq: Seq[_] => seq.size.toLong
+      case seq: scala.collection.Seq[_] => seq.size.toLong
+      case d: LinkedHashMap[_, _] => d.size.toLong
+      case r: RangeVal => r.size
       case other => throw new IllegalArgumentException(s"py: len($other)")
     }
-    case PCall(PName("int"), Seq(a)) => eval(a, env) match {
+    case ("int", Seq(a)) => a match {
       case l: Long => l
       case d: Double => d.toLong
       case s: String => s.trim.toLong
       case b: Boolean => asLong(b)
       case other => throw new IllegalArgumentException(s"py: int($other)")
     }
-    case PCall(PName("float"), Seq(a)) => eval(a, env) match {
+    case ("int", Seq(s: String, base: Long)) => java.lang.Long.parseLong(s.trim, base.toInt)
+    case ("float", Seq(a)) => a match {
       case l: Long => l.toDouble
       case d: Double => d
       case s: String => s.trim.toDouble
+      case b: Boolean => asLong(b).toDouble
       case other => throw new IllegalArgumentException(s"py: float($other)")
     }
-    case PCall(PName("abs"), Seq(a)) => eval(a, env) match {
+    case ("abs", Seq(a)) => a match {
       case l: Long => Math.abs(l)
       case d: Double => Math.abs(d)
       case other => throw new IllegalArgumentException(s"py: abs($other)")
     }
-    case PCall(PName("str"), Seq(a)) => eval(a, env) match {
-      case d: Double if d.isWhole => d.toLong.toString + ".0"
-      case v => String.valueOf(v)
-    }
-    case PCall(f, args) => eval(f, env) match {
-      case BoundMethod(recv, name) => callMethod(recv, name, args.map(eval(_, env)))
-      case other => throw new IllegalArgumentException(s"py: not callable: $other")
+    case ("str", Seq(a)) => pyStr(a)
+    case ("str", Nil) => ""
+    case ("repr", Seq(a)) => pyRepr(a)
+    case ("bool", Seq(a)) => truthy(a)
+    case ("ord", Seq(s: String)) =>
+      require(s.length == 1, s"py: ord() expected a character, got '$s'")
+      s.charAt(0).toLong
+    case ("chr", Seq(l: Long)) => l.toChar.toString
+    case ("min", Seq(seq)) if isIterable(seq) => reduceIter(seq, keepMin = true)
+    case ("min", xs) if xs.size >= 2 => xs.reduce((a, b) => if (pyCompare(a, b) <= 0) a else b)
+    case ("max", Seq(seq)) if isIterable(seq) => reduceIter(seq, keepMin = false)
+    case ("max", xs) if xs.size >= 2 => xs.reduce((a, b) => if (pyCompare(a, b) >= 0) a else b)
+    case ("sum", Seq(seq)) => iterate(seq).foldLeft(0L: Any)((acc, v) => binop("+", acc, v))
+    case ("sum", Seq(seq, init)) => iterate(seq).foldLeft(init)((acc, v) => binop("+", acc, v))
+    case ("round", Seq(d: Double)) => roundHalfEven(d, 0) match { case r => r.toLong }
+    case ("round", Seq(l: Long)) => l
+    case ("round", Seq(d: Double, n: Long)) => roundHalfEven(d, n.toInt)
+    case ("round", Seq(l: Long, _: Long)) => l
+    case ("sorted", Seq(seq)) =>
+      ArrayBuffer[Any](iterate(seq).toSeq.sortWith((a, b) => pyCompare(a, b) < 0): _*)
+    case ("reversed", Seq(seq)) => ArrayBuffer[Any](iterate(seq).toSeq.reverse: _*)
+    case ("list", Nil) => ArrayBuffer.empty[Any]
+    case ("list", Seq(seq)) => ArrayBuffer[Any](iterate(seq).toSeq: _*)
+    case ("tuple", Nil) => Vector.empty[Any]
+    case ("tuple", Seq(seq)) => iterate(seq).toVector
+    case ("dict", Nil) => LinkedHashMap.empty[Any, Any]
+    case ("dict", Seq(d: LinkedHashMap[_, _])) =>
+      d.asInstanceOf[LinkedHashMap[Any, Any]].clone()
+    case ("dict", Seq(seq)) if isIterable(seq) =>
+      val m = LinkedHashMap.empty[Any, Any]
+      iterate(seq).foreach {
+        case kv: scala.collection.Seq[_] if kv.size == 2 => m(kv(0)) = kv(1)
+        case other => throw new IllegalArgumentException(s"py: dict() needs pairs, got $other")
+      }
+      m
+    case ("range", xs) =>
+      val nums = xs.map(asLong)
+      nums match {
+        case Seq(u) => RangeVal(0, u, 1)
+        case Seq(f, u) => RangeVal(f, u, 1)
+        case Seq(f, u, s) => require(s != 0, "py: range() step cannot be zero"); RangeVal(f, u, s)
+        case _ => throw new IllegalArgumentException("py: bad range()")
+      }
+    case ("enumerate", Seq(seq)) =>
+      ArrayBuffer[Any](iterate(seq).zipWithIndex.map { case (v, i) =>
+        Vector(i.toLong, v) }.toSeq: _*)
+    case ("enumerate", Seq(seq, start: Long)) =>
+      ArrayBuffer[Any](iterate(seq).zipWithIndex.map { case (v, i) =>
+        Vector(i + start, v) }.toSeq: _*)
+    case ("zip", xs) if xs.nonEmpty =>
+      val its = xs.map(iterate)
+      val out = ArrayBuffer.empty[Any]
+      while (its.forall(_.hasNext)) out += its.map(_.next()).toVector
+      out
+    case ("any", Seq(seq)) => iterate(seq).exists(truthy)
+    case ("all", Seq(seq)) => iterate(seq).forall(truthy)
+    case ("print", xs) => // no stdout on executors; a no-op returning None
+      null
+    case (n, a) => throw new IllegalArgumentException(s"py: $n(${a.mkString(", ")})")
+  }
+
+  private def isIterable(v: Any): Boolean = v match {
+    case _: scala.collection.Seq[_] | _: String | _: RangeVal | _: LinkedHashMap[_, _] => true
+    case _ => false
+  }
+
+  private def reduceIter(seq: Any, keepMin: Boolean): Any = {
+    val it = iterate(seq)
+    require(it.hasNext, s"py: ${if (keepMin) "min" else "max"}() of empty sequence")
+    it.reduce((a, b) =>
+      if ((pyCompare(a, b) <= 0) == keepMin) a else b)
+  }
+
+  /** Python 3 banker's rounding to n digits — over the EXACT binary value
+    * of the double (new BigDecimal(d)), like CPython: round(2.675, 2) is
+    * 2.67 because 2.675 stores as 2.67499…; Scala's BigDecimal(Double)
+    * would round the shortest decimal rendering and give 2.68. */
+  private def roundHalfEven(d: Double, n: Int): Double =
+    new java.math.BigDecimal(d).setScale(n, java.math.RoundingMode.HALF_EVEN).doubleValue()
+
+  /** Python str() rendering (used for the StringType return conversion). */
+  def pyStrPublic(v: Any): String = pyStr(v)
+
+  private def pyStr(v: Any): String = v match {
+    case null => "None"
+    case true => "True"
+    case false => "False"
+    case d: Double =>
+      if (d.isNaN) "nan"
+      else if (d.isInfinite) { if (d > 0) "inf" else "-inf" }
+      else if (d.isWhole && math.abs(d) < 1e16) d.toLong.toString + ".0"
+      else d.toString
+    case s: String => s
+    case buf: ArrayBuffer[_] => buf.map(pyRepr).mkString("[", ", ", "]")
+    case t: Vector[_] =>
+      if (t.size == 1) s"(${pyRepr(t.head)},)" else t.map(pyRepr).mkString("(", ", ", ")")
+    case d: LinkedHashMap[_, _] =>
+      d.map { case (k, x) => s"${pyRepr(k)}: ${pyRepr(x)}" }.mkString("{", ", ", "}")
+    case r: RangeVal =>
+      if (r.step == 1) s"range(${r.start}, ${r.stop})"
+      else s"range(${r.start}, ${r.stop}, ${r.step})"
+    case other => String.valueOf(other)
+  }
+
+  private def pyRepr(v: Any): String = v match {
+    case s: String => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    case other => pyStr(other)
+  }
+
+  /** `{v:spec}` formatting: supports `.Nf`, `.Ne`, `d`, `Nd` (width),
+    * `0Nd`, `>N`/`<N` string padding; empty spec = str(). */
+  private def formatSpec(v: Any, spec: String): String = {
+    if (spec.isEmpty) return pyStr(v)
+    val fixRe = "^\\.([0-9]+)f$".r
+    val expRe = "^\\.([0-9]+)e$".r
+    val intRe = "^(0?)([0-9]*)d$".r
+    val padRe = "^([<>])([0-9]+)$".r
+    spec match {
+      case fixRe(n) => String.format(s"%.${n}f", Double.box(num2(v, 0L) match {
+        case Left((a, _)) => a.toDouble; case Right((a, _)) => a }))
+      case expRe(n) => String.format(s"%.${n}e", Double.box(num2(v, 0L) match {
+        case Left((a, _)) => a.toDouble; case Right((a, _)) => a }))
+      case intRe(zero, w) =>
+        val l = asLong(v)
+        if (w.isEmpty) l.toString
+        else String.format(s"%${if (zero == "0") "0" else ""}${w}d", Long.box(l))
+      case padRe(dir, w) =>
+        val s = pyStr(v); val pad = w.toInt - s.length
+        if (pad <= 0) s
+        else if (dir == "<") s + " " * pad
+        else " " * pad + s
+      case _ => throw new IllegalArgumentException(s"py: unsupported format spec '$spec'")
     }
   }
 
@@ -504,11 +1266,167 @@ object PyInterp {
   private def callMethod(recv: Any, name: String, args: Seq[Any]): Any = (recv, name) match {
     case (s: String, "upper") => s.toUpperCase
     case (s: String, "lower") => s.toLowerCase
-    case (s: String, "strip") => s.trim
+    case (s: String, "strip" | "lstrip" | "rstrip") =>
+      val drop: Char => Boolean = args match {
+        case Nil => _.isWhitespace
+        case Seq(chars: String) => chars.contains(_)
+        case other => throw new IllegalArgumentException(s"py: $name($other)")
+      }
+      val l = if (name == "rstrip") s else s.dropWhile(drop)
+      if (name == "lstrip") l else l.reverse.dropWhile(drop).reverse
     case (s: String, "startswith") => s.startsWith(args.head.asInstanceOf[String])
     case (s: String, "endswith") => s.endsWith(args.head.asInstanceOf[String])
     case (s: String, "replace") =>
       s.replace(args(0).asInstanceOf[String], args(1).asInstanceOf[String])
+    case (s: String, "split") => args match {
+      case Nil => ArrayBuffer[Any](s.split("\\s+").filter(_.nonEmpty).toSeq: _*)
+      case Seq(sep: String) =>
+        // Python split keeps empty fields; Java's split drops trailing ones
+        val out = ArrayBuffer.empty[Any]
+        var from = 0
+        var i = s.indexOf(sep)
+        while (i >= 0) { out += s.substring(from, i); from = i + sep.length; i = s.indexOf(sep, from) }
+        out += s.substring(from)
+        out
+      case _ => throw new IllegalArgumentException("py: split(sep, maxsplit) unsupported")
+    }
+    case (s: String, "join") =>
+      iterate(args.head).map {
+        case x: String => x
+        case other => throw new IllegalArgumentException(s"py: join() needs strings, got $other")
+      }.mkString(s)
+    case (s: String, "find") => s.indexOf(args.head.asInstanceOf[String]).toLong
+    case (s: String, "rfind") => s.lastIndexOf(args.head.asInstanceOf[String]).toLong
+    case (s: String, "index") =>
+      val i = s.indexOf(args.head.asInstanceOf[String])
+      require(i >= 0, "py: ValueError: substring not found")
+      i.toLong
+    case (s: String, "count") =>
+      val sub = args.head.asInstanceOf[String]
+      if (sub.isEmpty) (s.length + 1).toLong
+      else { var c = 0L; var i = s.indexOf(sub); while (i >= 0) { c += 1; i = s.indexOf(sub, i + sub.length) }; c }
+    case (s: String, "isdigit") => s.nonEmpty && s.forall(_.isDigit)
+    case (s: String, "isalpha") => s.nonEmpty && s.forall(_.isLetter)
+    case (s: String, "isalnum") => s.nonEmpty && s.forall(_.isLetterOrDigit)
+    case (s: String, "isspace") => s.nonEmpty && s.forall(_.isWhitespace)
+    case (s: String, "islower") => s.exists(_.isLetter) && s.filter(_.isLetter).forall(_.isLower)
+    case (s: String, "isupper") => s.exists(_.isLetter) && s.filter(_.isLetter).forall(_.isUpper)
+    case (s: String, "zfill") =>
+      val w = asLong(args.head).toInt
+      if (s.length >= w) s
+      else if (s.startsWith("-") || s.startsWith("+"))
+        s.head + ("0" * (w - s.length)) + s.tail
+      else ("0" * (w - s.length)) + s
+    case (s: String, "capitalize") =>
+      if (s.isEmpty) s else s.head.toUpper + s.tail.toLowerCase
+    case (s: String, "title") =>
+      val sb = new java.lang.StringBuilder
+      var prevLetter = false
+      s.foreach { c =>
+        sb.append(if (c.isLetter && !prevLetter) c.toUpper else c.toLower)
+        prevLetter = c.isLetter
+      }
+      sb.toString
+    case (s: String, "format") =>
+      // positional {} / {0} only (no format specs in .format —
+      // f-strings carry those)
+      var i = -1
+      "\\{([0-9]*)\\}".r.replaceAllIn(s, m => {
+        val idx = if (m.group(1).isEmpty) { i += 1; i } else m.group(1).toInt
+        java.util.regex.Matcher.quoteReplacement(pyStr(args(idx)))
+      })
+
+    case (buf: ArrayBuffer[_], m) =>
+      val b = buf.asInstanceOf[ArrayBuffer[Any]]
+      m match {
+        case "append" => b += args.head; null
+        case "pop" =>
+          require(b.nonEmpty, "py: pop from empty list")
+          val i0 = if (args.isEmpty) b.size - 1 else {
+            val i = asLong(args.head).toInt; if (i < 0) b.size + i else i
+          }
+          require(i0 >= 0 && i0 < b.size, "py: pop index out of range")
+          b.remove(i0)
+        case "insert" =>
+          val i = math.max(0, math.min(b.size, asLong(args.head).toInt))
+          b.insert(i, args(1)); null
+        case "extend" => iterate(args.head).foreach(b += _); null
+        case "remove" =>
+          val i = b.indexWhere(pyEq(_, args.head))
+          require(i >= 0, "py: ValueError: list.remove(x): x not in list")
+          b.remove(i); null
+        case "index" =>
+          val i = b.indexWhere(pyEq(_, args.head))
+          require(i >= 0, "py: ValueError: not in list")
+          i.toLong
+        case "count" => b.count(pyEq(_, args.head)).toLong
+        case "sort" =>
+          val sorted = b.sortWith((a, c) => pyCompare(a, c) < 0)
+          b.clear(); b ++= sorted; null
+        case "reverse" =>
+          val rev = b.reverse
+          b.clear(); b ++= rev; null
+        case "copy" => b.clone()
+        case other => throw new IllegalArgumentException(s"py: no list method $other")
+      }
+
+    case (d0: LinkedHashMap[_, _], m) =>
+      val d = d0.asInstanceOf[LinkedHashMap[Any, Any]]
+      m match {
+        case "get" => d.getOrElse(args.head, if (args.size > 1) args(1) else null)
+        case "keys" => ArrayBuffer[Any](d.keys.toSeq: _*)
+        case "values" => ArrayBuffer[Any](d.values.toSeq: _*)
+        case "items" => ArrayBuffer[Any](d.map { case (k, v) => Vector(k, v) }.toSeq: _*)
+        case "pop" =>
+          d.remove(args.head) match {
+            case Some(v) => v
+            case None if args.size > 1 => args(1)
+            case None => throw new IllegalArgumentException(s"py: KeyError: ${args.head}")
+          }
+        case "setdefault" =>
+          d.getOrElseUpdate(args.head, if (args.size > 1) args(1) else null)
+        case "update" =>
+          args.head.asInstanceOf[LinkedHashMap[Any, Any]].foreach { case (k, v) => d(k) = v }
+          null
+        case "copy" => d.clone()
+        case other => throw new IllegalArgumentException(s"py: no dict method $other")
+      }
+
+    case (MathModule, fname) =>
+      def d1 = num2(args.head, 0L) match { case Left((a, _)) => a.toDouble; case Right((a, _)) => a }
+      def d2v = num2(args(1), 0L) match { case Left((a, _)) => a.toDouble; case Right((a, _)) => a }
+      fname match {
+        case "sqrt" => math.sqrt(d1)
+        case "floor" => math.floor(d1).toLong // Python 3 math.floor → int
+        case "ceil" => math.ceil(d1).toLong
+        case "trunc" => d1.toLong
+        case "log" => if (args.size > 1) math.log(d1) / math.log(d2v) else math.log(d1)
+        case "log2" => math.log(d1) / math.log(2)
+        case "log10" => math.log10(d1)
+        case "exp" => math.exp(d1)
+        case "pow" => math.pow(d1, d2v)
+        case "sin" => math.sin(d1)
+        case "cos" => math.cos(d1)
+        case "tan" => math.tan(d1)
+        case "asin" => math.asin(d1)
+        case "acos" => math.acos(d1)
+        case "atan" => math.atan(d1)
+        case "atan2" => math.atan2(d1, d2v)
+        case "fabs" => math.abs(d1)
+        case "hypot" => math.hypot(d1, d2v)
+        case "fmod" => d1 % d2v // C semantics, unlike Python's %
+        case "isnan" => d1.isNaN
+        case "isinf" => d1.isInfinite
+        case "degrees" => math.toDegrees(d1)
+        case "radians" => math.toRadians(d1)
+        case "copysign" => math.copySign(d1, d2v)
+        case "gcd" =>
+          var (a, b) = (math.abs(asLong(args.head)), math.abs(asLong(args(1))))
+          while (b != 0) { val t = a % b; a = b; b = t }
+          a
+        case other => throw new IllegalArgumentException(s"py: math.$other unsupported")
+      }
+
     case _ => throw new IllegalArgumentException(s"py: no method $name on $recv")
   }
 }
@@ -549,7 +1467,7 @@ case class PyUdfExpression(fn: PyInterp.PyFunc, retType: DataType,
     case (d: Double, DoubleType) => d
     case (b: Boolean, BooleanType) => b
     case (s: String, StringType) => UTF8String.fromString(s)
-    case (v2, StringType) => UTF8String.fromString(String.valueOf(v2))
+    case (v2, StringType) => UTF8String.fromString(PyInterp.pyStrPublic(v2))
     case (d: LocalDate, DateType) => d.toEpochDay.toInt
     case (b: Boolean, IntegerType) => if (b) 1 else 0
     case other =>

@@ -164,11 +164,20 @@ object Aggregates {
     // rollup shape that works: the expand multiplier applies to 25 rows, not
     // the fact table.
     "agg_rollup" -> ((s, d) => {
+      // Aggregate pushdown below the dimension joins: count per c_nationkey
+      // FIRST (25 groups out of the 15M-row fact at sf100 — a pruned
+      // single-column scan + map-side-combining agg), then broadcast-join the
+      // 25-row result to nation⋈region. Joining first (even broadcast) paid
+      // a row-at-a-time join + wide-row agg over the whole fact: 0.69 s at
+      // sf100 vs DuckDB 0.15. Inner-join-after-agg drops exactly the same
+      // unmatched groups an inner-join-before-agg would drop, so the result
+      // is identical; nationkey → (n_name, r_name) is functional.
       val base = t(s, d, "customer")
-        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
-        .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("r_name"), col("n_name"))
+        .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("cnt"))
+        .join(broadcast(t(s, d, "nation")
+            .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
       base.rollup(col("r_name"), col("n_name"))
         .agg(coalesce(sum(col("cnt")), lit(0L)).as("n"),
           grouping(col("r_name")).cast("int").as("g_r"),

@@ -26,26 +26,36 @@ import scala.util.Try
   *
   * `LANGUAGE python` bodies are interpreted per row by
   * [[graft.functions.PyInterp]] (the reference embeds CPython; this
-  * container has no executor-side Python). The exact accepted grammar:
+  * container has no executor-side Python). The accepted grammar is a
+  * structured-Python subset:
   *
-  *  - one `def f(params):` with an indented body; no imports, closures,
-  *    classes, decorators, *args/kwargs, or default parameter values;
-  *  - statements: `return [expr]`, `name = expr`, parallel tuple assignment
-  *    `a, b = expr, expr` / `a, b = <list-valued expr>` (RHS evaluates fully
-  *    before binding, so `a, b = b, a` swaps), augmented `+= -= *= /=`,
-  *    `for v in range(a[, b[, c]])`, `for v in <list-or-string expr>`,
-  *    `if cond:` with optional `else:` (no elif), expression statements;
-  *  - expressions: int/float/string/bool/None literals, list literals
-  *    `[e1, e2, …]`, subscripts `x[i]` on strings and lists with Python
-  *    negative-index semantics, arithmetic `+ - * / // % **` (Python
-  *    semantics: `/` is float division, `//` floors, `%` follows the divisor
-  *    sign), comparisons, unary `-`/`not`;
-  *  - builtins: `len` (strings and lists), `int`, `float`, `abs`, `str`;
-  *  - string methods: upper, lower, strip, startswith, endswith, replace;
-  *    date attributes: .year, .month, .day.
+  *  - module: one or more `def`s (helpers callable from the entry def,
+  *    recursion allowed, default parameter values, annotations stripped),
+  *    module-level constants, `import math` / `from math import f` (the
+  *    only importable module);
+  *  - statements: `return`, plain / parallel-tuple / augmented
+  *    (`+= -= *= /= //= %= **=`) / subscript assignment, `if`/`elif`/
+  *    `else`, `for` over range/list/tuple/string/dict with tuple targets,
+  *    `while`, `break`/`continue`/`pass`;
+  *  - expressions: Python arithmetic (`/` float, `//` floors, `%` follows
+  *    the divisor sign), chained comparisons, `and`/`or` (returning the
+  *    operand), `not`, `in`/`not in`, `is (not)` None, ternary
+  *    `x if c else y`, slices `x[a:b:c]`, list/tuple/dict literals, list
+  *    comprehensions, generator expressions in `sum(...)` etc., f-strings
+  *    with `{expr}` / `{expr:.Nf}` / `{expr:Nd}`;
+  *  - builtins: len int float str bool abs min max sum round sorted
+  *    reversed list tuple dict range enumerate zip any all ord chr;
+  *  - methods: strings (upper lower strip lstrip rstrip startswith endswith
+  *    replace split join find rfind count index isdigit isalpha isalnum
+  *    isspace islower isupper zfill capitalize title format), lists (append
+  *    pop insert extend remove index count sort reverse copy), dicts (get
+  *    keys values items pop setdefault update copy), `math.*`; date
+  *    attributes .year/.month/.day.
   *
-  * Anything outside this subset raises a parse error at CREATE FUNCTION
-  * time (documented known-gap in COVERAGE.md: arbitrary CPython).
+  * Out of scope — rejected with a clear parse error at CREATE FUNCTION
+  * time: classes, try/except, lambdas/closures (nested def), imports other
+  * than math, keyword arguments, *args, yield. (Documented known-gap in
+  * COVERAGE.md: full CPython.)
   */
 object UdfSurface {
   private val createFnRe =
@@ -119,7 +129,9 @@ object UdfSurface {
     case (name, argList, retType, language, body0) if language.equalsIgnoreCase("python") =>
       // interpreted per row, like the reference's py_interp bridge —
       // see graft.functions.PyInterp
-      val fn = graft.functions.PyInterp.parse(body0.stripPrefix("\n"))
+      // the def matching the SQL function name is the entry point (the
+      // reference's convention); other defs in the body become helpers
+      val fn = graft.functions.PyInterp.parse(body0.stripPrefix("\n"), Some(name))
       val retDt = CatalystSqlParser.parseDataType(normalizeType(retType))
       val argDts = (argList.trim match {
         case "" => Seq.empty[String]

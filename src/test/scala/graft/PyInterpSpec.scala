@@ -1,0 +1,374 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.PyInterp
+import scala.collection.mutable.ArrayBuffer
+
+/** Direct interpreter tests for the structured-Python subset (no Spark
+  * session needed). Each expectation mirrors CPython 3 output exactly —
+  * run any of these bodies through `python3` to re-verify. */
+class PyInterpSpec extends AnyFunSuite {
+
+  private def run(src: String, args: Any*): Any =
+    PyInterp.call(PyInterp.parse(src.stripMargin), args.toSeq)
+
+  test("while loop with break/continue") {
+    val src =
+      """def f(n):
+        |    total = 0
+        |    i = 0
+        |    while True:
+        |        i += 1
+        |        if i > n:
+        |            break
+        |        if i % 2 == 0:
+        |            continue
+        |        total += i
+        |    return total"""
+    assert(run(src, 10L) == 25L) // 1+3+5+7+9
+  }
+
+  test("elif chains") {
+    val src =
+      """def grade(x):
+        |    if x >= 90:
+        |        return 'A'
+        |    elif x >= 80:
+        |        return 'B'
+        |    elif x >= 70:
+        |        return 'C'
+        |    else:
+        |        return 'F'"""
+    assert(run(src, 95L) == "A")
+    assert(run(src, 85L) == "B")
+    assert(run(src, 71L) == "C")
+    assert(run(src, 3L) == "F")
+  }
+
+  test("and/or return the operand (Python value semantics), not in") {
+    val src =
+      """def f(x, y):
+        |    a = x or 'default'
+        |    b = x and y
+        |    c = 'z' not in y
+        |    return a + '|' + str(b) + '|' + str(c)"""
+    assert(run(src, "", "abc") == "default||True")
+    assert(run(src, "v", "xyz") == "v|xyz|False")
+  }
+
+  test("chained comparisons evaluate each operand once, short-circuit") {
+    val src =
+      """def f(x):
+        |    return 1 <= x < 10 == 10"""
+    assert(run(src, 5L) == true)
+    assert(run(src, 10L) == false)
+    assert(run(src, 0L) == false)
+  }
+
+  test("ternary expression") {
+    val src =
+      """def f(x):
+        |    return 'neg' if x < 0 else ('zero' if x == 0 else 'pos')"""
+    assert(run(src, -3L) == "neg")
+    assert(run(src, 0L) == "zero")
+    assert(run(src, 9L) == "pos")
+  }
+
+  test("dict literal, subscript get/set, get/keys/values/items, in") {
+    val src =
+      """def f(k):
+        |    d = {'a': 1, 'b': 2}
+        |    d['c'] = d['a'] + d['b']
+        |    d['a'] += 10
+        |    has = k in d
+        |    return str(d['c']) + '|' + str(d.get(k, -1)) + '|' + str(has) + '|' + str(len(d))"""
+    assert(run(src, "a") == "3|11|True|3")
+    assert(run(src, "z") == "3|-1|False|3")
+  }
+
+  test("dict iteration preserves insertion order; items unpack in for") {
+    val src =
+      """def f():
+        |    d = {'x': 1, 'y': 2, 'z': 3}
+        |    out = ''
+        |    for k, v in d.items():
+        |        out = out + k + str(v)
+        |    return out"""
+    assert(run(src) == "x1y2z3")
+  }
+
+  test("tuples: literals, indexing, comparison, str()") {
+    val src =
+      """def f():
+        |    t = (1, 'two', 3.5)
+        |    u = (1, 2) < (1, 3)
+        |    return str(t[1]) + '|' + str(u) + '|' + str(t)"""
+    assert(run(src) == "two|True|(1, 'two', 3.5)")
+  }
+
+  test("list methods: append/pop/insert/extend/sort/reverse/remove/index/count") {
+    val src =
+      """def f():
+        |    xs = [3, 1]
+        |    xs.append(2)
+        |    xs.extend([5, 1])
+        |    xs.sort()
+        |    a = xs.pop()
+        |    xs.remove(1)
+        |    xs.insert(0, 9)
+        |    xs.reverse()
+        |    return str(xs) + '|' + str(a) + '|' + str(xs.index(3)) + '|' + str(xs.count(1))"""
+    assert(run(src) == "[3, 2, 1, 9]|5|0|1")
+  }
+
+  test("slicing with negatives, steps, and reversal") {
+    val src =
+      """def f(s):
+        |    return s[1:4] + '|' + s[-3:] + '|' + s[::2] + '|' + s[::-1]"""
+    assert(run(src, "abcdefg") == "bcd|efg|aceg|gfedcba")
+  }
+
+  test("list slicing returns a new list") {
+    val src =
+      """def f():
+        |    xs = [1, 2, 3, 4, 5]
+        |    ys = xs[1:3]
+        |    ys.append(99)
+        |    return str(xs) + '|' + str(ys)"""
+    assert(run(src) == "[1, 2, 3, 4, 5]|[2, 3, 99]")
+  }
+
+  test("list comprehension with condition; nested fors") {
+    val src =
+      """def f(n):
+        |    sq = [x * x for x in range(n) if x % 2 == 1]
+        |    pairs = [(a, b) for a in range(2) for b in range(2)]
+        |    return str(sq) + '|' + str(len(pairs))"""
+    assert(run(src, 6L) == "[1, 9, 25]|4")
+  }
+
+  test("generator expression inside sum/min/max/any/all") {
+    val src =
+      """def f(n):
+        |    s = sum(x * x for x in range(n))
+        |    m = max(x % 7 for x in range(n))
+        |    e = any(x > 90 for x in range(n))
+        |    a = all(x < 100 for x in range(n))
+        |    return str(s) + '|' + str(m) + '|' + str(e) + '|' + str(a)"""
+    assert(run(src, 100L) == "328350|6|True|True")
+  }
+
+  test("helper functions and recursion with default args") {
+    val src =
+      """def fib(n):
+        |    if n < 2:
+        |        return n
+        |    return fib(n - 1) + fib(n - 2)
+        |
+        |def main(n, scale=2):
+        |    return fib(n) * scale"""
+    assert(PyInterp.call(PyInterp.parse(src.stripMargin, Some("main")), Seq(10L)) == 110L)
+  }
+
+  test("entry selection: named entry vs last def") {
+    val src =
+      """def helper(x):
+        |    return x + 1
+        |
+        |def target(x):
+        |    return helper(x) * 10"""
+    // default: last def
+    assert(run(src, 4L) == 50L)
+    // explicit entry name
+    assert(PyInterp.call(PyInterp.parse(src.stripMargin, Some("helper")), Seq(4L)) == 5L)
+  }
+
+  test("module-level constants are visible inside functions") {
+    val src =
+      """FACTOR = 3
+        |NAMES = ['a', 'b']
+        |
+        |def f(x):
+        |    return x * FACTOR + len(NAMES)"""
+    assert(run(src, 5L) == 17L)
+  }
+
+  test("import math: functions and constants") {
+    val src =
+      """import math
+        |
+        |def f(x):
+        |    r = math.sqrt(x) + math.floor(2.7) + math.ceil(2.1)
+        |    return r + math.pi"""
+    val got = run(src, 16L).asInstanceOf[Double]
+    assert(math.abs(got - (4.0 + 2 + 3 + math.Pi)) < 1e-12)
+  }
+
+  test("from math import binds names; floor returns int") {
+    val src =
+      """from math import sqrt, floor
+        |
+        |def f(x):
+        |    return floor(sqrt(x))"""
+    assert(run(src, 10L) == 3L)
+  }
+
+  test("f-strings with expressions and format specs") {
+    val src =
+      """def f(name, v):
+        |    return f"{name}: {v:.2f} ({v * 100:.0f}%)""""
+    assert(run(src, "acc", 0.8756) == "acc: 0.88 (88%)")
+  }
+
+  test("string methods: split/join/find/count/zfill/title/format") {
+    val src =
+      """def f(s):
+        |    parts = s.split(',')
+        |    j = '-'.join(parts)
+        |    return j + '|' + str(s.find('b')) + '|' + str(s.count(',')) + '|' + '7'.zfill(3) + '|' + 'a b'.title() + '|' + '{} and {}'.format(1, 'x')"""
+    assert(run(src, "a,b,c") == "a-b-c|2|2|007|A B|1 and x")
+  }
+
+  test("split keeps empty fields like Python") {
+    val src =
+      """def f(s):
+        |    return str(len(s.split(',')))"""
+    assert(run(src, "a,,b,") == "4")
+  }
+
+  test("builtins: sorted/reversed/enumerate/zip/ord/chr/round half-even") {
+    val src =
+      """def f():
+        |    xs = sorted([3, 1, 2])
+        |    ys = list(reversed(xs))
+        |    pairs = list(zip('ab', [10, 20]))
+        |    out = ''
+        |    for i, c in enumerate('xy'):
+        |        out = out + str(i) + c
+        |    r = str(round(2.5)) + str(round(3.5)) + str(round(2.675, 2))
+        |    return str(ys) + '|' + str(pairs[1][1]) + '|' + out + '|' + str(ord('A')) + chr(66) + '|' + r"""
+    assert(run(src) == "[3, 2, 1]|20|0x1y|65B|242.67")
+  }
+
+  test("range as a value: len, index, membership, list()") {
+    val src =
+      """def f():
+        |    r = range(2, 20, 3)
+        |    return str(len(r)) + '|' + str(r[2]) + '|' + str(8 in r) + '|' + str(9 in r) + '|' + str(list(range(3)))"""
+    assert(run(src) == "6|8|True|False|[0, 1, 2]")
+  }
+
+  test("while-loop string builder: collatz length") {
+    val src =
+      """def collatz(n):
+        |    steps = 0
+        |    while n != 1:
+        |        if n % 2 == 0:
+        |            n = n // 2
+        |        else:
+        |            n = 3 * n + 1
+        |        steps += 1
+        |    return steps"""
+    assert(run(src, 27L) == 111L)
+  }
+
+  test("multi-line expressions join implicitly inside brackets") {
+    val src =
+      """def f():
+        |    xs = [1,
+        |          2,
+        |          3]
+        |    return sum(xs)"""
+    assert(run(src) == 6L)
+  }
+
+  test("inline comments are stripped outside strings") {
+    val src =
+      """def f(s):  # trailing comment
+        |    x = 1  # add one
+        |    y = '#notacomment'
+        |    return s + y + str(x)"""
+    assert(run(src, "a") == "a#notacomment1")
+  }
+
+  test("is / is not None") {
+    val src =
+      """def f(x):
+        |    if x is None:
+        |        return 'none'
+        |    return 'value'"""
+    assert(run(src, null) == "none")
+    assert(run(src, 0L) == "value")
+  }
+
+  test("str() of containers matches CPython repr rules") {
+    val src =
+      """def f():
+        |    return str([1, 'a', 2.0, None, True, (1,)])"""
+    assert(run(src) == "[1, 'a', 2.0, None, True, (1,)]")
+  }
+
+  test("escape sequences in string literals") {
+    val src =
+      "def f():\n    return 'a\\tb' + \"\\n\" + 'it\\'s'"
+    assert(run(src) == "a\tb\nit's")
+  }
+
+  test("recursion limit guards the stack") {
+    val src =
+      """def f(n):
+        |    return f(n + 1)"""
+    val e = intercept[IllegalArgumentException](run(src, 0L))
+    assert(e.getMessage.contains("recursion"))
+  }
+
+  test("classes and lambdas are rejected with a clear error") {
+    intercept[IllegalArgumentException](run("def f(x):\n    g = lambda y: y\n    return g(x)", 1L))
+    intercept[IllegalArgumentException](run("def f(x):\n    return x\nclass C:\n    pass", 1L))
+  }
+
+  test("imports beyond math are rejected") {
+    val e = intercept[IllegalArgumentException](
+      run("import os\n\ndef f(x):\n    return x", 1L))
+    assert(e.getMessage.contains("math"))
+  }
+
+  test("realistic UDF: word-frequency top token") {
+    val src =
+      """def top_token(text):
+        |    counts = {}
+        |    for w in text.lower().split():
+        |        w = w.strip('.,')
+        |        if len(w) < 2:
+        |            continue
+        |        counts[w] = counts.get(w, 0) + 1
+        |    best = None
+        |    best_n = -1
+        |    for w in counts:
+        |        if counts[w] > best_n or (counts[w] == best_n and w < best):
+        |            best = w
+        |            best_n = counts[w]
+        |    return f"{best}:{best_n}""""
+    // strip('.,') needs arg support — strip with argument
+    assert(run(src, "the cat and the dog and the bird") == "the:3")
+  }
+
+  test("quality-score style UDF with math and comprehension") {
+    val src =
+      """import math
+        |
+        |def score(text):
+        |    words = text.split()
+        |    if not words:
+        |        return 0.0
+        |    avg = sum(len(w) for w in words) / len(words)
+        |    caps = sum(1 for w in words if w[0].isupper())
+        |    return round(math.log(1 + avg) * (1 + caps / len(words)), 4)"""
+    val got = run(src, "The quick Brown fox").asInstanceOf[Double]
+    val words = Seq("The", "quick", "Brown", "fox")
+    val avg = words.map(_.length).sum.toDouble / 4
+    val expect = BigDecimal(math.log(1 + avg) * 1.5)
+      .setScale(4, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    assert(got == expect)
+  }
+}
