@@ -33,6 +33,9 @@ object Multimodal {
   case class PngRow(doc_id: Long, width: Long, height: Long,
       bit_depth: Long, color_type: Long, n_chunks: Long)
 
+  case class WavRow(doc_id: Long, channels: Long, sample_rate: Long,
+      bits: Long, n_samples: Long, duration_ms: Long, n_chunks: Long)
+
   /** Binary column → decoded metadata via partition-wise batches. */
   def decodeMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
@@ -83,6 +86,30 @@ object Multimodal {
           }
         }
         .toDF().orderBy("doc_id")
+    }),
+
+    // Audio twin of mm_png: each doc gets a complete valid PCM WAV
+    // (params are a closed form of doc_id), encoded then PARSED back
+    // through the real RIFF chunk walk inside executor tasks. The oracle
+    // recomputes the metadata from the same closed form, so a parser that
+    // misreads fmt/data hash-mismatches.
+    "mm_wav" -> ((s, d) => {
+      import s.implicits._
+      val rates = Array(8000, 16000, 44100)
+      t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val ch = (id % 2 + 1).toInt
+            val rate = rates((id % 3).toInt)
+            val n = (id * 13 % 2000 + 100).toInt
+            val wav = WavCodec.encode(ch, rate, n, id.toInt)
+            val m = WavCodec.decode(wav)
+            WavRow(id, m.channels, m.sampleRate, m.bitsPerSample,
+              m.nSamples, m.durationMs, m.nChunks)
+          }
+        }
+        .toDF().orderBy("doc_id")
     })
   )
 
@@ -106,6 +133,18 @@ object Multimodal {
                 CAST(doc_id * 7 % 48 + 1 AS BIGINT) AS height,
                 CAST(8 AS BIGINT) AS bit_depth, CAST(0 AS BIGINT) AS color_type,
                 CAST(3 AS BIGINT) AS n_chunks
-         FROM documents WHERE doc_id < 200 ORDER BY doc_id"""
+         FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
+    "mm_wav" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+                  CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                       ELSE 44100 END AS BIGINT) AS sample_rate,
+                  CAST(doc_id * 13 % 2000 + 100 AS BIGINT) AS n_samples
+           FROM documents WHERE doc_id < 200)
+         SELECT doc_id, channels, sample_rate, CAST(16 AS BIGINT) AS bits,
+                n_samples, n_samples * 1000 // sample_rate AS duration_ms,
+                CAST(2 AS BIGINT) AS n_chunks
+         FROM p ORDER BY doc_id"""
   )
 }
