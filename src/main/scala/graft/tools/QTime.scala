@@ -1,0 +1,34 @@
+package graft.tools
+
+import graft.SparkEntry
+
+/** Generic per-query timer (dev-only): median of N noop-write runs per
+  * named contract query, after one warmup. Honors GRAFT_SPARK_EXTRA for
+  * config A/B (e.g. bloom-filter join on/off).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.tools.QTime [runs=N] <name>...
+  */
+object QTime {
+  def main(args: Array[String]): Unit = {
+    val (opts, names) = args.partition(_.startsWith("runs="))
+    val runs = opts.headOption.map(_.stripPrefix("runs=").toInt).getOrElse(3)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString).toInt
+    val spark = graft.Engine.create(master = s"local[$cpus]",
+      shufflePartitions = cpus, appName = "graft-qtime", dataDir = Some(sfDir))
+    def time(mk: => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      mk.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    names.toSeq.foreach { n =>
+      val q = SparkEntry.queries(n)
+      time(q(spark, sfDir)) // warmup
+      val ts = Seq.fill(runs)(time(q(spark, sfDir)))
+      println(f"[qtime] $n%-24s median ${med(ts)}%.2f s  runs ${ts.map(x => f"$x%.2f").mkString(" ")}")
+    }
+    spark.stop()
+  }
+}
