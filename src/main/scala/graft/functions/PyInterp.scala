@@ -163,7 +163,7 @@ object PyInterp {
           case 'n' => sb.append('\n'); case 't' => sb.append('\t')
           case 'r' => sb.append('\r'); case '\\' => sb.append('\\')
           case '\'' => sb.append('\''); case '"' => sb.append('"')
-          case '0' => sb.append(' ')
+          case '0' => sb.append('\u0000')
           case o => sb.append('\\').append(o)
         }
         i += 2
@@ -409,10 +409,10 @@ object PyInterp {
         require(depth == 0, s"py parse: unbalanced f-string braces in: $raw")
         val inner = raw.substring(s, j - 1)
         // a ':' at depth 0 outside quotes separates the format spec
-        var k = -1; var d2 = 0; var q = ' '; var m = 0
+        var k = -1; var d2 = 0; var q = '\u0000'; var m = 0
         while (m < inner.length && k < 0) {
           val ch = inner.charAt(m)
-          if (q != ' ') { if (ch == q) q = ' ' }
+          if (q != '\u0000') { if (ch == q) q = '\u0000' }
           else ch match {
             case '\'' | '"' => q = ch
             case '(' | '[' | '{' => d2 += 1
@@ -445,11 +445,11 @@ object PyInterp {
 
   /** Strip a trailing `# comment` outside string literals. */
   private def stripComment(line: String): String = {
-    var q = ' '; var i = 0
+    var q = '\u0000'; var i = 0
     while (i < line.length) {
       val c = line.charAt(i)
-      if (q != ' ') {
-        if (c == '\\') i += 1 else if (c == q) q = ' '
+      if (q != '\u0000') {
+        if (c == '\\') i += 1 else if (c == q) q = '\u0000'
       } else if (c == '\'' || c == '"') q = c
       else if (c == '#') return line.take(i)
       i += 1
@@ -465,10 +465,10 @@ object PyInterp {
     var depth = 0
     for (line0 <- raw) {
       val line = stripComment(line0)
-      var q = ' '; var i = 0
+      var q = '\u0000'; var i = 0
       while (i < line.length) {
         val c = line.charAt(i)
-        if (q != ' ') { if (c == '\\') i += 1 else if (c == q) q = ' ' }
+        if (q != '\u0000') { if (c == '\\') i += 1 else if (c == q) q = '\u0000' }
         else c match {
           case '\'' | '"' => q = c
           case '(' | '[' | '{' => depth += 1
@@ -477,7 +477,7 @@ object PyInterp {
         }
         i += 1
       }
-      val cont = line.endsWith("\\") && q == ' '
+      val cont = line.endsWith("\\") && q == '\u0000'
       val body = if (cont) line.dropRight(1) else line
       if (cur.length == 0) cur.append(body)
       else cur.append(' ').append(body.trim)
@@ -587,10 +587,10 @@ object PyInterp {
 
   private def splitArgs(s: String): Seq[String] = {
     val out = ArrayBuffer.empty[String]
-    var depth = 0; var start = 0; var q = ' '
+    var depth = 0; var start = 0; var q = '\u0000'
     for (i <- s.indices) {
       val c = s.charAt(i)
-      if (q != ' ') { if (c == q) q = ' ' }
+      if (q != '\u0000') { if (c == q) q = '\u0000' }
       else c match {
         case '\'' | '"' => q = c
         case '(' | '[' | '{' => depth += 1

@@ -89,6 +89,40 @@ $$""")
     assert(spark.sql("SELECT py_vowels('sea breeze at dawn') AS v").collect().head.getLong(0) == 7L)
   }
 
+  test("python UDF: helper defs, while, dict, f-string through the SQL surface") {
+    UdfSurface.execute(spark,
+      """CREATE FUNCTION py_toplang(s varchar) RETURNS varchar LANGUAGE python AS $$
+def norm(w):
+    return w.strip('.,').lower()
+
+def py_toplang(s):
+    counts = {}
+    for w in s.split():
+        k = norm(w)
+        counts[k] = counts.get(k, 0) + 1
+    best, best_n = '', 0
+    for k, v in counts.items():
+        if v > best_n:
+            best, best_n = k, v
+    return f"{best}:{best_n}"
+$$""")
+    assert(spark.sql("SELECT py_toplang('Go go GO. stop') AS v")
+      .collect().head.getString(0) == "go:3")
+  }
+
+  test("python UDF: import math + comprehension through the SQL surface") {
+    UdfSurface.execute(spark,
+      """CREATE FUNCTION py_rms(a double, b double, c double) RETURNS double LANGUAGE python AS $$
+import math
+
+def py_rms(a, b, c):
+    xs = [a, b, c]
+    return math.sqrt(sum(x * x for x in xs) / len(xs))
+$$""")
+    val got = spark.sql("SELECT py_rms(3.0, 4.0, 12.0) AS v").collect().head.getDouble(0)
+    assert(math.abs(got - math.sqrt((9.0 + 16.0 + 144.0) / 3)) < 1e-12)
+  }
+
   test("router dispatches SQL, pipe-SQL, SET, CREATE FUNCTION") {
     Tables.registerAll(spark, sf)
     assert(GraftSql(spark, "SELECT count(*) AS n FROM region").collect().head.getLong(0) == 5L)

@@ -27,8 +27,12 @@ def ok(v):
 def fmt(v):
     if v is None:
         return "no-oracle"
-    if isinstance(v, str):  # "TIMEOUT>300.0s"
-        return "**timeout >300 s**"
+    if isinstance(v, str):  # "TIMEOUT>300.0s" / "KILLED (OOM)" / "ERROR: ..."
+        if v.startswith("TIMEOUT"):
+            return "**timeout >300 s**"
+        if "OOM" in v or "No space left" in v:
+            return "**forfeit (OOM/disk)**"
+        return "**error**"
     if not ok(v):
         return "**failed**"
     return f"{v:.2f}"
