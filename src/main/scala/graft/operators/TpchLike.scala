@@ -70,23 +70,43 @@ object TpchLike {
     // Q5 local-supplier revenue: 6-way join incl. the c_nationkey = s_nationkey
     // locality condition, grouped by nation.
     // Bucketing-aware shape (same reasoning as q3): region⋈nation⋈customer
-    // reduces to the ASIA customer keys + nation (3 narrow columns, ~1/5 of
-    // customer) and broadcasts into orders; the orders⋈lineitem join then
-    // runs on the bucketed layout with zero exchanges. The supplier join
-    // stays a broadcast after the fact join, preserving that property.
+    // reduces to the ASIA customer keys (2 narrow columns, ~1/5 of customer)
+    // and broadcasts into orders; the orders⋈lineitem join then runs on the
+    // bucketed layout with zero exchanges.
+    //
+    // Supplier-side pre-reduction: the locality condition c_nationkey =
+    // s_nationkey plus customer-in-ASIA already forces the SUPPLIER into
+    // ASIA, so the ASIA⋈nation⋈supplier broadcast filters lineitem to ASIA
+    // suppliers (~1/5 of rows) BEFORE the fact-side merge join, not after —
+    // a BroadcastHashJoin between the bucketed scan and the SMJ preserves
+    // the scan's partitioning AND sort order, so the merge still runs
+    // zero-exchange but streams 5× fewer lineitem rows. n_name rides the
+    // supplier side (it equals the customer nation by the join condition).
     "tpch_q5" -> ((s, d) => {
-      val asia = t(s, d, "region").filter(col("r_name") === "ASIA")
-      val asiaCust = asia
+      val asiaNation = t(s, d, "region").filter(col("r_name") === "ASIA")
         .join(t(s, d, "nation"), col("n_regionkey") === col("r_regionkey"))
-        .join(t(s, d, "customer"), col("c_nationkey") === col("n_nationkey"))
-        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+        .select(col("n_nationkey"), col("n_name"))
+      val asiaSupp = t(s, d, "supplier")
+        .join(broadcast(asiaNation), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val asiaCust = t(s, d, "customer")
+        .join(broadcast(asiaNation.select(col("n_nationkey").as("cn_key"))),
+          col("c_nationkey") === col("cn_key"))
+        .select(col("c_custkey"), col("c_nationkey"))
+      val li = t(s, d, "lineitem")
+        .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
       val j = t(s, d, "orders")
         .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
           col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
         .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
-        .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
-        .join(t(s, d, "supplier"),
-          col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+        // the locality equality is written as an arithmetic residual, NOT
+        // `s_nationkey === c_nationkey`: ExtractEquiJoinKeys would fold a
+        // plain equality into the SMJ's join keys, re-shuffling BOTH fact
+        // sides on the composite (orderkey, nationkey) and forfeiting the
+        // bucketed single-key co-partitioning (measured: the composite-key
+        // plan re-exchanges 600M rows and erases the supplier-filter win)
+        .join(li, col("l_orderkey") === col("o_orderkey") &&
+          (col("s_nationkey") - col("c_nationkey")) === 0)
       j.groupBy(col("n_name"))
         .agg(msum(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))

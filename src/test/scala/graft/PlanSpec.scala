@@ -18,10 +18,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_orderkey"), "q1 must not read unused columns")
   }
 
-  test("tpch_q5: all dimension joins broadcast, no sort-merge join") {
+  test("tpch_q5: dimensions broadcast; fact merge keyed on the order key ALONE") {
     val p = planOf("tpch_q5")
     assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin"), "fact table must not be shuffle-sorted")
+    // the locality condition must stay a residual: if ExtractEquiJoinKeys
+    // folds s_nationkey = c_nationkey into the join keys, BOTH fact sides
+    // re-shuffle on the composite key and the bucketed layout is forfeited
+    // (measured at sf100: erases the ASIA-supplier pre-filter win entirely)
+    val smjKeys = """SortMergeJoin \[([^\]]*)\]""".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(smjKeys.forall(k => !k.contains("nationkey")),
+      s"fact join keys must not include the nationkey residual: $smjKeys")
   }
 
   test("tpch_q3: top-k via bounded heap (TakeOrderedAndProject)") {
