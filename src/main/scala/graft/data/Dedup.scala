@@ -333,17 +333,18 @@ object Dedup {
         .select((col("vec_id") + 10000000L).as("vec_id"),
           concat(array(-element_at(col("embedding"), 1)),
             slice(col("embedding"), 2, 63)).as("embedding"))
+      // codegen array_dot/array_norm: bit-identical accumulation order to
+      // the HOF chains they replaced (oracle hashes pin the add order)
       val e = base.unionAll(twins)
         .select(col("vec_id"), col("embedding"),
-          sqrt(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
-            lit(0.0), (acc, x) => acc + x)).as("norm"))
+          graft.functions.GraftFunctions.array_norm(col("embedding")).as("norm"))
       val cand = signBandCandidates(e.select(col("vec_id"), col("embedding")))
       val ea = e.toDF("a", "ea", "na")
       val eb = e.toDF("b", "eb", "nb")
       cand.join(ea, "a").join(eb, "b")
         .select(col("a"), col("b"),
-          (aggregate(zip_with(col("ea"), col("eb"), (x, y) => x.cast("double") * y.cast("double")),
-            lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb"))).as("cos"))
+          (graft.functions.GraftFunctions.array_dot(col("ea"), col("eb")) /
+            (col("na") * col("nb"))).as("cos"))
         .orderBy(col("cos").desc, col("a"), col("b"))
         .limit(20)
         .select(col("a"), col("b"), round(col("cos"), 4).as("sim"))

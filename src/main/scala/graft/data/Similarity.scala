@@ -61,16 +61,17 @@ object Similarity {
     cents.map(_.toSeq).toSeq
   }
 
+  // Codegen ArrayDot expression (bit-identical accumulation order to the
+  // zip_with/transform + aggregate HOF chains it replaced — the oracle
+  // hashes depend on the double-add order; see ArrayDotUtil's doc).
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.array_dot(a, b)
 
   /** Embedding dimensionality of the driver's synthetic corpus. */
   private[graft] val EmbDims = 64
 
   private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+    graft.functions.GraftFunctions.array_norm(a)
 
   val queries: Map[String, Q] = Map(
     // Brute-force cosine top-10 for 5 query vectors (exact baseline).

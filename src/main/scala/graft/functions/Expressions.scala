@@ -2,10 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static helpers referenced from generated code — keep them Java-simple so
@@ -113,6 +114,53 @@ object ExprUtil {
   }
 }
 
+/** Companion statics for [[ArrayDot]] — sequential index-order accumulation
+  * so results are BIT-IDENTICAL to the `aggregate(zip_with(a, b, _*_), 0.0,
+  * _+_)` HOF formulation they replace (the DuckDB oracle hashes depend on
+  * that exact double-add order). */
+object ArrayDotUtil {
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+  def dotD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+}
+
+/** array_dot(a, b) → Σ aᵢ·bᵢ as a native codegen expression over
+  * array<float>/array<double>. Replaces the zip_with + aggregate HOF chain
+  * in the similarity/dedup pillar hot paths: the HOF pair materializes an
+  * intermediate array and evaluates a lambda per element outside
+  * whole-stage codegen; this is one tight loop over the underlying
+  * ArrayData (measured: sim_cosine_topk 11.9 → see PERF). Assumes
+  * non-null elements (the embeddings corpus guarantees it). */
+case class ArrayDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "array_dot"
+  private def fn: String = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => "dotF"
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => "dotD"
+    case other => throw new IllegalArgumentException(
+      s"array_dot needs two float arrays or two double arrays, got $other")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (fn == "dotF") ArrayDotUtil.dotF(x, y) else ArrayDotUtil.dotD(x, y)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ArrayDotUtil.$fn($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayDot =
+    copy(left = l, right = r)
+}
+
 /** erf(x) as a native Catalyst expression with codegen — stays inside
   * whole-stage codegen instead of a Scala UDF's boxing boundary. */
 case class Erf(child: Expression) extends UnaryExpression {
@@ -180,6 +228,15 @@ object GraftFunctions {
     GraftColumnBridge.column(NfcNormalize(GraftColumnBridge.expression(c.cast("string"))))
   def text_stats(c: Column, stopwords: Seq[String]): Column =
     GraftColumnBridge.column(TextStats(GraftColumnBridge.expression(c.cast("string")), stopwords))
+  def array_dot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(ArrayDot(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  /** ‖v‖₂ via array_dot(v, v) — same accumulation order as the
+    * transform+aggregate HOF norm it replaces. */
+  def array_norm(c: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    sqrt(array_dot(c, c))
+  }
   def erf(name: String): Column = erf(col(name))
 
   /** random_in_range(from, to) → uniform long in [from, to). Reference
@@ -207,6 +264,8 @@ object GraftFunctions {
       exprs => RollingHash(Cast(exprs.head, StringType)), "built-in")
     reg.createOrReplaceTempFunction("nfc_normalize",
       exprs => NfcNormalize(Cast(exprs.head, StringType)), "built-in")
+    reg.createOrReplaceTempFunction("array_dot",
+      exprs => ArrayDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("random_in_range",
       exprs => {
         // arity 2 = unseeded, arity 3 = explicit seed (mirrors the Scala
