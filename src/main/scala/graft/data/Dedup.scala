@@ -36,6 +36,28 @@ object Dedup {
   private def sharedCapped(docs: DataFrame): DataFrame =
     dfCapped(shingles(docs))
 
+  /** Hashed-gram variant for the hash-defined pipelines (minhash, simhash):
+    * the gram string collapses to its xxhash64 BEFORE the distinct, so
+    * every downstream shuffle — distinct, df-count, the semi-join, the
+    * signature aggregate, both verification-join sides — moves 8-byte
+    * longs instead of ~25-byte strings. Not for n-gram jaccard: its DuckDB
+    * oracle computes jaccard over the STRING grams. An in-doc collision
+    * merges two grams (set size −1), a cross-doc collision adds one shared
+    * gram; in a 2⁶⁴ keyspace both are vanishing, and these consumers are
+    * recall-spec'd, not hash-checked. */
+  private def hashedCapped(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    val grams = docs.filter(col("doc_id").isNotNull && size(w) >= 3)
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), explode(expr("sequence(1, size(w) - 2)")).as("i"), col("w"))
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ", element_at(col("w"), col("i")),
+          element_at(col("w"), col("i") + 1),
+          element_at(col("w"), col("i") + 2))).as("g"))
+      .distinct()
+    dfCapped(grams)
+  }
+
   /** Distinct (doc_id, 3-word-shingle) pairs. Guard size>=3: Spark's
     * sequence(1, n) with n<1 would produce a descending sequence.
     * The explicit doc_id IS NOT NULL matches the null-filter the downstream
@@ -221,9 +243,13 @@ object Dedup {
     pairsFromBuckets(buckets, maxBucket)
   }
 
-  /** 64-bit simhash signature per doc: per-bit majority over shingle hashes. */
+  /** 64-bit simhash signature per doc: per-bit majority over shingle hashes.
+    * Accepts string grams (hashed here) or pre-hashed long grams. */
   private[graft] def simhashSignatures(grams: DataFrame): DataFrame = {
-    val withH = grams.select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val hCol =
+      if (grams.schema("g").dataType == org.apache.spark.sql.types.LongType) col("g")
+      else xxhash64(col("g"))
+    val withH = grams.select(col("doc_id"), hCol.as("h"))
     val bitSums = withH.groupBy(col("doc_id")).agg(
       sum(when(col("h").bitwiseAND(lit(1L << 0)) =!= 0L, 1).otherwise(-1)).as("b0"),
       (1 until 64).map(i =>
@@ -257,14 +283,16 @@ object Dedup {
       // join — the identical subtrees let ReuseExchange compute the
       // shingle+df-cap map work once (see sharedCapped's doc; PlanSpec
       // asserts the ReusedExchange)
-      val grams = sharedCapped(t(s, d, "documents"))
+      val grams = hashedCapped(t(s, d, "documents"))
       val nHash = 32
       // Double hashing (Kirsch-Mitzenmacher style, overflow-free for ANSI
       // mode): h_k = h1 XOR rot(h2, k) gives 32 independent-enough
-      // permutations from TWO xxhash64 evaluations per shingle instead of
+      // permutations from TWO hash evaluations per shingle instead of
       // 32 — the signature pass is the LSH bottleneck at corpus scale.
-      val h1 = xxhash64(col("g"))
-      val h2 = xxhash64(lit(1), col("g"))
+      // grams.g is already a 64-bit gram hash (hashedCapped), so h1 is the
+      // gram itself and h2 one further xxhash64 round.
+      val h1 = col("g")
+      val h2 = xxhash64(col("g"))
       def rot(c: Column, k: Int): Column =
         if (k == 0) c
         else shiftleft(c, k).bitwiseOR(shiftrightunsigned(c, 64 - k))
@@ -297,7 +325,7 @@ object Dedup {
     // candidates from Manku 3-of-6-block buckets (complete for hamming<=3);
     // verified near-dups at hamming<=3.
     "dedup_simhash" -> ((s, d) => {
-      val grams = sharedCapped(t(s, d, "documents"))
+      val grams = hashedCapped(t(s, d, "documents"))
       // sig feeds candidate generation and both hamming-join sides; its
       // subtrees are identical, so the shuffle map sides are reused (see
       // sharedCapped) — only the cheap post-shuffle agg repeats

@@ -51,10 +51,10 @@ class PlanSpec extends SparkSpec {
     // the intersection count must join through the candidate set (keys b,g) —
     // an inner join on [g] alone means the full shared-shingle pair
     // enumeration is back (the thing LSH exists to avoid)
-    val pairJoinOnGAlone = """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[g#\d+\], \[g#\d+\], Inner""".r
+    val pairJoinOnGAlone = """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[g#\d+L?\], \[g#\d+L?\], Inner""".r
     assert(pairJoinOnGAlone.findFirstIn(p).isEmpty,
       "full shared-shingle pair join found in LSH verification path")
-    val candBoundedJoin = """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[b#\d+L?, g#\d+\]""".r
+    val candBoundedJoin = """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[b#\d+L?, g#\d+L?\]""".r
     assert(candBoundedJoin.findFirstIn(p).isDefined,
       s"candidate-bounded (b,g) intersection join missing: $p")
   }
