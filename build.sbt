@@ -31,7 +31,16 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // FIXED heap (-Xms = -Xmx) + pre-touch, same policy as tools/run_main.sh:
+  // this host's memory is lazily backed, so a GROWING heap pays multi-second
+  // first-touch page stalls inside whatever runs while it expands —
+  // StageProbe measured 484 ms of GC inside a 194 ms sf0.1 scan stage under
+  // the old growing 8g default. Pre-touching pays that cost once at JVM
+  // startup, outside any measured query.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
+  "-XX:+UseG1GC",
   // System.gc() (ContextCleaner periodic GC) as a concurrent cycle, not a
   // multi-second STW Full GC — see tools/run_main.sh
   "-XX:+ExplicitGCInvokesConcurrent",

@@ -27,10 +27,21 @@ object Bench {
     val spark = Engine.create(master = s"local[$cpus]", shufflePartitions = cpus.toInt,
       appName = "graft-bench", dataDir = Some(sfDir))
 
+    // Execute the query and consume every output row, timing construction +
+    // planning + execution. This replaces the earlier noop-write sink: a
+    // `df.write` wraps the ANALYZED plan in a fresh write command and re-runs
+    // the whole analyze/optimize/plan pipeline a second time (~40 ms/query
+    // measured, tools.BuildProbe) while adding nothing to the work the query
+    // itself does — toRdd on a fresh Dataset executes the identical physical
+    // plan (AQE included) and the while-loop drains every partition iterator,
+    // so the full result set is still produced, matching the reference
+    // benchmark protocol (run query, discard rows).
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+        .queryExecution.toRdd.foreachPartition { it =>
+          while (it.hasNext) it.next()
+        }
       (System.nanoTime() - t0) / 1e9
     }
 

@@ -27,15 +27,33 @@ object Engine {
     * between. Open cost scales with the split (split/8, clamped to
     * [512 KB, 4 MB]) so small-file packing stays proportional.
     */
-  def scanSplitConf(dataDir: String): (Long, Long) = {
+  /** Largest table's byte size under a scale-factor dir — tables are either
+    * single `<name>.parquet` files (the driver's testdata) or
+    * `<name>.parquet/` directories (Spark-written, tools.ScaleUp). */
+  def largestTableBytes(dataDir: String): Long = {
     val root = new java.io.File(dataDir)
     val tableBytes = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.endsWith(".parquet"))
+      .filter(_.getName.endsWith(".parquet"))
       .map { d =>
-        Option(d.listFiles()).getOrElse(Array.empty)
-          .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+        if (d.isDirectory)
+          Option(d.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+        else d.length
       }
-    val largest = if (tableBytes.isEmpty) 0L else tableBytes.max
+    if (tableBytes.isEmpty) 0L else tableBytes.max
+  }
+
+  /** Below this largest-table size the session runs in the tiny-data
+    * regime: static 8-partition shuffles, no AQE, single-partition sorts.
+    * The whole dataset fits in one executor's memory many times over, so
+    * runtime re-planning and wide shuffles only add scheduling latency —
+    * measured at sf0.1: AQE off + 8 shuffle partitions cut the
+    * comparable-14 total ~25% (PERF_r10 §3). 64 MB keeps sf1
+    * (~110 MB lineitem) and everything larger on the scale path. */
+  val TinyBytes: Long = 64L * 1024 * 1024
+
+  def scanSplitConf(dataDir: String): (Long, Long) = {
+    val largest = largestTableBytes(dataDir)
     val cores = Runtime.getRuntime.availableProcessors.toLong
     val split = math.max(4L * 1024 * 1024,
       math.min(128L * 1024 * 1024, largest / (cores * 3)))
@@ -47,9 +65,21 @@ object Engine {
       master: String = s"local[${Runtime.getRuntime.availableProcessors}]",
       shufflePartitions: Int = Runtime.getRuntime.availableProcessors,
       appName: String = "graft",
-      dataDir: Option[String] = None): SparkSession = {
+      dataDir: Option[String] = None,
+      extraConf: Map[String, String] = Map.empty): SparkSession = {
     val (splitBytes, openCost) = dataDir.map(scanSplitConf)
       .getOrElse((4L * 1024 * 1024, 512L * 1024))
+    // tiny-data regime (see TinyBytes): the dataset is so small that AQE's
+    // stage-by-stage re-planning and 32-wide shuffles are pure scheduling
+    // overhead. Static narrow shuffles + no AQE + single-partition sorts
+    // (plans.TinySinglePartitionSort) recover the latency; above the
+    // threshold every knob keeps its scale setting.
+    val tiny = dataDir.exists(d => largestTableBytes(d) > 0 &&
+      largestTableBytes(d) <= TinyBytes)
+    val shufParts = if (tiny) math.min(8, shufflePartitions) else shufflePartitions
+    // one split per file in tiny regime (single-row-group files, see below)
+    val (effSplit, effOpen) =
+      if (tiny) (128L * 1024 * 1024, 4L * 1024 * 1024) else (splitBytes, openCost)
     val base = SparkSession.builder()
       .master(master)
       .appName(appName)
@@ -60,11 +90,32 @@ object Engine {
         // sample-driven join reorder (reference QueryGraph.cpp:264-294);
         // opt-in via spark.graft.sampleReorder.enabled — see its scaladoc
         e.injectOptimizerRule(s => plans.SampleJoinReorder(s))
+        // tiny-regime single-partition sorts (no-op unless
+        // spark.graft.tinySort=true, set below from the data dir size)
+        e.injectOptimizerRule(_ => plans.TinySinglePartitionSort)
       }
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.shuffle.partitions", shufParts.toString)
+      .config("spark.graft.tinySort", tiny.toString)
+      // Tiny regime scan/broadcast shape (measured, tools.StageProbe sf0.1):
+      // - The driver's testdata files are single-row-group parquet, so a
+      //   scan can't parallelize below one file: the default
+      //   minPartitionNum(=cores) split produced 21 tasks of which 20 read
+      //   NOTHING (the one holding the row-group offset reads it all) —
+      //   one split per file removes the empty-task wave.
+      // - A fact side whose post-filter estimate sneaks under the default
+      //   10 MB threshold gets BROADCAST: the driver then single-threadedly
+      //   builds a 300k-row hash relation (~180 ms dead gap in tpch_q3,
+      //   still there at 4 MB — the filtered-fact estimate is ~2.7 MB).
+      //   1 MB keeps real dimension broadcasts (the engine's own plans hint
+      //   them explicitly, and hints ignore the threshold) and pushes
+      //   fact-side joins back to 8-partition shuffles (~40 ms here).
+      .config("spark.sql.files.minPartitionNum",
+        if (tiny) "1" else Runtime.getRuntime.availableProcessors.toString)
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        if (tiny) (1L * 1024 * 1024).toString else (10L * 1024 * 1024).toString)
       // Scan-split sizing — derived from the file layout, see scanSplitConf
-      .config("spark.sql.files.maxPartitionBytes", splitBytes.toString)
-      .config("spark.sql.files.openCostInBytes", openCost.toString)
+      .config("spark.sql.files.maxPartitionBytes", effSplit.toString)
+      .config("spark.sql.files.openCostInBytes", effOpen.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Bucketed scans report their on-disk sort order so co-located
@@ -80,16 +131,18 @@ object Engine {
       // ContextCleaner's periodic GC defaults to 30 min; 2 min bounds the
       // retained-shuffle window at a negligible GC cost.
       .config("spark.cleaner.periodicGC.interval", "2min")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", (!tiny).toString)
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.ui.enabled", "false")
-    // ad-hoc tuning overrides for bench A/B runs: "k=v;k=v"
+    // caller-provided overrides, then ad-hoc env overrides ("k=v;k=v") —
+    // env wins so a bench A/B can still override a caller default
+    val withCaller = extraConf.foldLeft(base) { case (b, (k, v)) => b.config(k, v) }
     val withExtra = sys.env.get("GRAFT_SPARK_EXTRA").iterator
       .flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty)
-      .foldLeft(base) { (b, kv) =>
+      .foldLeft(withCaller) { (b, kv) =>
         kv.split("=", 2) match {
           case Array(k, v) => b.config(k, v)
           case _ => throw new IllegalArgumentException(

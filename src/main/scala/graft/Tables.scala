@@ -29,6 +29,42 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session-scoped catalog cache: (dir, table) → loaded DataFrame.
+    *
+    * `spark.read.parquet` pays a directory listing plus a schema-inference
+    * Spark job (a footer read) on EVERY call — measured ~68 ms per table at
+    * sf0.1, so a 6-table query spent ~0.4 s re-deriving schemas it already
+    * knew (tools.StageProbe, PERF_r10 §2). A real engine resolves tables
+    * against a persistent catalog (the reference keeps Arrow-table metadata
+    * in src/catalog/Catalog.cpp; DuckDB likewise never re-reads footers per
+    * query), so caching the resolved LogicalRelation is the Spark-native
+    * catalog analog, not a benchmark trick. The logical plan is immutable
+    * and the file listing is a snapshot — correct for the engine's
+    * read-only table contract; call [[invalidate]] after rewriting a dir
+    * in-place (no in-repo caller does).
+    *
+    * Keyed weakly per SparkSession so a stopped session's plans are
+    * collectable and tests with multiple sessions don't cross-wire. */
+  private val catalogCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+
+  private def sessionCache(spark: SparkSession) = catalogCache.synchronized {
+    var m = catalogCache.get(spark)
+    if (m == null) {
+      m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+      catalogCache.put(spark, m)
+    }
+    m
+  }
+
+  /** Drop cached plans for `dir` (all sessions); use after an in-place rewrite. */
+  def invalidate(dir: String): Unit = catalogCache.synchronized {
+    catalogCache.values.forEach { m =>
+      m.keySet.removeIf(k => k._1 == dir)
+    }
+  }
+
   /** Bucketed-layout marker written by tools.ScaleUp:
     * `_bucketed/<name>/_bucketspec` holds "<bucketKey> <numBuckets>". */
   private def bucketSpec(dir: String, name: String): Option[(String, Int)] = {
@@ -44,9 +80,11 @@ object Tables {
   }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    normalizeTs(bucketSpec(dir, name) match {
-      case Some((key, n)) => bucketed(spark, dir, name, key, n)
-      case None => spark.read.parquet(s"$dir/$name.parquet")
+    sessionCache(spark).computeIfAbsent((dir, name), { _ =>
+      normalizeTs(bucketSpec(dir, name) match {
+        case Some((key, n)) => bucketed(spark, dir, name, key, n)
+        case None => spark.read.parquet(s"$dir/$name.parquet")
+      })
     })
 
   /** The driver's `events.ts` has shipped as TIMESTAMP(NANOS) (read as raw

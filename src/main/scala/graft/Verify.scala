@@ -11,17 +11,12 @@ object Verify {
       if (args.length > 2) { val ps = args(2).split(","); n => ps.exists(n.startsWith) }
       else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // TIMESTAMP(NANOS) testdata revisions read as raw ns-since-epoch longs
-      // instead of failing; MICROS revisions are normalized by
-      // Tables.normalizeTs (exact, matches DuckDB's epoch_ns) either way.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // Engine.create, not a vanilla session: the correctness gate must run
+    // the plans the engine actually ships — extensions (Decorrelate,
+    // TinySinglePartitionSort) and the data-dir-derived regime included.
+    val spark = Engine.create(master = s"local[$cpus]",
+      shufflePartitions = cpus.toInt, appName = "graft-verify",
+      dataDir = Some(sfDir))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(q => only(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

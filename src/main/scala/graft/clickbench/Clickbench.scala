@@ -113,7 +113,9 @@ object Clickbench {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
-  private def dataDir: String = s"${sys.props("java.io.tmpdir")}/graft_cb_data"
+  private def dataDir: String =
+    s"${sys.props("java.io.tmpdir")}/graft_cb_data" +
+      (if (ClickbenchGen.Scale > 1) s"_x${ClickbenchGen.Scale}" else "")
 
   def ensure(spark: SparkSession): Unit =
     if (!registered.containsKey(spark)) Clickbench.synchronized {

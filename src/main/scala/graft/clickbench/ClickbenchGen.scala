@@ -19,7 +19,18 @@ import graft.tpcds.TpcdsGen.{Dia, SparkDia, DuckDia}
   * ranges with minute-level grouping and both must see the same day. */
 object ClickbenchGen {
 
-  val NHits = 1000000L
+  /** Bench-only scale multiplier (GRAFT_CB_SCALE, default 1; the
+    * correctness gate always runs at 1). ClickBench is one fact table, so
+    * scaling is just more hits rows; fractional plantings (magic URLHash
+    * ~1/13, CounterID 62 on ~1/3) scale with it, and the same interpolated
+    * size reaches the DuckDB oracle. */
+  val Scale: Long = {
+    val s = sys.env.getOrElse("GRAFT_CB_SCALE", "1").toLong
+    require(s >= 1, s"GRAFT_CB_SCALE=$s")
+    s
+  }
+
+  val NHits = 1000000L * Scale
 
   private val domains = Seq("google.com", "mail.google.com", "example.com",
     "news.site.ru", "shop.example.org", "video.portal.net", "blog.example.com",

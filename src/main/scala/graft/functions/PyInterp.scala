@@ -42,10 +42,22 @@ import scala.collection.mutable.{ArrayBuffer, HashMap, LinkedHashMap}
   *     atan2 fabs hypot fmod trunc isnan isinf degrees radians gcd
   *     copysign + pi/e/inf/nan/tau), date `.year/.month/.day`.
   *
+  * Also supported: `lambda` expressions (read-only capture of the defining
+  * frame), `sorted/min/max(..., key=f[, reverse=b])` keyword arguments,
+  * `try/except [Exc[, Exc…]] [as e]/else/finally` with `raise Name('msg')`
+  * — except-matching is by exception NAME against the interpreter's typed
+  * errors (ValueError/KeyError/IndexError/TypeError/ZeroDivisionError);
+  * errors the interpreter can't classify match only bare `except` /
+  * `except Exception`. Module globals are evaluated once per top-level
+  * call and shared with helper frames (mutable globals behave like CPython
+  * within one call; state does NOT persist across rows — each row is an
+  * independent module execution, the only order-independent semantics on
+  * a partitioned engine).
+  *
   * Out of scope (rejected with a clear parse error, documented in
-  * COVERAGE.md known-gaps): classes, try/except, imports beyond `math`,
-  * closures over mutable state, keyword arguments, `*args`, generators
-  * with `yield`. The exact accepted grammar is documented in
+  * COVERAGE.md known-gaps): classes, imports beyond `math`, writes to
+  * closure variables, keyword arguments outside sorted/min/max, `*args`,
+  * generators with `yield`. The exact accepted grammar is documented in
   * [[graft.sqlsurface.UdfSurface]].
   *
   * Deliberately interpreted, not codegen'd: an external-language UDF is
@@ -84,6 +96,10 @@ object PyInterp {
   private final case class PComp(elem: PExpr, clauses: Seq[CompClause]) extends PExpr
   /** f-string: Left(literal) | Right((expr, formatSpec)) */
   private final case class PFStr(parts: Seq[Either[String, (PExpr, String)]]) extends PExpr
+  private final case class PLambda(params: Seq[String], body: PExpr) extends PExpr
+  /** Call-site keyword argument (`sorted(xs, key=f)`); only ever a direct
+    * child of PCall args. */
+  private final case class PKw(name: String, value: PExpr) extends PExpr
 
   sealed trait PStmt
   private final case class PReturn(e: PExpr) extends PStmt
@@ -98,6 +114,12 @@ object PyInterp {
   private case object PContinue extends PStmt
   private final case class PIf(cond: PExpr, thn: Seq[PStmt], els: Seq[PStmt]) extends PStmt
   private final case class PExprStmt(e: PExpr) extends PStmt
+  /** One `except [Names] [as n]:` handler; empty `kinds` = bare except. */
+  private final case class PHandler(kinds: Seq[String], bind: Option[String],
+    body: Seq[PStmt])
+  private final case class PTry(body: Seq[PStmt], handlers: Seq[PHandler],
+    orelse: Seq[PStmt], fin: Seq[PStmt]) extends PStmt
+  private final case class PRaise(kind: String, msg: Option[PExpr]) extends PStmt
 
   final case class PyFunc(name: String, params: Seq[String], body: Seq[PStmt],
       defaults: Map[String, PExpr] = Map.empty,
@@ -151,6 +173,15 @@ object PyInterp {
       require(tok == expected, s"py parse: expected '$expected', got '$tok' in: $src")
       advance()
     }
+    /** True iff the token AFTER the current one is `expected` (no consume).
+      * Lexer state is just (cursor, tok), so save/advance/restore. */
+    def peekIs(expected: String): Boolean = {
+      val (si, st) = (i, tok)
+      advance()
+      val r = tok == expected
+      i = si; tok = st
+      r
+    }
   }
 
   private def unescape(raw: String): String = {
@@ -179,6 +210,16 @@ object PyInterp {
   // +,-, *,/,//,%, unary -, **, postfix (call/attr/index), atom.
 
   private def parseExpr(lx: Lexer): PExpr = {
+    if (lx.tok == "lambda") {
+      lx.advance()
+      val params = ArrayBuffer.empty[String]
+      while (lx.tok != ":") {
+        params += lx.tok; lx.advance()
+        if (lx.tok == ",") lx.advance()
+      }
+      lx.eat(":")
+      return PLambda(params.toSeq, parseExpr(lx))
+    }
     val e = parseOr(lx)
     if (lx.tok == "if") {
       lx.advance()
@@ -268,13 +309,22 @@ object PyInterp {
       case "(" =>
         lx.advance()
         val args = ArrayBuffer.empty[PExpr]
+        // `name=expr` at argument position is a keyword argument (a lone
+        // `=` never appears inside an expression, and `==` lexes as one
+        // token, so the peek is unambiguous)
+        def parseArg(): PExpr =
+          if (lx.tok != null && lx.tok.headOption.exists(c => c.isLetter || c == '_')
+              && lx.peekIs("=")) {
+            val n = lx.tok; lx.advance(); lx.eat("=")
+            PKw(n, parseExpr(lx))
+          } else parseExpr(lx)
         if (lx.tok != ")") {
-          val a0 = parseExpr(lx)
+          val a0 = parseArg()
           // bare generator expression: sum(x*x for x in xs)
           if (lx.tok == "for") args += parseCompClauses(lx, a0)
           else {
             args += a0
-            while (lx.tok == ",") { lx.advance(); args += parseExpr(lx) }
+            while (lx.tok == ",") { lx.advance(); args += parseArg() }
           }
         }
         lx.eat(")")
@@ -528,6 +578,18 @@ object PyInterp {
           val (stmt, np) = parseIfChain(lines, p, indent)
           out += stmt
           p = np
+        } else if (t == "try:") {
+          val (stmt, np) = parseTryChain(lines, p, indent)
+          out += stmt
+          p = np
+        } else if (t == "raise" || t.startsWith("raise ")) {
+          val rest = t.stripPrefix("raise").trim
+          val m = "^(\\w+)\\s*(?:\\((.*)\\))?$".r.findFirstMatchIn(rest)
+            .getOrElse(throw new IllegalArgumentException(
+              s"py parse: unsupported raise form: $t (use raise Name('msg'))"))
+          out += PRaise(m.group(1),
+            Option(m.group(2)).filter(_.nonEmpty).map(exprOf))
+          p += 1
         } else if (t.startsWith("def ")) {
           throw new IllegalArgumentException(
             "py parse: nested def (closures) is outside the supported subset")
@@ -553,6 +615,41 @@ object PyInterp {
       }
     }
     (out.toSeq, p)
+  }
+
+  /** try / except* / else? / finally? at one indent level. */
+  private def parseTryChain(lines: Seq[String], pos: Int, indent: Int): (PTry, Int) = {
+    val (body, np) = parseBlock(lines, pos + 1, nextIndent(lines, pos + 1, indent))
+    var p2 = np
+    val handlers = ArrayBuffer.empty[PHandler]
+    val excRe = "^except\\s*(?:\\(?\\s*(\\w+(?:\\s*,\\s*\\w+)*)\\s*\\)?)?(?:\\s+as\\s+(\\w+))?\\s*:$".r
+    var done = false
+    while (!done && p2 < lines.length && indentOf(lines(p2)) == indent &&
+        lines(p2).trim.startsWith("except")) {
+      val m = excRe.findFirstMatchIn(lines(p2).trim)
+        .getOrElse(throw new IllegalArgumentException(
+          s"py parse: unsupported except form: ${lines(p2).trim}"))
+      val kinds = Option(m.group(1)).toSeq
+        .flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty)
+      val (hb, np2) = parseBlock(lines, p2 + 1, nextIndent(lines, p2 + 1, indent))
+      handlers += PHandler(kinds, Option(m.group(2)), hb)
+      p2 = np2
+      done = false
+    }
+    require(handlers.nonEmpty, "py parse: try without except")
+    var orelse: Seq[PStmt] = Nil
+    if (p2 < lines.length && indentOf(lines(p2)) == indent &&
+        lines(p2).trim == "else:") {
+      val (e, np2) = parseBlock(lines, p2 + 1, nextIndent(lines, p2 + 1, indent))
+      orelse = e; p2 = np2
+    }
+    var fin: Seq[PStmt] = Nil
+    if (p2 < lines.length && indentOf(lines(p2)) == indent &&
+        lines(p2).trim == "finally:") {
+      val (f, np2) = parseBlock(lines, p2 + 1, nextIndent(lines, p2 + 1, indent))
+      fin = f; p2 = np2
+    }
+    (PTry(body, handlers.toSeq, orelse, fin), p2)
   }
 
   /** if / elif* / else? at one indent level → nested PIf. */
@@ -587,10 +684,17 @@ object PyInterp {
 
   private def splitArgs(s: String): Seq[String] = {
     val out = ArrayBuffer.empty[String]
-    var depth = 0; var start = 0; var q = '\u0000'
+    var depth = 0; var start = 0; var q = '\u0000'; var esc = false
     for (i <- s.indices) {
       val c = s.charAt(i)
-      if (q != '\u0000') { if (c == q) q = '\u0000' }
+      // inside a quoted region, skip the char after a backslash so an
+      // escaped quote (\' or \") doesn't close the string early -- mirrors
+      // the escape handling in joinLines/stripComment
+      if (q != '\u0000') {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == q) q = '\u0000'
+      }
       else c match {
         case '\'' | '"' => q = c
         case '(' | '[' | '{' => depth += 1
@@ -684,6 +788,14 @@ object PyInterp {
   /** Function table threaded through evaluation (helpers + recursion). */
   private final class Ctx(val defs: Map[String, PyFunc], val consts: Seq[PStmt]) {
     var depth = 0
+    /** Module-level bindings, evaluated ONCE per top-level call (see
+      * [[call]]); frames seed from it so a mutable module global (a list a
+      * helper appends to) is the SAME object in every frame, as in CPython
+      * module globals. Re-running the const statements per frame — the old
+      * behavior — gave each helper call a fresh copy (a mutated global
+      * silently diverged from CPython) and a const initializer that called
+      * a def recursed callIn→consts→callIn until the depth guard fired. */
+    var constEnv: HashMap[String, Any] = HashMap.empty
   }
 
   // Interpreter frames are JVM-stack-heavy (~15 JVM frames per Python
@@ -693,6 +805,11 @@ object PyInterp {
 
   def call(fn: PyFunc, args: Seq[Any]): Any = {
     val ctx = new Ctx(fn.defs + (fn.name -> fn), fn.consts)
+    // module constants run once, in order, against the shared module env —
+    // an initializer calling a def sees the consts bound so far (CPython's
+    // in-order module execution), and helper frames below share the
+    // resulting objects rather than re-evaluating per call
+    if (ctx.consts.nonEmpty) exec(ctx.consts, ctx.constEnv, ctx)
     callIn(fn, args, ctx)
   }
 
@@ -701,8 +818,11 @@ object PyInterp {
     require(ctx.depth <= MaxDepth,
       s"py: maximum recursion depth exceeded in ${fn.name}")
     try {
+      // seed from the module env: a binding copy, so assignment inside the
+      // frame stays local (CPython: assignment without `global` is local)
+      // while mutable objects (lists, dicts) stay shared across frames
       val env = HashMap.empty[String, Any]
-      if (ctx.consts.nonEmpty) exec(ctx.consts, env, ctx)
+      env ++= ctx.constEnv
       require(args.size <= fn.params.size,
         s"py: ${fn.name}() takes ${fn.params.size} arguments, got ${args.size}")
       fn.params.zip(args).foreach { case (p, v) => env(p) = v }
@@ -752,7 +872,7 @@ object PyInterp {
               case None => m(k) = v
               case Some(op) =>
                 m(k) = binop(op, m.getOrElse(k,
-                  throw new IllegalArgumentException(s"py: KeyError: $k")), v)
+                  throw new PyError("KeyError", pyRepr(k))), v)
             }
           case other => throw new IllegalArgumentException(s"py: cannot assign into $other")
         }
@@ -774,6 +894,37 @@ object PyInterp {
         } catch { case BreakException => () }
       case PBreak => throw BreakException
       case PContinue => throw ContinueException
+      case PRaise(kind, msg) =>
+        throw new PyError(kind, msg.map(m => pyStr(eval(m, env, ctx))).getOrElse(""))
+      case PTry(body, handlers, orelse, fin) =>
+        try {
+          val caught =
+            try { exec(body, env, ctx); None }
+            catch {
+              // control flow (return/break/continue) is not an exception
+              case e: PyError => Some((e.kind, e.pyMsg))
+              // integer //, % by zero surface as JVM ArithmeticException
+              case e: ArithmeticException =>
+                Some(("ZeroDivisionError", String.valueOf(e.getMessage)))
+              // interpreter-raised errors without a specific kind (type
+              // mismatches, unsupported ops) match bare/Exception handlers
+              case e: IllegalArgumentException =>
+                Some(("Exception", String.valueOf(e.getMessage)))
+            }
+          caught match {
+            case None => exec(orelse, env, ctx)
+            case Some((kind, message)) =>
+              val h = handlers.find(h => h.kinds.isEmpty ||
+                h.kinds.contains("Exception") || h.kinds.contains(kind))
+                .getOrElse(throw new PyError(kind, message)) // no match: propagate
+              // CPython binds the exception OBJECT; the supported surface is
+              // str(e)/f"{e}", so the message string stands in for it
+              h.bind.foreach(n => env(n) = message)
+              exec(h.body, env, ctx)
+          }
+        } finally {
+          if (fin.nonEmpty) exec(fin, env, ctx)
+        }
       case PIf(c, t, e) =>
         if (truthy(eval(c, env, ctx))) exec(t, env, ctx) else exec(e, env, ctx)
       case PExprStmt(e) => eval(e, env, ctx)
@@ -897,7 +1048,10 @@ object PyInterp {
       a.size == b.size && a.forall { case (k, v) =>
         b.asInstanceOf[LinkedHashMap[Any, Any]].get(k).exists(pyEq(v, _)) }
     case (a: Boolean, b: Boolean) => a == b
-    case (_: Boolean, _) | (_, _: Boolean) |
+    // Booleans are numbers in Python (True == 1), but only against numeric
+    // counterparts — `True == 'x'` is False, not an error, so a Boolean
+    // paired with a non-number must fall through to the catch-all below.
+    case (_: Boolean, _: Long | _: Double) | (_: Long | _: Double, _: Boolean) |
          (_: Long, _: Long) | (_: Long, _: Double) |
          (_: Double, _: Long) | (_: Double, _: Double) =>
       num2(l, r) match {
@@ -930,7 +1084,9 @@ object PyInterp {
     case PName("math") if !env.contains("math") => MathModule
     case PName(n) =>
       env.getOrElse(n, ctx.defs.getOrElse(n,
-        throw new IllegalArgumentException(s"py: undefined name '$n'")))
+        if (Builtins(n)) BuiltinRef(n)
+        else throw new IllegalArgumentException(s"py: undefined name '$n'")))
+    case PLambda(params, body) => PyLambda(params, body, env)
     case PUnary("-", x) => eval(x, env, ctx) match {
       case l: Long => -l
       case d: Double => -d
@@ -1009,21 +1165,24 @@ object PyInterp {
         case d: LinkedHashMap[_, _] =>
           val k = eval(ix, env, ctx)
           d.asInstanceOf[LinkedHashMap[Any, Any]].getOrElse(k,
-            throw new IllegalArgumentException(s"py: KeyError: $k"))
+            throw new PyError("KeyError", pyRepr(k)))
         case s: String =>
           val i = asLong(eval(ix, env, ctx)).toInt
           val j = if (i < 0) s.length + i else i
-          require(j >= 0 && j < s.length, s"py: string index $i out of range")
+          if (j < 0 || j >= s.length)
+            throw new PyError("IndexError", "string index out of range")
           s.charAt(j).toString
         case seq: scala.collection.Seq[_] =>
           val i = asLong(eval(ix, env, ctx)).toInt
           val j = if (i < 0) seq.size + i else i
-          require(j >= 0 && j < seq.size, s"py: list index $i out of range")
+          if (j < 0 || j >= seq.size)
+            throw new PyError("IndexError", "list index out of range")
           seq(j)
         case r: RangeVal =>
           val i = asLong(eval(ix, env, ctx))
           val j = if (i < 0) r.size + i else i
-          require(j >= 0 && j < r.size, s"py: range index $i out of range")
+          if (j < 0 || j >= r.size)
+            throw new PyError("IndexError", "range index out of range")
           r.start + j * r.step
         case other => throw new IllegalArgumentException(s"py: cannot index $other")
       }
@@ -1051,14 +1210,68 @@ object PyInterp {
         case t: Vector[_] => idxs(t.size).map(t).toVector
         case other => throw new IllegalArgumentException(s"py: cannot slice $other")
       }
-    case PCall(PName(bi), args) if Builtins(bi) && !ctx.defs.contains(bi) =>
+    // sorted/min/max with keyword arguments (key=, reverse=): evaluated
+    // here, not in `builtin`, because applying the key needs ctx/env
+    case PCall(PName(bn @ ("sorted" | "min" | "max")), args)
+        if args.exists(_.isInstanceOf[PKw]) && !ctx.defs.contains(bn)
+           && !env.contains(bn) =>
+      val (kwArgs, posArgs) = args.partition(_.isInstanceOf[PKw])
+      val kw = kwArgs.collect { case PKw(n, v) => n -> eval(v, env, ctx) }.toMap
+      val badKw = kw.keySet -- (if (bn == "sorted") Set("key", "reverse") else Set("key"))
+      require(badKw.isEmpty, s"py: $bn() got unexpected keyword ${badKw.mkString(",")}")
+      val keyF = kw.get("key")
+      val rev = kw.get("reverse").exists(truthy)
+      // min(a, b, key=f): multiple positionals ARE the items
+      val items: Seq[Any] = posArgs.map(eval(_, env, ctx)) match {
+        case Seq(one) => iterSeq(one)
+        case many => many
+      }
+      def keyed(v: Any): Any = keyF.map(f => applyCallable(f, Seq(v), ctx)).getOrElse(v)
+      bn match {
+        case "sorted" =>
+          val pairs = items.map(v => (keyed(v), v))
+          // stable TimSort; equal keys keep source order in both directions
+          val s = pairs.sortWith { (a, b) =>
+            if (rev) pyCompare(a._1, b._1) > 0 else pyCompare(a._1, b._1) < 0 }
+          ArrayBuffer[Any](s.map(_._2): _*)
+        case "min" | "max" =>
+          require(items.nonEmpty, s"py: $bn() arg is an empty sequence")
+          val sign = if (bn == "min") -1 else 1
+          // first-wins on ties, like CPython
+          items.map(v => (keyed(v), v)).reduceLeft { (a, b) =>
+            if (pyCompare(b._1, a._1) * sign > 0) b else a }._2
+      }
+    // name resolution order matches PName: a local binding shadows both
+    // helper defs and builtins — a body that rebinds a builtin name
+    // (`sum = 0` then `sum(xs)`) must hit the binding (and fail like
+    // CPython's TypeError), not silently call the builtin
+    case PCall(PName(bi), args) if Builtins(bi) && !ctx.defs.contains(bi)
+        && !env.contains(bi) && !args.exists(_.isInstanceOf[PKw]) =>
       builtin(bi, args.map(eval(_, env, ctx)))
-    case PCall(f, args) => eval(f, env, ctx) match {
-      case BoundMethod(recv, name) => callMethod(recv, name, args.map(eval(_, env, ctx)))
-      case fn: PyFunc => callIn(fn, args.map(eval(_, env, ctx)), ctx)
-      case other => throw new IllegalArgumentException(s"py: not callable: $other")
-    }
+    case PCall(f, args) =>
+      require(!args.exists(_.isInstanceOf[PKw]),
+        "py: keyword arguments are only supported on sorted/min/max (key=, reverse=)")
+      applyCallable(eval(f, env, ctx), args.map(eval(_, env, ctx)), ctx)
   }
+
+  /** Apply a callable VALUE — helper def, lambda, builtin reference, or
+    * bound method — to already-evaluated arguments. */
+  private def applyCallable(f: Any, args: Seq[Any], ctx: Ctx): Any = f match {
+    case BoundMethod(recv, name) => callMethod(recv, name, args)
+    case fn: PyFunc => callIn(fn, args, ctx)
+    case PyLambda(params, body, captured) =>
+      require(args.size == params.size,
+        s"py: lambda takes ${params.size} arguments, got ${args.size}")
+      val lenv = HashMap.empty[String, Any]
+      lenv ++= captured
+      params.zip(args).foreach { case (p, v) => lenv(p) = v }
+      eval(body, lenv, ctx)
+    case BuiltinRef(n) => builtin(n, args)
+    case other => throw new PyError("TypeError", s"py: not callable: $other")
+  }
+
+  /** View a runtime value as a sequence of items (for sorted/min/max). */
+  private def iterSeq(v: Any): Seq[Any] = iterate(v).toSeq
 
   /** Materialize a comprehension / generator expression into a list. */
   private def compIter(elem: PExpr, clauses: Seq[CompClause],
@@ -1109,7 +1322,10 @@ object PyInterp {
     case ("int", Seq(a)) => a match {
       case l: Long => l
       case d: Double => d.toLong
-      case s: String => s.trim.toLong
+      case s: String => try s.trim.toLong catch {
+        case _: NumberFormatException =>
+          throw new PyError("ValueError", s"invalid literal for int(): '$s'")
+      }
       case b: Boolean => asLong(b)
       case other => throw new IllegalArgumentException(s"py: int($other)")
     }
@@ -1263,6 +1479,22 @@ object PyInterp {
 
   private final case class BoundMethod(recv: Any, name: String)
 
+  /** A `lambda` value: params + body expression + the DEFINING frame's env
+    * (shared by reference, so reads see the enclosing frame's current
+    * bindings — CPython closure cells for the read-only case; writes are
+    * out of scope, as for defs). */
+  private final case class PyLambda(params: Seq[String], body: PExpr,
+    captured: HashMap[String, Any])
+
+  /** A builtin referenced as a value (`key=len`). */
+  private final case class BuiltinRef(name: String)
+
+  /** A Python-visible runtime error: `kind` is the exception class name
+    * (`ValueError`, `KeyError`, …) that `except <kind>` matches on;
+    * `pyMsg` is what `str(e)` yields in CPython (no class prefix). */
+  final class PyError(val kind: String, val pyMsg: String)
+    extends RuntimeException(s"$kind: $pyMsg")
+
   private def callMethod(recv: Any, name: String, args: Seq[Any]): Any = (recv, name) match {
     case (s: String, "upper") => s.toUpperCase
     case (s: String, "lower") => s.toLowerCase
@@ -1381,7 +1613,7 @@ object PyInterp {
           d.remove(args.head) match {
             case Some(v) => v
             case None if args.size > 1 => args(1)
-            case None => throw new IllegalArgumentException(s"py: KeyError: ${args.head}")
+            case None => throw new PyError("KeyError", pyRepr(args.head))
           }
         case "setdefault" =>
           d.getOrElseUpdate(args.head, if (args.size > 1) args(1) else null)

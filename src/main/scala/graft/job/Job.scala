@@ -78,7 +78,8 @@ object Job {
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   private def dataDir: String =
-    s"${sys.props("java.io.tmpdir")}/graft_job_data"
+    s"${sys.props("java.io.tmpdir")}/graft_job_data" +
+      (if (JobGen.Scale > 1) s"_x${JobGen.Scale}" else "")
 
   /** Materialize the closed-form tables to parquet once per machine, then
     * register parquet-backed views (same scheme as Tpcds.ensure). */

@@ -29,6 +29,19 @@ object JobGen {
 
   // ------------------------------------------------------------------- sizes
 
+  /** Bench-only scale multiplier for the movie-linked tables
+    * (GRAFT_JOB_SCALE, default 1; correctness gate always runs at 1).
+    * Scaling grows `title` and its satellites — the IMDB shape at larger
+    * snapshots: more movies against near-constant entity dimensions
+    * (people/companies/keywords), i.e. more movies per company/person.
+    * The same interpolated sizes reach both dialects, so the DuckDB
+    * oracle builds the identical scaled tables. */
+  val Scale: Long = {
+    val s = sys.env.getOrElse("GRAFT_JOB_SCALE", "1").toLong
+    require(s >= 1, s"GRAFT_JOB_SCALE=$s")
+    s
+  }
+
   val NKind = 7L
   val NCompType = 4L
   val NRole = 12L
@@ -40,16 +53,16 @@ object JobGen {
   val NCharName = 30000L
   val NName = 60000L
   val NAkaName = 30000L
-  val NTitle = 50000L
-  val NAkaTitle = 8000L
-  val NCastInfo = 200000L
-  val NMc = 80000L
-  val NMi = 150000L
-  val NMiIdx = 60000L
-  val NMk = 100000L
-  val NMl = 30000L
+  val NTitle = 50000L * Scale
+  val NAkaTitle = 8000L * Scale
+  val NCastInfo = 200000L * Scale
+  val NMc = 80000L * Scale
+  val NMi = 150000L * Scale
+  val NMiIdx = 60000L * Scale
+  val NMk = 100000L * Scale
+  val NMl = 30000L * Scale
   val NPi = 40000L
-  val NCc = 25000L
+  val NCc = 25000L * Scale
 
   // ---------------------------------------------------------------- domains
   // Seeded from the predicate literals of resources/sql/job/*.sql.

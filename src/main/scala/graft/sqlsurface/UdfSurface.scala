@@ -52,10 +52,14 @@ import scala.util.Try
   *    keys values items pop setdefault update copy), `math.*`; date
   *    attributes .year/.month/.day.
   *
+  * Also in scope (round 8): `lambda` expressions (read-only capture),
+  * `sorted/min/max(key=f[, reverse=b])`, `try/except [Exc [as e]]/else/
+  * finally`, `raise Name('msg')` — see [[graft.functions.PyInterp]].
+  *
   * Out of scope — rejected with a clear parse error at CREATE FUNCTION
-  * time: classes, try/except, lambdas/closures (nested def), imports other
-  * than math, keyword arguments, *args, yield. (Documented known-gap in
-  * COVERAGE.md: full CPython.)
+  * time: classes, nested def, imports other than math, keyword arguments
+  * outside sorted/min/max, *args, yield, writes to captured variables.
+  * (Documented known-gap in COVERAGE.md: full CPython.)
   */
 object UdfSurface {
   private val createFnRe =

@@ -50,7 +50,10 @@ object FloorProbe {
       qe.executedPlan // physical planning (AQE wrapper creation)
       val t2 = System.nanoTime()
       tasks.set(0); stages.set(0); runMs.set(0)
-      qe.toRdd.foreachPartition(_ => ()) // execution incl. codegen + scheduling
+      // execution incl. codegen + scheduling; the while-loop drains each
+      // iterator — a no-op lambda would skip the FINAL stage's actual work
+      // (shuffle-map stages force compute, the result stage is lazy)
+      qe.toRdd.foreachPartition(it => while (it.hasNext) it.next())
       val t3 = System.nanoTime()
       Thread.sleep(300) // listener bus drain (async events)
       ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9,

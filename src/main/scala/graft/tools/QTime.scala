@@ -17,9 +17,13 @@ object QTime {
       Runtime.getRuntime.availableProcessors.toString).toInt
     val spark = graft.Engine.create(master = s"local[$cpus]",
       shufflePartitions = cpus, appName = "graft-qtime", dataDir = Some(sfDir))
+    // Same execution path as Bench: fresh Dataset per run, direct plan
+    // execution, every partition iterator drained (see Bench.once).
     def time(mk: => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      mk.write.format("noop").mode("overwrite").save()
+      mk.queryExecution.toRdd.foreachPartition { it =>
+        while (it.hasNext) it.next()
+      }
       (System.nanoTime() - t0) / 1e9
     }
     def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)

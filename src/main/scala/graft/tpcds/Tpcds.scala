@@ -144,7 +144,8 @@ object Tpcds {
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   private def dataDir: String =
-    s"${sys.props("java.io.tmpdir")}/graft_tpcds_data"
+    s"${sys.props("java.io.tmpdir")}/graft_tpcds_data" +
+      (if (TpcdsGen.Scale > 1) s"_x${TpcdsGen.Scale}" else "")
 
   /** Materialize the closed-form tables to parquet once per machine, then
     * register parquet-backed views. Scanning parquet (vectorized, with

@@ -130,6 +130,24 @@ object TpcdsGen {
 
   // ------------------------------------------------------------------- sizes
 
+  /** Bench-only FACT-table scale multiplier (GRAFT_TPCDS_SCALE, default 1).
+    *
+    * The correctness gate always runs at 1. Scaling multiplies only the
+    * fact/returns tables (dsdgen's own construction: bigger scale factors
+    * mean more sales rows against near-constant dimensions at the low end),
+    * so every planted slice keeps working: fixed prefixes (echo rows) stay,
+    * fractional plantings (whales every 18th row, hot cells ~1/300) scale
+    * with the table. The sr/cr/wr→fact remaps (j·97+11 mod N) stay
+    * invertible because 97 is prime and must not divide the scaled N —
+    * the guard below rejects a Scale that breaks it. The same interpolated
+    * sizes reach both dialects, so the DuckDB oracle builds the identical
+    * scaled tables. */
+  val Scale: Long = {
+    val s = sys.env.getOrElse("GRAFT_TPCDS_SCALE", "1").toLong
+    require(s >= 1 && s % 97 != 0, s"GRAFT_TPCDS_SCALE=$s (must be >=1, not divisible by 97)")
+    s
+  }
+
   val SoldDays = 2405L // 1998-01-01 .. 2004-07-31 (Jul 2004 feeds TPCx-BB q7)
   val NDateDim = 2922L // 1998-01-01 .. 2005-12-31 (returns/ship spill past sales)
   val NTimeDim = 86400L
@@ -148,12 +166,12 @@ object TpcdsGen {
   val NPromo = 300L
   val NSm = 20L
   val NReason = 55L
-  val NSs = 180000L
-  val NSr = 18000L
-  val NCs = 120000L
-  val NCr = 12000L
-  val NWs = 80000L
-  val NWr = 8000L
+  val NSs = 180000L * Scale
+  val NSr = 18000L * Scale
+  val NCs = 120000L * Scale
+  val NCr = 12000L * Scale
+  val NWs = 80000L * Scale
+  val NWr = 8000L * Scale
   val InvWeeks = 261L
   val NInv = NItem * NWh * InvWeeks
 

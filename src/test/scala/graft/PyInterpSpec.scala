@@ -322,9 +322,11 @@ class PyInterpSpec extends AnyFunSuite {
     assert(e.getMessage.contains("recursion"))
   }
 
-  test("classes and lambdas are rejected with a clear error") {
-    intercept[IllegalArgumentException](run("def f(x):\n    g = lambda y: y\n    return g(x)", 1L))
+  test("classes and nested defs are rejected with a clear error") {
+    // (lambdas are supported since round 8 — see the lambda tests below)
     intercept[IllegalArgumentException](run("def f(x):\n    return x\nclass C:\n    pass", 1L))
+    intercept[IllegalArgumentException](
+      run("def f(x):\n    def g(y):\n        return y\n    return g(x)", 1L))
   }
 
   test("imports beyond math are rejected") {
@@ -370,5 +372,166 @@ class PyInterpSpec extends AnyFunSuite {
     val expect = BigDecimal(math.log(1 + avg) * 1.5)
       .setScale(4, BigDecimal.RoundingMode.HALF_EVEN).toDouble
     assert(got == expect)
+  }
+  // ---- round 8: lambdas, key=/reverse= kwargs, try/except, module globals
+  // (every expectation below re-verified against python3 this round)
+
+  test("sorted with lambda key") {
+    val src =
+      """def f(xs):
+        |    return sorted(xs, key=lambda t: t[1])"""
+    assert(run(src, ArrayBuffer(ArrayBuffer(1L, 3L), ArrayBuffer(2L, 1L), ArrayBuffer(3L, 2L)))
+      == ArrayBuffer(ArrayBuffer(2L, 1L), ArrayBuffer(3L, 2L), ArrayBuffer(1L, 3L)))
+  }
+
+  test("sorted key= reverse= is stable (equal keys keep source order)") {
+    val src =
+      """def f(xs):
+        |    return sorted(xs, key=lambda s: len(s), reverse=True)"""
+    assert(run(src, ArrayBuffer("aa", "b", "cccc", "dd"))
+      == ArrayBuffer("cccc", "aa", "dd", "b"))
+  }
+
+  test("max with key returns FIRST maximal element, like CPython") {
+    val src =
+      """def f(xs):
+        |    return max(xs, key=lambda s: len(s))"""
+    assert(run(src, ArrayBuffer("aa", "bbb", "cc", "ddd")) == "bbb")
+  }
+
+  test("min with key= and a helper def as the key") {
+    val src =
+      """def keyfn(s):
+        |    return len(s)
+        |def f(xs):
+        |    return min(xs, key=keyfn)"""
+    assert(run(src, ArrayBuffer("bbb", "a", "cc")) == "a")
+  }
+
+  test("lambda bound to a name and called directly") {
+    val src =
+      """def f(a, b):
+        |    g = lambda x, y: x * 10 + y
+        |    return g(a, b) + g(b, a)"""
+    assert(run(src, 3L, 4L) == 77L)
+  }
+
+  test("lambda reads enclosing frame bindings (read-only closure)") {
+    val src =
+      """def f(xs, n):
+        |    return sorted(xs, key=lambda x: abs(x - n))"""
+    assert(run(src, ArrayBuffer(1L, 5L, 9L), 6L) == ArrayBuffer(5L, 9L, 1L))
+  }
+
+  test("builtin passed as a value (f = abs)") {
+    val src =
+      """def f(x):
+        |    g = abs
+        |    return g(x)"""
+    assert(run(src, -3L) == 3L)
+  }
+
+  test("try/except ValueError around int()") {
+    val src =
+      """def f(s):
+        |    try:
+        |        return int(s)
+        |    except ValueError:
+        |        return -1"""
+    assert(run(src, "12") == 12L)
+    assert(run(src, "x") == -1L)
+  }
+
+  test("except KeyError as e binds str(e) with CPython's repr quoting") {
+    val src =
+      """def f(d, k):
+        |    try:
+        |        return d[k]
+        |    except KeyError as e:
+        |        return 'missing ' + str(e)"""
+    val d = scala.collection.mutable.LinkedHashMap[Any, Any]("a" -> 1L)
+    assert(run(src, d, "a") == 1L)
+    assert(run(src, d, "b") == "missing 'b'") // python3: str(KeyError('b')) == "'b'"
+  }
+
+  test("try/except ZeroDivisionError with else and finally") {
+    val src =
+      """def f(a, b):
+        |    try:
+        |        r = a % b
+        |    except ZeroDivisionError:
+        |        return -1
+        |    else:
+        |        return r
+        |    finally:
+        |        pass"""
+    assert(run(src, 7L, 3L) == 1L)
+    assert(run(src, 7L, 0L) == -1L)
+  }
+
+  test("raise ValueError caught by except as e") {
+    val src =
+      """def f(x):
+        |    try:
+        |        if x < 0:
+        |            raise ValueError('negative')
+        |        return x
+        |    except ValueError as e:
+        |        return str(e)"""
+    assert(run(src, 5L) == 5L)
+    assert(run(src, -5L) == "negative")
+  }
+
+  test("unmatched except kind propagates") {
+    val src =
+      """def f(s):
+        |    try:
+        |        return int(s)
+        |    except KeyError:
+        |        return -1"""
+    val e = intercept[Exception] { run(src, "zz") }
+    assert(e.getMessage.contains("ValueError"))
+  }
+
+  test("module-level mutable global is shared with helper frames") {
+    // the old per-frame consts re-evaluation gave add() a fresh SEEN copy
+    // and f returned 0; CPython (and now PyInterp) returns 14
+    val src =
+      """SEEN = []
+        |def add(x):
+        |    SEEN.append(x)
+        |def f(n):
+        |    for i in range(n):
+        |        add(i * i)
+        |    return sum(SEEN)"""
+    assert(run(src, 4L) == 14L)
+    // and the module env resets per top-level call (per row): same again
+    assert(run(src, 4L) == 14L)
+  }
+
+  test("rebinding a builtin name shadows it (CPython TypeError)") {
+    val src =
+      """def f(xs):
+        |    sum = 0
+        |    try:
+        |        return sum(xs)
+        |    except Exception:
+        |        return -99"""
+    assert(run(src, ArrayBuffer(1L, 2L)) == -99L)
+  }
+
+  test("Boolean vs non-numeric equality is False, not an error") {
+    val src =
+      """def f(x):
+        |    return [x == 'x', True == 'x', 1 == True, 0.0 == False]"""
+    assert(run(src, true) == ArrayBuffer(false, false, true, true))
+  }
+
+  test("escaped quote inside a tuple-assign RHS string") {
+    val src =
+      """def f():
+        |    a, b = 'x\'s, y', 2
+        |    return a + str(b)"""
+    assert(run(src) == "x's, y2")
   }
 }
