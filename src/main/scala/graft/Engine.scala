@@ -52,6 +52,15 @@ object Engine {
     * (~110 MB lineitem) and everything larger on the scale path. */
   val TinyBytes: Long = 64L * 1024 * 1024
 
+  /** Between TinyBytes and this, the session runs the SMALL regime: same
+    * latency cuts as tiny (no AQE, narrow shuffles, single-partition
+    * sorts, conservative broadcast threshold) but scan splits keep the
+    * continuous parallel sizing — at ~100 MB/table the scan itself is
+    * worth parallelizing (measured at sf1: packing a table into one split
+    * took tpch_q1 0.5 → 1.5 s, while AQE-off + 8-partition shuffles took
+    * the comparable-14 total 6.6 → 4.7 s). Above this, full scale path. */
+  val SmallBytes: Long = 512L * 1024 * 1024
+
   def scanSplitConf(dataDir: String): (Long, Long) = {
     val largest = largestTableBytes(dataDir)
     val cores = Runtime.getRuntime.availableProcessors.toLong
@@ -74,9 +83,11 @@ object Engine {
     // overhead. Static narrow shuffles + no AQE + single-partition sorts
     // (plans.TinySinglePartitionSort) recover the latency; above the
     // threshold every knob keeps its scale setting.
-    val tiny = dataDir.exists(d => largestTableBytes(d) > 0 &&
-      largestTableBytes(d) <= TinyBytes)
-    val shufParts = if (tiny) math.min(8, shufflePartitions) else shufflePartitions
+    val largest = dataDir.map(largestTableBytes).getOrElse(0L)
+    val tiny = largest > 0 && largest <= TinyBytes
+    // small regime: tiny's latency cuts with parallel scans (see SmallBytes)
+    val small = largest > TinyBytes && largest <= SmallBytes
+    val shufParts = if (tiny || small) math.min(8, shufflePartitions) else shufflePartitions
     // one split per file in tiny regime (single-row-group files, see below)
     val (effSplit, effOpen) =
       if (tiny) (128L * 1024 * 1024, 4L * 1024 * 1024) else (splitBytes, openCost)
@@ -95,7 +106,7 @@ object Engine {
         e.injectOptimizerRule(_ => plans.TinySinglePartitionSort)
       }
       .config("spark.sql.shuffle.partitions", shufParts.toString)
-      .config("spark.graft.tinySort", tiny.toString)
+      .config("spark.graft.tinySort", (tiny || small).toString)
       // Tiny regime scan/broadcast shape (measured, tools.StageProbe sf0.1):
       // - The driver's testdata files are single-row-group parquet, so a
       //   scan can't parallelize below one file: the default
@@ -112,7 +123,9 @@ object Engine {
       .config("spark.sql.files.minPartitionNum",
         if (tiny) "1" else Runtime.getRuntime.availableProcessors.toString)
       .config("spark.sql.autoBroadcastJoinThreshold",
-        if (tiny) (1L * 1024 * 1024).toString else (10L * 1024 * 1024).toString)
+        if (tiny) (1L * 1024 * 1024).toString
+        else if (small) (4L * 1024 * 1024).toString
+        else (10L * 1024 * 1024).toString)
       // Scan-split sizing — derived from the file layout, see scanSplitConf
       .config("spark.sql.files.maxPartitionBytes", effSplit.toString)
       .config("spark.sql.files.openCostInBytes", effOpen.toString)
@@ -131,7 +144,7 @@ object Engine {
       // ContextCleaner's periodic GC defaults to 30 min; 2 min bounds the
       // retained-shuffle window at a negligible GC cost.
       .config("spark.cleaner.periodicGC.interval", "2min")
-      .config("spark.sql.adaptive.enabled", (!tiny).toString)
+      .config("spark.sql.adaptive.enabled", (!(tiny || small)).toString)
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.cbo.enabled", "true")

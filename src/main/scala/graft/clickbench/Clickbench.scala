@@ -130,7 +130,12 @@ object Clickbench {
             Files.createFile(done)
           }
         }
-        spark.read.parquet(s"$dataDir/hits").createOrReplaceTempView("cb_hits")
+        // single-table suite: stats still help selectivity-driven choices
+        // past toy scale (see util.CatalogStats)
+        if (ClickbenchGen.Scale > 1)
+          graft.util.CatalogStats.registerAnalyzed(spark, "cb_hits", s"$dataDir/hits")
+        else
+          spark.read.parquet(s"$dataDir/hits").createOrReplaceTempView("cb_hits")
         // mark only after the view exists: a transient generation failure
         // must retry on the next query, not poison the whole session
         registered.put(spark, java.lang.Boolean.TRUE)

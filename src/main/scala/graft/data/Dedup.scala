@@ -299,10 +299,10 @@ object Dedup {
       val mh = grams.groupBy(col("doc_id")).agg(
         min(h1.bitwiseXOR(h2)).as("h0"),
         (1 until nHash).map(k => min(h1.bitwiseXOR(rot(h2, k))).as(s"h$k")): _*)
-      // one band-array explode instead of 8 unioned re-aggregations — the
+      // one band-array explode instead of per-band re-aggregations — the
       // minhash groupBy runs once, not once per band. Bucket keys are 8-byte
-      // xxhash64 of (band, 4 minhashes), not concat_ws strings: the bands
-      // frame is 8 rows/doc and the string key was ~80 bytes of rendered
+      // xxhash64 of (band, row minhashes), not concat_ws strings: the bands
+      // frame is 16 rows/doc and the string key was ~80 bytes of rendered
       // decimals per row — ~10× the bucket groupBy's shuffle BYTES. On
       // local[32] (disk-backed shuffle) wall-clock is unchanged — the
       // shingle pass dominates — but on a network-shuffling cluster the
@@ -310,10 +310,20 @@ object Dedup {
       // hash collision can only ADD a candidate pair, and every candidate
       // passes exact-jaccard verification below, so correctness is
       // unaffected; recall too (equal band contents still collide).
+      //
+      // Band shape 16×2, not 8×4: the contract verifies at jaccard ≥ 0.5,
+      // and the S-curve midpoint must sit BELOW the verification threshold
+      // or boundary pairs are structurally missed — t = (1/b)^(1/r) is
+      // 0.59 at 8×4 (catch probability at j=0.5: 1-(1-0.5⁴)⁸ = 0.40; the
+      // sf1 gate surfaced ~11k missed marginal pairs) vs 0.25 at 16×2
+      // (catch at j=0.5: 1-(1-0.25)¹⁶ = 0.99, at j≥0.8: 1-3e-8). The cost
+      // is weaker keys → more spurious candidates, all killed by the exact
+      // verification; volume is bounded by the df-cap + bucket cap and
+      // measured at sf1/sf10 (PERF_r10 §5).
       val bands = mh.select(col("doc_id"),
-        explode(array((0 until 8).map { bnd =>
+        explode(array((0 until 16).map { bnd =>
           xxhash64(lit(bnd) +:
-            (0 until 4).map(r => col(s"h${bnd * 4 + r}")): _*)
+            (0 until 2).map(r => col(s"h${bnd * 2 + r}")): _*)
         }: _*)).as("bucket"))
       val cand = pairsFromBuckets(bands)
       val verified = jaccardForCandidates(cand, grams)

@@ -244,6 +244,28 @@ object FunctionQueries {
         .orderBy("p_partkey")
     }),
 
+    // round-8 Python surface (try/except + lambda key= kwargs), still with
+    // a full DuckDB oracle: the UDF bodies compute SQL-expressible values,
+    // so the hash compare covers the new interpreter paths end-to-end —
+    // ZeroDivisionError handling replays as a CASE, the lambda-keyed min
+    // as a correlated ORDER BY ... LIMIT 1 over the split words.
+    "fn_py_udf2" -> ((s, d) => {
+      graft.sqlsurface.UdfSurface.execute(s,
+        "CREATE OR REPLACE FUNCTION graft_py_safediv(a bigint, b bigint) RETURNS bigint AS $$\n" +
+          "def graft_py_safediv(a, b):\n" +
+          "    try:\n        return a // b\n" +
+          "    except ZeroDivisionError:\n        return -1\n$$ LANGUAGE python")
+      graft.sqlsurface.UdfSurface.execute(s,
+        "CREATE OR REPLACE FUNCTION graft_py_shortword(s varchar) RETURNS varchar AS $$\n" +
+          "def graft_py_shortword(s):\n" +
+          "    return min(s.split(' '), key=lambda w: (len(w), w))\n$$ LANGUAGE python")
+      t(s, d, "documents").filter(col("doc_id") <= 200)
+        .select(col("doc_id"),
+          expr("graft_py_safediv(doc_id, doc_id % 5)").as("safe_q"),
+          expr("graft_py_shortword(text)").as("shortest"))
+        .orderBy("doc_id")
+    }),
+
     // rolling_hash — custom fingerprint expression, hash-checked against a
     // DuckDB replay of the same 61-bit polynomial (util.OracleSql.rollingFp).
     "fn_rolling_hash" -> ((s, d) =>
@@ -369,6 +391,13 @@ object FunctionQueries {
       """SELECT p_partkey, CAST(p_size * 6 AS INTEGER) AS tax6,
                 upper(p_brand) AS brand_up
          FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""",
+    "fn_py_udf2" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 5 = 0 THEN -1
+                     ELSE CAST(doc_id // (doc_id % 5) AS BIGINT) END AS safe_q,
+                (SELECT w FROM unnest(string_split(text, ' ')) AS t(w)
+                 ORDER BY length(w), w LIMIT 1) AS shortest
+         FROM documents WHERE doc_id <= 200 ORDER BY doc_id""",
     "fn_hash" ->
       """SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha256
          FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""",

@@ -99,8 +99,13 @@ object Job {
           }
         }
         JobGen.tables.foreach { case (name, _) =>
-          spark.read.parquet(s"$dataDir/$name")
-            .createOrReplaceTempView(s"job_$name")
+          // catalog tables + ANALYZE past toy scale so CBO join reorder
+          // fires (see util.CatalogStats); temp views at the gate scale
+          if (JobGen.Scale > 1)
+            graft.util.CatalogStats.registerAnalyzed(spark, s"job_$name", s"$dataDir/$name")
+          else
+            spark.read.parquet(s"$dataDir/$name")
+              .createOrReplaceTempView(s"job_$name")
         }
         // mark only after the views exist: a transient generation failure
         // must retry on the next query, not poison the whole session

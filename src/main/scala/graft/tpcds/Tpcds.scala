@@ -171,8 +171,14 @@ object Tpcds {
           }
         }
         TpcdsGen.tables.foreach { case (name, _) =>
-          spark.read.parquet(s"$dataDir/$name")
-            .createOrReplaceTempView(s"tpcds_$name")
+          // past toy scale, catalog tables + ANALYZE so CBO join reorder
+          // fires (q72 trap — see util.CatalogStats); temp views at the
+          // gate scale where stats buy nothing
+          if (TpcdsGen.Scale > 1)
+            graft.util.CatalogStats.registerAnalyzed(spark, s"tpcds_$name", s"$dataDir/$name")
+          else
+            spark.read.parquet(s"$dataDir/$name")
+              .createOrReplaceTempView(s"tpcds_$name")
         }
         // mark only after the views exist: a transient generation failure
         // must retry on the next query, not poison the whole session

@@ -145,8 +145,11 @@ object Tpcxbb {
           }
         }
         extraTables.foreach { case (name, _) =>
-          spark.read.parquet(s"$dataDir/$name")
-            .createOrReplaceTempView(s"tpcds_$name")
+          if (TpcdsGen.Scale > 1)
+            graft.util.CatalogStats.registerAnalyzed(spark, s"tpcds_$name", s"$dataDir/$name")
+          else
+            spark.read.parquet(s"$dataDir/$name")
+              .createOrReplaceTempView(s"tpcds_$name")
         }
         // mark only after the views exist: a transient generation failure
         // must retry on the next query, not poison the whole session

@@ -399,4 +399,59 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1) Project") || p.contains("*(2) Project") ||
       p.contains("WholeStageCodegen"), p)
   }
+
+  test("codegen-fallback expressions across the WHOLE contract are pinned") {
+    // The round-7 test log carries exactly one runtime codegen-fallback
+    // warning — the deliberately-interpreted Python UDF. Pin the full
+    // fallback surface: walk every contract query's optimized plan
+    // (subqueries included) and collect every CodegenFallback expression.
+    // Two locks:
+    //  1. no graft-authored expression may be CodegenFallback except
+    //     PyUdfExpression (an external-language UDF is opaque to codegen
+    //     in the reference too, SURVEY §2.7) — a new custom expression
+    //     that silently drops out of whole-stage codegen turns red;
+    //  2. the set of SPARK-BUILTIN fallback classes is snapshot-locked —
+    //     these are Spark's own by-design interpreted surfaces
+    //     (higher-order functions, typed imperative aggregates), and a
+    //     rewrite that starts emitting a NEW one is a hot-path slowdown
+    //     that must be a conscious choice, not an accident.
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+    def fallbacks(plan: LogicalPlan): Seq[Expression] =
+      plan.flatMap { node =>
+        node.expressions.flatMap(_.collect {
+          case s: SubqueryExpression => fallbacks(s.plan)
+          case f: Expression with CodegenFallback => Seq(f)
+        }.flatten)
+      }
+
+    // Spark-builtin by-design fallbacks present in the round-8 contract:
+    // HOFs interpret their lambda per element; Collect*/HLL++/percentile/
+    // pivot are TypedImperativeAggregate (run inside ObjectHashAggregate,
+    // outside codegen by construction); ReplicateRows backs INTERSECT/
+    // EXCEPT ALL; ScalaAggregator is the typed UDAF bridge.
+    val allowedBuiltins = Set(
+      "ArrayAggregate", "ArrayFilter", "ArraySort", "ArrayTransform",
+      "ZipWith", "LambdaFunction", "NamedLambdaVariable",
+      "CollectList", "CollectSet", "HyperLogLogPlusPlus",
+      "ApproximatePercentile", "PivotFirst", "ReplicateRows",
+      "ScalaAggregator")
+    val allowedGraft = Set("PyUdfExpression")
+
+    val offenders = scala.collection.mutable.SortedMap.empty[String, Set[String]]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      fallbacks(fn(spark, sf).queryExecution.optimizedPlan).foreach { e =>
+        val cls = e.getClass.getSimpleName
+        val graftAuthored = e.getClass.getName.startsWith("graft.")
+        val ok = if (graftAuthored) allowedGraft(cls) else allowedBuiltins(cls)
+        if (!ok) offenders(cls) = offenders.getOrElse(cls, Set()) + name
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unpinned CodegenFallback expressions (new fallback = conscious choice " +
+        s"required; extend the allowed set WITH justification): $offenders")
+  }
 }
