@@ -43,21 +43,38 @@ import scala.collection.mutable.{ArrayBuffer, HashMap, LinkedHashMap}
   *     copysign + pi/e/inf/nan/tau), date `.year/.month/.day`.
   *
   * Also supported: `lambda` expressions (read-only capture of the defining
-  * frame), `sorted/min/max(..., key=f[, reverse=b])` keyword arguments,
+  * frame), keyword arguments and defaults on user defs (`f(1, c=9)`), a
+  * trailing `*args` vararg and call-site splat (`f(*xs)`),
+  * `sorted/min/max(..., key=f[, reverse=b])`, bitwise `| & ^ << >>` with
+  * Python precedence, `%` string formatting (`'%s=%d' % (k, v)`),
+  * `map`/`filter` (eager), `isinstance`, raw strings (`r'\d+'`),
   * `try/except [Exc[, Exc…]] [as e]/else/finally` with `raise Name('msg')`
   * — except-matching is by exception NAME against the interpreter's typed
-  * errors (ValueError/KeyError/IndexError/TypeError/ZeroDivisionError);
-  * errors the interpreter can't classify match only bare `except` /
-  * `except Exception`. Module globals are evaluated once per top-level
-  * call and shared with helper frames (mutable globals behave like CPython
-  * within one call; state does NOT persist across rows — each row is an
-  * independent module execution, the only order-independent semantics on
-  * a partitioned engine).
+  * errors (ValueError/KeyError/IndexError/TypeError/ZeroDivisionError/
+  * AttributeError); errors the interpreter can't classify match only bare
+  * `except` / `except Exception`. Module globals are evaluated once per
+  * top-level call and shared with helper frames (mutable globals behave
+  * like CPython within one call; state does NOT persist across rows — each
+  * row is an independent module execution, the only order-independent
+  * semantics on a partitioned engine).
+  *
+  * Modules: `import math` (full function/constant table above),
+  * `import re` (search/match/fullmatch/findall/split/sub/subn/escape,
+  * match objects with group/groups/groupdict/start/end/span, IGNORECASE/
+  * MULTILINE/DOTALL flags, `(?P<name>…)` groups, string or callable
+  * replacements with `\1`/`\g<name>` templates, compiled-pattern cache),
+  * `from collections import Counter, defaultdict` (most_common/update;
+  * int/list/lambda factories).
+  *
+  * Classes: module-level `class Name:` with `__init__`, methods,
+  * instance attributes (read/write/augmented), simple class-level
+  * constants (evaluated per instantiation), `isinstance` checks. No
+  * inheritance, no dunder protocol beyond `__init__`.
   *
   * Out of scope (rejected with a clear parse error, documented in
-  * COVERAGE.md known-gaps): classes, imports beyond `math`, writes to
-  * closure variables, keyword arguments outside sorted/min/max, `*args`,
-  * generators with `yield`. The exact accepted grammar is documented in
+  * COVERAGE.md known-gaps): nested defs (closure writes), imports beyond
+  * math/re/collections, `**kwargs`, class inheritance, generators with
+  * `yield`. The exact accepted grammar is documented in
   * [[graft.sqlsurface.UdfSurface]].
   *
   * Deliberately interpreted, not codegen'd: an external-language UDF is
@@ -97,9 +114,12 @@ object PyInterp {
   /** f-string: Left(literal) | Right((expr, formatSpec)) */
   private final case class PFStr(parts: Seq[Either[String, (PExpr, String)]]) extends PExpr
   private final case class PLambda(params: Seq[String], body: PExpr) extends PExpr
-  /** Call-site keyword argument (`sorted(xs, key=f)`); only ever a direct
+  /** Call-site keyword argument (`f(x, key=v)`); only ever a direct
     * child of PCall args. */
   private final case class PKw(name: String, value: PExpr) extends PExpr
+  /** Call-site iterable splat (`f(*xs)`); only ever a direct child of
+    * PCall args — expanded into positionals at evaluation time. */
+  private final case class PStar(value: PExpr) extends PExpr
 
   sealed trait PStmt
   private final case class PReturn(e: PExpr) extends PStmt
@@ -121,10 +141,27 @@ object PyInterp {
     orelse: Seq[PStmt], fin: Seq[PStmt]) extends PStmt
   private final case class PRaise(kind: String, msg: Option[PExpr]) extends PStmt
 
+  private final case class PAttrAssign(target: PExpr, attr: String, e: PExpr,
+    augOp: Option[String]) extends PStmt
+
   final case class PyFunc(name: String, params: Seq[String], body: Seq[PStmt],
       defaults: Map[String, PExpr] = Map.empty,
       defs: Map[String, PyFunc] = Map.empty,
-      consts: Seq[PStmt] = Nil)
+      consts: Seq[PStmt] = Nil,
+      vararg: Option[String] = None,
+      classes: Map[String, PyClass] = Map.empty,
+      imported: Set[String] = Set.empty)
+
+  /** A `class Name:` definition — methods (defs whose first param is
+    * `self`) plus simple class-level assignments. No inheritance, no
+    * dunder protocol beyond `__init__`; class attributes are evaluated
+    * per instantiation (shared mutable class state is out of scope). */
+  final case class PyClass(name: String, methods: Map[String, PyFunc],
+    attrs: Seq[PStmt])
+
+  /** An instance: its class + mutable attribute table. */
+  final class PyInstance(val cls: PyClass,
+    val attrs: HashMap[String, Any] = HashMap.empty)
 
   // ----------------------------------------------------------- tokenizer
 
@@ -145,16 +182,20 @@ object PyInterp {
         val s = i
         while (i < src.length && (src.charAt(i).isLetterOrDigit || src.charAt(i) == '_')) i += 1
         val ident = src.substring(s, i)
-        // f-string prefix: the identifier is exactly f/F and a quote follows
+        // f-string / raw-string prefix: the identifier is exactly f/F/r/R
+        // and a quote follows
         if ((ident == "f" || ident == "F") && i < src.length &&
           (src.charAt(i) == '\'' || src.charAt(i) == '"')) {
           tok = "f" + readString()
+        } else if ((ident == "r" || ident == "R") && i < src.length &&
+          (src.charAt(i) == '\'' || src.charAt(i) == '"')) {
+          tok = "r" + readString()
         } else tok = ident
       } else if (c == '\'' || c == '"') {
         tok = readString()
       } else {
         val two = if (i + 1 < src.length) src.substring(i, i + 2) else ""
-        if (Set("==", "!=", "<=", ">=", "//", "**")(two)) { tok = two; i += 2 }
+        if (Set("==", "!=", "<=", ">=", "//", "**", "<<", ">>")(two)) { tok = two; i += 2 }
         else { tok = c.toString; i += 1 }
       }
     }
@@ -246,7 +287,7 @@ object PyInterp {
     else parseCmp(lx)
 
   private def parseCmp(lx: Lexer): PExpr = {
-    val first = parseAdd(lx)
+    val first = parseBitOr(lx)
     val ops = ArrayBuffer.empty[String]
     val rest = ArrayBuffer.empty[PExpr]
     var done = false
@@ -254,19 +295,47 @@ object PyInterp {
       lx.tok match {
         case "==" | "!=" | "<" | "<=" | ">" | ">=" =>
           val op = lx.tok; lx.advance()
-          ops += op; rest += parseAdd(lx)
+          ops += op; rest += parseBitOr(lx)
         case "in" =>
-          lx.advance(); ops += "in"; rest += parseAdd(lx)
+          lx.advance(); ops += "in"; rest += parseBitOr(lx)
         case "not" => // `not in`
-          lx.advance(); lx.eat("in"); ops += "not in"; rest += parseAdd(lx)
+          lx.advance(); lx.eat("in"); ops += "not in"; rest += parseBitOr(lx)
         case "is" =>
           lx.advance()
           if (lx.tok == "not") { lx.advance(); ops += "is not" } else ops += "is"
-          rest += parseAdd(lx)
+          rest += parseBitOr(lx)
         case _ => done = true
       }
     }
     if (ops.isEmpty) first else PCompare(first, ops.toSeq, rest.toSeq)
+  }
+
+  // Python bitwise precedence: cmp < | < ^ < & < shifts < +/-
+  private def parseBitOr(lx: Lexer): PExpr = {
+    var l = parseBitXor(lx)
+    while (lx.tok == "|") { lx.advance(); l = PBin("|", l, parseBitXor(lx)) }
+    l
+  }
+
+  private def parseBitXor(lx: Lexer): PExpr = {
+    var l = parseBitAnd(lx)
+    while (lx.tok == "^") { lx.advance(); l = PBin("^", l, parseBitAnd(lx)) }
+    l
+  }
+
+  private def parseBitAnd(lx: Lexer): PExpr = {
+    var l = parseShift(lx)
+    while (lx.tok == "&") { lx.advance(); l = PBin("&", l, parseShift(lx)) }
+    l
+  }
+
+  private def parseShift(lx: Lexer): PExpr = {
+    var l = parseAdd(lx)
+    while (lx.tok == "<<" || lx.tok == ">>") {
+      val op = lx.tok; lx.advance()
+      l = PBin(op, l, parseAdd(lx))
+    }
+    l
   }
 
   private def parseAdd(lx: Lexer): PExpr = {
@@ -313,7 +382,8 @@ object PyInterp {
         // `=` never appears inside an expression, and `==` lexes as one
         // token, so the peek is unambiguous)
         def parseArg(): PExpr =
-          if (lx.tok != null && lx.tok.headOption.exists(c => c.isLetter || c == '_')
+          if (lx.tok == "*") { lx.advance(); PStar(parseExpr(lx)) }
+          else if (lx.tok != null && lx.tok.headOption.exists(c => c.isLetter || c == '_')
               && lx.peekIs("=")) {
             val n = lx.tok; lx.advance(); lx.eat("=")
             PKw(n, parseExpr(lx))
@@ -429,6 +499,10 @@ object PyInterp {
     else if (t.length > 1 && t.head == 'f' && (t(1) == '\'' || t(1) == '"')) {
       lx.advance(); parseFString(t.substring(2, t.length - 1))
     }
+    else if (t.length > 1 && t.head == 'r' && (t(1) == '\'' || t(1) == '"')) {
+      // raw string: backslashes are literal (no unescape pass)
+      lx.advance(); PStr(t.substring(2, t.length - 1))
+    }
     else if (t == "True") { lx.advance(); PBool(true) }
     else if (t == "False") { lx.advance(); PBool(false) }
     else if (t == "None") { lx.advance(); PNone }
@@ -537,11 +611,19 @@ object PyInterp {
     out.toSeq
   }
 
-  private val augRe = "^(\\w+)\\s*(\\+|-|\\*|/|//|%|\\*\\*)=\\s*(.*)$".r
-  private val augIdxRe = "^(\\w+)\\s*\\[(.*)\\]\\s*(\\+|-|\\*|/|//|%)=\\s*(.*)$".r
-  private val idxAsnRe = "^(\\w+)\\s*\\[(.*)\\]\\s*=\\s*([^=].*)$".r
+  private val augRe = "^(\\w+)\\s*(\\+|-|\\*|/|//|%|\\*\\*|\\||&|\\^|<<|>>)=\\s*(.*)$".r
+  private val augIdxRe = "^(\\w+(?:\\.\\w+)*)\\s*\\[(.*)\\]\\s*(\\+|-|\\*|/|//|%|\\||&|\\^)=\\s*(.*)$".r
+  private val idxAsnRe = "^(\\w+(?:\\.\\w+)*)\\s*\\[(.*)\\]\\s*=\\s*([^=].*)$".r
+  private val augAttrRe = "^(\\w+(?:\\.\\w+)+)\\s*(\\+|-|\\*|/|//|%)=\\s*(.*)$".r
+  private val attrAsnRe = "^(\\w+(?:\\.\\w+)+)\\s*=\\s*([^=].*)$".r
   private val tupRe = "^(\\w+(?:\\s*,\\s*\\w+)+)\\s*=\\s*([^=].*)$".r
   private val asnRe = "^(\\w+)\\s*=\\s*(.*)$".r
+
+  /** Split a dotted assignment target `a.b.c` into (object expr, last attr). */
+  private def attrTarget(dotted: String): (PExpr, String) = {
+    val i = dotted.lastIndexOf('.')
+    (exprOf(dotted.take(i).trim), dotted.drop(i + 1).trim)
+  }
 
   /** Parse statements at one indent level; recursion handles nested blocks. */
   private def parseBlock(lines: Seq[String], pos: Int, indent: Int): (Seq[PStmt], Int) = {
@@ -599,10 +681,16 @@ object PyInterp {
         } else {
           t match {
             case augIdxRe(n, ix, op, e) =>
-              out += PIndexAssign(PName(n), exprOf(ix), exprOf(e), Some(op))
+              out += PIndexAssign(exprOf(n), exprOf(ix), exprOf(e), Some(op))
             case idxAsnRe(n, ix, e) =>
-              out += PIndexAssign(PName(n), exprOf(ix), exprOf(e), None)
+              out += PIndexAssign(exprOf(n), exprOf(ix), exprOf(e), None)
             case augRe(n, op, e) => out += PAugAssign(n, op, exprOf(e))
+            case augAttrRe(tgt, op, e) =>
+              val (obj, attr) = attrTarget(tgt)
+              out += PAttrAssign(obj, attr, exprOf(e), Some(op))
+            case attrAsnRe(tgt, e) =>
+              val (obj, attr) = attrTarget(tgt)
+              out += PAttrAssign(obj, attr, exprOf(e), None)
             case tupRe(ns, e) =>
               // parallel assignment: RHS fully evaluates before any binding
               out += PTupleAssign(ns.split(",").map(_.trim).toSeq,
@@ -710,8 +798,47 @@ object PyInterp {
   // --------------------------------------------------------- module parse
 
   private val defRe = "^def\\s+(\\w+)\\s*\\(([^)]*)\\)\\s*(?:->\\s*[\\w\\[\\], ]+\\s*)?:\\s*$".r
+  private val classRe = "^class\\s+(\\w+)\\s*(?:\\(\\s*(\\w*)\\s*\\))?\\s*:\\s*$".r
 
-  /** Parse a module: `import math`, module constants, one or more `def`s.
+  /** Parse one `def` header + body starting at `lines(p)`; returns the
+    * function and the next line index. Handles annotations, defaults, and
+    * a trailing `*args` vararg. */
+  private def parseDef(lines: Seq[String], p: Int, outerIndent: Int): (PyFunc, Int) = {
+    val t = lines(p).trim
+    val m = defRe.findFirstMatchIn(t).getOrElse(
+      throw new IllegalArgumentException(s"py parse: unsupported def form: $t"))
+    val rawParams = splitArgs(m.group(2)).filter(_.nonEmpty)
+    // strip annotations, collect defaults: `x: int = 3` → ("x", Some(3))
+    val params = ArrayBuffer.empty[String]
+    val defaults = LinkedHashMap.empty[String, PExpr]
+    var vararg: Option[String] = None
+    rawParams.foreach { rp =>
+      if (rp.startsWith("**")) throw new IllegalArgumentException(
+        s"py parse: **kwargs parameters are outside the supported subset: $rp")
+      else if (rp.startsWith("*")) {
+        require(vararg.isEmpty, s"py parse: duplicate *args parameter: $rp")
+        val name = rp.drop(1).split(":").head.trim
+        require(name.matches("\\w+"), s"py parse: unsupported parameter form: $rp")
+        vararg = Some(name)
+      } else {
+        require(vararg.isEmpty,
+          s"py parse: parameters after *args are outside the supported subset: $rp")
+        val (nameAnn, dflt) = rp.indexOf('=') match {
+          case -1 => (rp, None)
+          case i => (rp.take(i).trim, Some(rp.drop(i + 1).trim))
+        }
+        val name = nameAnn.split(":").head.trim
+        require(name.matches("\\w+"), s"py parse: unsupported parameter form: $rp")
+        params += name
+        dflt.foreach(d => defaults(name) = exprOf(d))
+      }
+    }
+    val (body, np) = parseBlock(lines, p + 1, nextIndent(lines, p + 1, outerIndent))
+    (PyFunc(m.group(1), params.toSeq, body, defaults.toMap, vararg = vararg), np)
+  }
+
+  /** Parse a module: imports (`math`, `re`, `collections`), module
+    * constants, `class`es, and one or more `def`s.
     * The entry point is the def named `entry` if given, else the LAST def
     * (matching the reference's convention that the UDF body defines the
     * function being created); every other def is callable as a helper,
@@ -720,7 +847,9 @@ object PyInterp {
     val lines = joinLines(src.linesIterator.toSeq).dropWhile(_.trim.isEmpty)
     require(lines.nonEmpty, "py parse: empty body")
     val defs = LinkedHashMap.empty[String, PyFunc]
+    val classes = LinkedHashMap.empty[String, PyClass]
     val consts = ArrayBuffer.empty[PStmt]
+    val imported = scala.collection.mutable.HashSet.empty[String]
     var p = 0
     val modIndent = indentOf(lines.dropWhile(_.trim.isEmpty).head)
     while (p < lines.length) {
@@ -734,29 +863,51 @@ object PyInterp {
         // `import math` itself needs no binding: PName("math") resolves to
         // the module in eval.
         p += 1
+      } else if (t == "import re") {
+        imported += "re"; p += 1
+      } else if (t.matches("^from\\s+collections\\s+import\\s+[\\w, ]+$")) {
+        t.replaceFirst("^from\\s+collections\\s+import\\s+", "").split(",").map(_.trim)
+          .foreach { n =>
+            require(Set("Counter", "defaultdict")(n),
+              s"py parse: unsupported collections import: $n (Counter/defaultdict only)")
+            imported += n
+          }
+        p += 1
       } else if (t.startsWith("import ") || t.startsWith("from ")) {
         throw new IllegalArgumentException(
-          s"py parse: only 'import math' is supported, got: $t")
-      } else if (t.startsWith("def ")) {
-        val m = defRe.findFirstMatchIn(t).getOrElse(
-          throw new IllegalArgumentException(s"py parse: unsupported def form: $t"))
-        val rawParams = m.group(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        // strip annotations, collect defaults: `x: int = 3` → ("x", Some(3))
-        val params = ArrayBuffer.empty[String]
-        val defaults = LinkedHashMap.empty[String, PExpr]
-        rawParams.foreach { rp =>
-          val (nameAnn, dflt) = rp.indexOf('=') match {
-            case -1 => (rp, None)
-            case i => (rp.take(i).trim, Some(rp.drop(i + 1).trim))
+          "py parse: only 'import math', 'import re' and " +
+            s"'from collections import Counter/defaultdict' are supported, got: $t")
+      } else if (t.startsWith("class ")) {
+        val m = classRe.findFirstMatchIn(t).getOrElse(
+          throw new IllegalArgumentException(s"py parse: unsupported class form: $t"))
+        require(m.group(2) == null || m.group(2).isEmpty || m.group(2) == "object",
+          s"py parse: class inheritance is outside the supported subset: $t")
+        val bodyIndent = nextIndent(lines, p + 1, modIndent)
+        val methods = LinkedHashMap.empty[String, PyFunc]
+        val attrs = ArrayBuffer.empty[PStmt]
+        var q = p + 1
+        var done = false
+        while (!done && q < lines.length) {
+          val ct = lines(q).trim
+          if (ct.isEmpty || ct.startsWith("#")) q += 1
+          else if (indentOf(lines(q)) < bodyIndent) done = true
+          else if (ct == "pass") q += 1
+          else if (ct.startsWith("def ")) {
+            val (fn, nq) = parseDef(lines, q, bodyIndent)
+            methods(fn.name) = fn
+            q = nq
+          } else ct match {
+            case asnRe(n, e) if !e.startsWith("=") =>
+              attrs += PAssign(n, exprOf(e)); q += 1
+            case _ => throw new IllegalArgumentException(
+              s"py parse: unsupported class-body statement: $ct")
           }
-          val name = nameAnn.split(":").head.trim
-          require(name.matches("\\w+") && !name.startsWith("*"),
-            s"py parse: unsupported parameter form: $rp")
-          params += name
-          dflt.foreach(d => defaults(name) = exprOf(d))
         }
-        val (body, np) = parseBlock(lines, p + 1, nextIndent(lines, p + 1, modIndent))
-        defs(m.group(1)) = PyFunc(m.group(1), params.toSeq, body, defaults.toMap)
+        classes(m.group(1)) = PyClass(m.group(1), methods.toMap, attrs.toSeq)
+        p = q
+      } else if (t.startsWith("def ")) {
+        val (fn, np) = parseDef(lines, p, modIndent)
+        defs(fn.name) = fn
         p = np
       } else {
         // module-level constant (re-evaluated per call: cheap, and keeps
@@ -773,7 +924,8 @@ object PyInterp {
     }
     require(defs.nonEmpty, "py parse: no def in body")
     val main = entry.flatMap(defs.get).getOrElse(defs.last._2)
-    main.copy(defs = defs.toMap, consts = consts.toSeq)
+    main.copy(defs = defs.toMap, consts = consts.toSeq,
+      classes = classes.toMap, imported = imported.toSet)
   }
 
   // ------------------------------------------------------------ evaluate
@@ -786,7 +938,9 @@ object PyInterp {
   private object ContinueException extends Exception(null, null, false, false)
 
   /** Function table threaded through evaluation (helpers + recursion). */
-  private final class Ctx(val defs: Map[String, PyFunc], val consts: Seq[PStmt]) {
+  private final class Ctx(val defs: Map[String, PyFunc], val consts: Seq[PStmt],
+      val classes: Map[String, PyClass] = Map.empty,
+      val imported: Set[String] = Set.empty) {
     var depth = 0
     /** Module-level bindings, evaluated ONCE per top-level call (see
       * [[call]]); frames seed from it so a mutable module global (a list a
@@ -804,7 +958,7 @@ object PyInterp {
   private val MaxDepth = 200
 
   def call(fn: PyFunc, args: Seq[Any]): Any = {
-    val ctx = new Ctx(fn.defs + (fn.name -> fn), fn.consts)
+    val ctx = new Ctx(fn.defs + (fn.name -> fn), fn.consts, fn.classes, fn.imported)
     // module constants run once, in order, against the shared module env —
     // an initializer calling a def sees the consts bound so far (CPython's
     // in-order module execution), and helper frames below share the
@@ -813,7 +967,8 @@ object PyInterp {
     callIn(fn, args, ctx)
   }
 
-  private def callIn(fn: PyFunc, args: Seq[Any], ctx: Ctx): Any = {
+  private def callIn(fn: PyFunc, args: Seq[Any], ctx: Ctx,
+      kwargs: Map[String, Any] = Map.empty): Any = {
     ctx.depth += 1
     require(ctx.depth <= MaxDepth,
       s"py: maximum recursion depth exceeded in ${fn.name}")
@@ -823,12 +978,24 @@ object PyInterp {
       // while mutable objects (lists, dicts) stay shared across frames
       val env = HashMap.empty[String, Any]
       env ++= ctx.constEnv
-      require(args.size <= fn.params.size,
-        s"py: ${fn.name}() takes ${fn.params.size} arguments, got ${args.size}")
-      fn.params.zip(args).foreach { case (p, v) => env(p) = v }
-      fn.params.drop(args.size).foreach { p =>
-        val d = fn.defaults.getOrElse(p, throw new IllegalArgumentException(
-          s"py: ${fn.name}() missing argument '$p'"))
+      val bound = scala.collection.mutable.HashSet.empty[String]
+      fn.params.zip(args).foreach { case (p, v) => env(p) = v; bound += p }
+      if (args.size > fn.params.size) {
+        val va = fn.vararg.getOrElse(throw new PyError("TypeError",
+          s"${fn.name}() takes ${fn.params.size} positional arguments " +
+            s"but ${args.size} were given"))
+        env(va) = args.drop(fn.params.size).toVector
+      } else fn.vararg.foreach(va => env(va) = Vector.empty[Any])
+      kwargs.foreach { case (k, v) =>
+        if (!fn.params.contains(k)) throw new PyError("TypeError",
+          s"${fn.name}() got an unexpected keyword argument '$k'")
+        if (bound(k)) throw new PyError("TypeError",
+          s"${fn.name}() got multiple values for argument '$k'")
+        env(k) = v; bound += k
+      }
+      fn.params.filterNot(bound).foreach { p =>
+        val d = fn.defaults.getOrElse(p, throw new PyError("TypeError",
+          s"${fn.name}() missing argument '$p'"))
         env(p) = eval(d, env, ctx)
       }
       try { exec(fn.body, env, ctx); null }
@@ -865,6 +1032,15 @@ object PyInterp {
             val j = if (i0 < 0) b.size + i0 else i0
             require(j >= 0 && j < b.size, s"py: list index $i0 out of range")
             b(j) = aug.fold(v)(op => binop(op, b(j), v))
+          case c: PyCounter => // missing key counts as 0, never raises
+            val k = eval(ix, env, ctx)
+            c(k) = aug.fold(v)(op => binop(op, c.getOrElse(k, 0L), v))
+          case dd: PyDefaultDict =>
+            val k = eval(ix, env, ctx)
+            aug match {
+              case None => dd(k) = v
+              case Some(op) => dd(k) = binop(op, ddGet(dd, k, ctx), v)
+            }
           case d: LinkedHashMap[_, _] =>
             val m = d.asInstanceOf[LinkedHashMap[Any, Any]]
             val k = eval(ix, env, ctx)
@@ -875,6 +1051,19 @@ object PyInterp {
                   throw new PyError("KeyError", pyRepr(k))), v)
             }
           case other => throw new IllegalArgumentException(s"py: cannot assign into $other")
+        }
+      case PAttrAssign(target, attr, e, aug) =>
+        eval(target, env, ctx) match {
+          case inst: PyInstance =>
+            val v = eval(e, env, ctx)
+            aug match {
+              case None => inst.attrs(attr) = v
+              case Some(op) => inst.attrs(attr) = binop(op,
+                inst.attrs.getOrElse(attr, throw new PyError("AttributeError",
+                  s"'${inst.cls.name}' object has no attribute '$attr'")), v)
+            }
+          case other => throw new IllegalArgumentException(
+            s"py: cannot set attribute '$attr' on ${pyStr(other)}")
         }
       case PFor(names, iterE, body) =>
         val it = iterate(eval(iterE, env, ctx))
@@ -996,6 +1185,23 @@ object PyInterp {
       val out = ArrayBuffer.empty[Any]
       (0L until b).foreach(_ => out ++= a)
       out
+    case ("%", s: String, _) => pyPercentFormat(s, r)
+    case ("|", _, _) | ("&", _, _) | ("^", _, _) | ("<<", _, _) | (">>", _, _) =>
+      val (a, b) = (l, r) match {
+        case (x: Long, y: Long) => (x, y)
+        case (x: Boolean, y: Boolean) => (asLong(x), asLong(y))
+        case (x: Boolean, y: Long) => (asLong(x), y)
+        case (x: Long, y: Boolean) => (x, asLong(y))
+        case _ => throw new PyError("TypeError",
+          s"unsupported operand type(s) for $op: $l, $r")
+      }
+      op match {
+        case "|" => a | b
+        case "&" => a & b
+        case "^" => a ^ b
+        case "<<" => a << b
+        case ">>" => a >> b
+      }
     case ("==", _, _) => pyEq(l, r)
     case ("!=", _, _) => !pyEq(l, r)
     case ("<", _, _) | ("<=", _, _) | (">", _, _) | (">=", _, _) =>
@@ -1075,6 +1281,187 @@ object PyInterp {
   /** Marker for the whitelisted math module. */
   private case object MathModule
 
+  /** Marker for the whitelisted re module (requires `import re`). */
+  private case object ReModule
+
+  /** `collections.Counter`: a dict whose missing keys read as 0 (and are
+    * not inserted by a read). */
+  final class PyCounter extends LinkedHashMap[Any, Any]
+
+  /** `collections.defaultdict(factory)`: a dict whose missing keys
+    * materialize `factory()` on first access and insert it. */
+  final class PyDefaultDict(val factory: Any) extends LinkedHashMap[Any, Any]
+
+  /** A re match object (subset): group values 0..n (null = unmatched
+    * optional group, like CPython None), named groups, overall span. */
+  final case class PyMatch(groupVals: Vector[Any], named: Map[String, Any],
+    startPos: Long, endPos: Long)
+
+  // Compiled-pattern cache: the UDF interprets per row, and re-compiling
+  // the same regex per row would dominate. Thread-safe (executor tasks
+  // share the JVM); bounded by clearing — patterns are cheap to rebuild.
+  private val rePatterns =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), java.util.regex.Pattern]
+
+  private val namedGroupRe = "\\(\\?P?<([A-Za-z]\\w*)>".r
+
+  /** Compile a Python pattern under Python flag bits (I=2, M=8, S=16).
+    * The Python and Java regex dialects agree on the supported core
+    * (classes, quantifiers, anchors, alternation, backrefs); the two
+    * spellings that differ — `(?P<name>…)` and `(?P=name)` — are
+    * rewritten to their Java forms. */
+  private def reCompile(pat: String, pyFlags: Int): java.util.regex.Pattern = {
+    val key = (pat, pyFlags)
+    val cached = rePatterns.get(key)
+    if (cached != null) return cached
+    var jf = 0
+    if ((pyFlags & 2) != 0)
+      jf |= java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.UNICODE_CASE
+    if ((pyFlags & 8) != 0) jf |= java.util.regex.Pattern.MULTILINE
+    if ((pyFlags & 16) != 0) jf |= java.util.regex.Pattern.DOTALL
+    require((pyFlags & ~(2 | 8 | 16)) == 0,
+      s"py: unsupported re flags $pyFlags (IGNORECASE/MULTILINE/DOTALL only)")
+    val jpat = pat.replace("(?P<", "(?<")
+      .replaceAll("\\(\\?P=(\\w+)\\)", "\\\\k<$1>")
+    val p =
+      try java.util.regex.Pattern.compile(jpat, jf)
+      catch {
+        case e: java.util.regex.PatternSyntaxException =>
+          throw new PyError("error", s"bad pattern: ${e.getMessage}")
+      }
+    if (rePatterns.size > 512) rePatterns.clear()
+    rePatterns.put(key, p)
+    p
+  }
+
+  private def mkMatch(pat: String, m: java.util.regex.Matcher): PyMatch = {
+    val groups = (0 to m.groupCount).map(i => m.group(i): Any).toVector
+    val named = namedGroupRe.findAllMatchIn(pat).map(_.group(1)).map { n =>
+      n -> (m.group(n): Any)
+    }.toMap
+    PyMatch(groups, named, m.start.toLong, m.end.toLong)
+  }
+
+  /** `re.<name>(...)` dispatch. Python surface: search / match /
+    * fullmatch / findall / split / sub / escape, with optional flags. */
+  private def reCall(name: String, args: Seq[Any], ctx: Ctx): Any = {
+    def pat = args.head match {
+      case s: String => s
+      case other => throw new PyError("TypeError", s"re.$name: pattern must be str, got ${pyStr(other)}")
+    }
+    def str(i: Int) = args(i) match {
+      case s: String => s
+      case other => throw new PyError("TypeError", s"re.$name: expected str, got ${pyStr(other)}")
+    }
+    name match {
+      case "search" | "match" | "fullmatch" =>
+        val flags = if (args.size > 2) asLong(args(2)).toInt else 0
+        val m = reCompile(pat, flags).matcher(str(1))
+        val hit = name match {
+          case "search" => m.find()
+          case "match" => m.lookingAt()
+          case _ => m.matches()
+        }
+        if (hit) mkMatch(pat, m) else null
+      case "findall" =>
+        val flags = if (args.size > 2) asLong(args(2)).toInt else 0
+        val m = reCompile(pat, flags).matcher(str(1))
+        val out = ArrayBuffer.empty[Any]
+        while (m.find()) {
+          out += (m.groupCount match {
+            case 0 => m.group(0)
+            case 1 => if (m.group(1) == null) "" else m.group(1)
+            case n => (1 to n).map(i => (if (m.group(i) == null) "" else m.group(i)): Any).toVector
+          })
+        }
+        out
+      case "split" =>
+        val flags = if (args.size > 2) asLong(args(2)).toInt else 0
+        val m = reCompile(pat, flags).matcher(str(1))
+        val s = str(1)
+        val out = ArrayBuffer.empty[Any]
+        var prev = 0
+        while (m.find()) {
+          out += s.substring(prev, m.start)
+          // CPython keeps capture groups in the result
+          (1 to m.groupCount).foreach(i => out += (m.group(i): Any))
+          prev = m.end
+        }
+        out += s.substring(prev)
+        out
+      case "sub" | "subn" =>
+        val repl = args(1)
+        val flags = if (args.size > 4) asLong(args(4)).toInt else 0
+        val count = if (args.size > 3) asLong(args(3)).toInt else 0
+        val s = str(2)
+        val m = reCompile(pat, flags).matcher(s)
+        val sb = new java.lang.StringBuilder
+        var prev = 0
+        var n = 0
+        while ((count == 0 || n < count) && m.find()) {
+          sb.append(s, prev, m.start)
+          repl match {
+            case r: String => sb.append(expandReplacement(r, m))
+            case f => sb.append(applyCallable(f, Seq(mkMatch(pat, m)), ctx) match {
+              case rs: String => rs
+              case other => throw new PyError("TypeError",
+                s"re.sub repl returned non-str: ${pyStr(other)}")
+            })
+          }
+          prev = m.end
+          n += 1
+          if (m.end == m.start) { // zero-width match: avoid infinite loop
+            if (prev < s.length) sb.append(s.charAt(prev))
+            prev += 1
+            if (prev > s.length) prev = s.length
+          }
+        }
+        sb.append(s.substring(math.min(prev, s.length)))
+        if (name == "sub") sb.toString else Vector(sb.toString, n.toLong)
+      case "escape" =>
+        str(0).map(c =>
+          if (c.isLetterOrDigit || c == '_') c.toString else "\\" + c).mkString
+      case other =>
+        throw new IllegalArgumentException(s"py: re.$other is unsupported")
+    }
+  }
+
+  /** Expand a Python replacement template against a match: `\1`, `\g<1>`,
+    * `\g<name>`, escaped backslashes. */
+  private def expandReplacement(repl: String, m: java.util.regex.Matcher): String = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < repl.length) {
+      val c = repl.charAt(i)
+      if (c == '\\' && i + 1 < repl.length) {
+        val n = repl.charAt(i + 1)
+        if (n.isDigit) {
+          var j = i + 1
+          while (j < repl.length && repl.charAt(j).isDigit && j - i <= 2) j += 1
+          val g = repl.substring(i + 1, j).toInt
+          sb.append(Option(m.group(g)).getOrElse(""))
+          i = j
+        } else if (n == 'g' && i + 2 < repl.length && repl.charAt(i + 2) == '<') {
+          val close = repl.indexOf('>', i + 3)
+          require(close > 0, s"py: bad replacement group in '$repl'")
+          val gname = repl.substring(i + 3, close)
+          val v = if (gname.forall(_.isDigit)) m.group(gname.toInt) else m.group(gname)
+          sb.append(Option(v).getOrElse(""))
+          i = close + 1
+        } else {
+          n match {
+            case '\\' => sb.append('\\')
+            case 'n' => sb.append('\n')
+            case 't' => sb.append('\t')
+            case o => sb.append('\\').append(o)
+          }
+          i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private def eval(e: PExpr, env: HashMap[String, Any], ctx: Ctx): Any = e match {
     case PInt(v) => v
     case PFloat(v) => v
@@ -1082,10 +1469,11 @@ object PyInterp {
     case PBool(v) => v
     case PNone => null
     case PName("math") if !env.contains("math") => MathModule
+    case PName("re") if ctx.imported("re") && !env.contains("re") => ReModule
     case PName(n) =>
-      env.getOrElse(n, ctx.defs.getOrElse(n,
-        if (Builtins(n)) BuiltinRef(n)
-        else throw new IllegalArgumentException(s"py: undefined name '$n'")))
+      env.getOrElse(n, ctx.defs.getOrElse(n, ctx.classes.getOrElse(n,
+        if (Builtins(n) || ctx.imported(n)) BuiltinRef(n)
+        else throw new IllegalArgumentException(s"py: undefined name '$n'"))))
     case PLambda(params, body) => PyLambda(params, body, env)
     case PUnary("-", x) => eval(x, env, ctx) match {
       case l: Long => -l
@@ -1144,6 +1532,15 @@ object PyInterp {
       case (MathModule, "tau") => 2 * math.Pi
       case (MathModule, "inf") => Double.PositiveInfinity
       case (MathModule, "nan") => Double.NaN
+      // re flag constants (CPython values; translated to Java in reCompile)
+      case (ReModule, "IGNORECASE" | "I") => 2L
+      case (ReModule, "MULTILINE" | "M") => 8L
+      case (ReModule, "DOTALL" | "S") => 16L
+      case (inst: PyInstance, n) =>
+        inst.attrs.getOrElse(n,
+          if (inst.cls.methods.contains(n)) BoundMethod(inst, n)
+          else throw new PyError("AttributeError",
+            s"'${inst.cls.name}' object has no attribute '$n'"))
       case (v, n) => BoundMethod(v, n) // resolved at call time
     }
     case PList(items) => ArrayBuffer[Any](items.map(eval(_, env, ctx)): _*)
@@ -1162,6 +1559,10 @@ object PyInterp {
       sb.toString
     case PIndex(x, ix) =>
       eval(x, env, ctx) match {
+        case c: PyCounter => // missing key reads as 0 without inserting
+          c.getOrElse(eval(ix, env, ctx), 0L)
+        case dd: PyDefaultDict => // missing key inserts factory() and returns it
+          ddGet(dd, eval(ix, env, ctx), ctx)
         case d: LinkedHashMap[_, _] =>
           val k = eval(ix, env, ctx)
           d.asInstanceOf[LinkedHashMap[Any, Any]].getOrElse(k,
@@ -1213,8 +1614,8 @@ object PyInterp {
     // sorted/min/max with keyword arguments (key=, reverse=): evaluated
     // here, not in `builtin`, because applying the key needs ctx/env
     case PCall(PName(bn @ ("sorted" | "min" | "max")), args)
-        if args.exists(_.isInstanceOf[PKw]) && !ctx.defs.contains(bn)
-           && !env.contains(bn) =>
+        if args.exists(_.isInstanceOf[PKw]) && !args.exists(_.isInstanceOf[PStar])
+           && !ctx.defs.contains(bn) && !env.contains(bn) =>
       val (kwArgs, posArgs) = args.partition(_.isInstanceOf[PKw])
       val kw = kwArgs.collect { case PKw(n, v) => n -> eval(v, env, ctx) }.toMap
       val badKw = kw.keySet -- (if (bn == "sorted") Set("key", "reverse") else Set("key"))
@@ -1246,29 +1647,86 @@ object PyInterp {
     // (`sum = 0` then `sum(xs)`) must hit the binding (and fail like
     // CPython's TypeError), not silently call the builtin
     case PCall(PName(bi), args) if Builtins(bi) && !ctx.defs.contains(bi)
-        && !env.contains(bi) && !args.exists(_.isInstanceOf[PKw]) =>
-      builtin(bi, args.map(eval(_, env, ctx)))
-    case PCall(f, args) =>
-      require(!args.exists(_.isInstanceOf[PKw]),
-        "py: keyword arguments are only supported on sorted/min/max (key=, reverse=)")
-      applyCallable(eval(f, env, ctx), args.map(eval(_, env, ctx)), ctx)
+        && !env.contains(bi) && !args.exists(_.isInstanceOf[PKw])
+        && !args.exists(_.isInstanceOf[PStar]) =>
+      builtin(bi, args.map(eval(_, env, ctx)), ctx)
+    case PCall(f, rawArgs) =>
+      val pos = ArrayBuffer.empty[Any]
+      val kw = LinkedHashMap.empty[String, Any]
+      rawArgs.foreach {
+        case PKw(n, v) => kw(n) = eval(v, env, ctx)
+        case PStar(e2) => pos ++= iterate(eval(e2, env, ctx))
+        case a => pos += eval(a, env, ctx)
+      }
+      applyCallable(eval(f, env, ctx), pos.toSeq, ctx, kw.toMap)
   }
 
-  /** Apply a callable VALUE — helper def, lambda, builtin reference, or
-    * bound method — to already-evaluated arguments. */
-  private def applyCallable(f: Any, args: Seq[Any], ctx: Ctx): Any = f match {
-    case BoundMethod(recv, name) => callMethod(recv, name, args)
-    case fn: PyFunc => callIn(fn, args, ctx)
+  /** Apply a callable VALUE — helper def, lambda, class, builtin
+    * reference, or bound method — to already-evaluated arguments. */
+  private def applyCallable(f: Any, args: Seq[Any], ctx: Ctx,
+      kwargs: Map[String, Any] = Map.empty): Any = f match {
+    case BoundMethod(ReModule, name) => // needs ctx: re.sub repl may be callable
+      require(kwargs.isEmpty, s"py: keyword arguments not supported on re.$name")
+      reCall(name, args, ctx)
+    case BoundMethod(inst: PyInstance, name) =>
+      inst.cls.methods.get(name) match {
+        case Some(m) => callIn(m, inst +: args, ctx, kwargs)
+        case None => throw new PyError("AttributeError",
+          s"'${inst.cls.name}' object has no attribute '$name'")
+      }
+    case BoundMethod(recv, name) =>
+      require(kwargs.isEmpty, s"py: keyword arguments not supported on method $name")
+      callMethod(recv, name, args)
+    case fn: PyFunc => callIn(fn, args, ctx, kwargs)
+    case cls: PyClass => instantiate(cls, args, kwargs, ctx)
     case PyLambda(params, body, captured) =>
+      require(kwargs.isEmpty, "py: keyword arguments not supported on lambda")
       require(args.size == params.size,
         s"py: lambda takes ${params.size} arguments, got ${args.size}")
       val lenv = HashMap.empty[String, Any]
       lenv ++= captured
       params.zip(args).foreach { case (p, v) => lenv(p) = v }
       eval(body, lenv, ctx)
-    case BuiltinRef(n) => builtin(n, args)
+    case BuiltinRef(n) =>
+      require(kwargs.isEmpty,
+        s"py: keyword arguments are only supported on sorted/min/max and defs, not $n()")
+      builtin(n, args, ctx)
     case other => throw new PyError("TypeError", s"py: not callable: $other")
   }
+
+  /** Instantiate `cls(...)`: class attributes evaluate into the instance
+    * (per-instance; shared mutable class state is out of scope), then
+    * `__init__` runs with `self` prepended. */
+  private def instantiate(cls: PyClass, args: Seq[Any],
+      kwargs: Map[String, Any], ctx: Ctx): Any = {
+    val inst = new PyInstance(cls)
+    if (cls.attrs.nonEmpty) {
+      val tmp = HashMap.empty[String, Any]
+      tmp ++= ctx.constEnv
+      exec(cls.attrs, tmp, ctx)
+      cls.attrs.foreach {
+        case PAssign(n, _) => inst.attrs(n) = tmp(n)
+        case _ =>
+      }
+    }
+    cls.methods.get("__init__") match {
+      case Some(init) => callIn(init, inst +: args, ctx, kwargs)
+      case None => require(args.isEmpty && kwargs.isEmpty,
+        s"py: ${cls.name}() takes no arguments")
+    }
+    inst
+  }
+
+  /** defaultdict lookup: missing key materializes factory() and inserts. */
+  private def ddGet(dd: PyDefaultDict, k: Any, ctx: Ctx): Any =
+    dd.get(k) match {
+      case Some(v) => v
+      case None =>
+        if (dd.factory == null) throw new PyError("KeyError", pyRepr(k))
+        val v = applyCallable(dd.factory, Nil, ctx)
+        dd(k) = v
+        v
+    }
 
   /** View a runtime value as a sequence of items (for sorted/min/max). */
   private def iterSeq(v: Any): Seq[Any] = iterate(v).toSeq
@@ -1309,9 +1767,55 @@ object PyInterp {
 
   private val Builtins = Set("len", "int", "float", "str", "bool", "abs", "min", "max",
     "sum", "round", "sorted", "reversed", "list", "tuple", "dict", "range",
-    "enumerate", "zip", "any", "all", "ord", "chr", "print", "repr")
+    "enumerate", "zip", "any", "all", "ord", "chr", "print", "repr",
+    "map", "filter", "isinstance")
 
-  private def builtin(name: String, args: Seq[Any]): Any = (name, args) match {
+  private def builtin(name: String, args: Seq[Any], ctx: Ctx): Any = (name, args) match {
+    // map/filter return eager lists (CPython: lazy iterators) — every
+    // supported consumer (list/sum/any/for/…) materializes anyway
+    case ("map", Seq(f, seq)) =>
+      ArrayBuffer[Any](iterate(seq).map(v => applyCallable(f, Seq(v), ctx)).toSeq: _*)
+    case ("map", f +: seqs) if seqs.size >= 2 =>
+      val its = seqs.map(iterate)
+      val out = ArrayBuffer.empty[Any]
+      while (its.forall(_.hasNext)) out += applyCallable(f, its.map(_.next()), ctx)
+      out
+    case ("filter", Seq(f, seq)) =>
+      ArrayBuffer[Any](iterate(seq).filter(v =>
+        if (f == null) truthy(v) else truthy(applyCallable(f, Seq(v), ctx))).toSeq: _*)
+    case ("Counter", Nil) => new PyCounter
+    case ("Counter", Seq(src)) =>
+      val c = new PyCounter
+      src match {
+        case d: LinkedHashMap[_, _] =>
+          d.asInstanceOf[LinkedHashMap[Any, Any]].foreach { case (k, v) => c(k) = v }
+        case it if isIterable(it) =>
+          iterate(it).foreach(k => c(k) = asLong(c.getOrElse(k, 0L)) + 1L)
+        case other => throw new PyError("TypeError", s"Counter(${pyStr(other)})")
+      }
+      c
+    case ("defaultdict", Nil) => new PyDefaultDict(null)
+    case ("defaultdict", Seq(f)) => new PyDefaultDict(f)
+    case ("isinstance", Seq(v, t)) =>
+      def check(tp: Any): Boolean = tp match {
+        case BuiltinRef("int") => v.isInstanceOf[Long] || v.isInstanceOf[Boolean]
+        case BuiltinRef("float") => v.isInstanceOf[Double]
+        case BuiltinRef("str") => v.isInstanceOf[String]
+        case BuiltinRef("bool") => v.isInstanceOf[Boolean]
+        case BuiltinRef("list") => v.isInstanceOf[ArrayBuffer[_]]
+        case BuiltinRef("tuple") => v.isInstanceOf[Vector[_]]
+        case BuiltinRef("dict") => v.isInstanceOf[LinkedHashMap[_, _]]
+        case cls: PyClass => v match {
+          case inst: PyInstance => inst.cls eq cls
+          case _ => false
+        }
+        case other => throw new PyError("TypeError",
+          s"isinstance() arg 2 must be a type, got ${pyStr(other)}")
+      }
+      t match {
+        case types: Vector[_] => types.exists(check)
+        case one => check(one)
+      }
     case ("len", Seq(a)) => a match {
       case s: String => s.length.toLong
       case seq: scala.collection.Seq[_] => seq.size.toLong
@@ -1329,6 +1833,9 @@ object PyInterp {
       case b: Boolean => asLong(b)
       case other => throw new IllegalArgumentException(s"py: int($other)")
     }
+    case ("int", Nil) => 0L
+    case ("float", Nil) => 0.0
+    case ("bool", Nil) => false
     case ("int", Seq(s: String, base: Long)) => java.lang.Long.parseLong(s.trim, base.toInt)
     case ("float", Seq(a)) => a match {
       case l: Long => l.toDouble
@@ -1443,6 +1950,9 @@ object PyInterp {
     case r: RangeVal =>
       if (r.step == 1) s"range(${r.start}, ${r.stop})"
       else s"range(${r.start}, ${r.stop}, ${r.step})"
+    case inst: PyInstance => s"<${inst.cls.name} object>"
+    case m: PyMatch => s"<re.Match span=(${m.startPos}, ${m.endPos}), " +
+      s"match=${pyRepr(m.groupVals(0))}>"
     case other => String.valueOf(other)
   }
 
@@ -1475,6 +1985,59 @@ object PyInterp {
         else " " * pad + s
       case _ => throw new IllegalArgumentException(s"py: unsupported format spec '$spec'")
     }
+  }
+
+  /** Python `%` string formatting: `'%s=%d' % (k, v)` / `'%s' % x`.
+    * Subset: flags `-`/`0`, width, `.prec`, conversions s r d i f e g x X o %%. */
+  private def pyPercentFormat(fmt: String, arg: Any): String = {
+    val args: Seq[Any] = arg match {
+      case t: Vector[_] => t
+      case other => Seq(other)
+    }
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    var ai = 0
+    def nextArg(): Any = {
+      require(ai < args.size, "py: not enough arguments for format string")
+      val v = args(ai); ai += 1; v
+    }
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c != '%') { sb.append(c); i += 1 }
+      else {
+        require(i + 1 < fmt.length, "py: incomplete format")
+        val s = i + 1
+        var j = s
+        while (j < fmt.length && "-0+ #".indexOf(fmt.charAt(j)) >= 0) j += 1
+        while (j < fmt.length && fmt.charAt(j).isDigit) j += 1
+        if (j < fmt.length && fmt.charAt(j) == '.') {
+          j += 1
+          while (j < fmt.length && fmt.charAt(j).isDigit) j += 1
+        }
+        require(j < fmt.length, "py: incomplete format")
+        val conv = fmt.charAt(j)
+        val spec = fmt.substring(s, j) // flags+width+precision, printf-compatible
+        conv match {
+          case '%' => sb.append('%')
+          case 's' => sb.append(String.format(s"%${spec}s", pyStr(nextArg())))
+          case 'r' => sb.append(String.format(s"%${spec}s", pyRepr(nextArg())))
+          case 'd' | 'i' => sb.append(String.format(s"%${spec}d", Long.box(asLong(nextArg()))))
+          case 'x' | 'X' | 'o' =>
+            sb.append(String.format(s"%$spec$conv", Long.box(asLong(nextArg()))))
+          case 'f' | 'e' | 'g' =>
+            val d = num2(nextArg(), 0L) match {
+              case Left((a, _)) => a.toDouble; case Right((a, _)) => a
+            }
+            sb.append(String.format(s"%$spec$conv", Double.box(d)))
+          case other => throw new IllegalArgumentException(
+            s"py: unsupported format character '$other'")
+        }
+        i = j + 1
+      }
+    }
+    require(ai == args.size || !arg.isInstanceOf[Vector[_]],
+      "py: not all arguments converted during string formatting")
+    sb.toString
   }
 
   private final case class BoundMethod(recv: Any, name: String)
@@ -1567,6 +2130,44 @@ object PyInterp {
         val idx = if (m.group(1).isEmpty) { i += 1; i } else m.group(1).toInt
         java.util.regex.Matcher.quoteReplacement(pyStr(args(idx)))
       })
+
+    case (m: PyMatch, "group") => args match {
+      case Nil => m.groupVals(0)
+      case Seq(i: Long) =>
+        if (i < 0 || i >= m.groupVals.size)
+          throw new PyError("IndexError", "no such group")
+        m.groupVals(i.toInt)
+      case Seq(s: String) => m.named.getOrElse(s,
+        throw new PyError("IndexError", s"no such group '$s'"))
+      case many => many.map {
+        case i: Long => m.groupVals(i.toInt)
+        case s: String => m.named.getOrElse(s,
+          throw new PyError("IndexError", s"no such group '$s'"))
+        case other => throw new PyError("TypeError", s"group(${pyStr(other)})")
+      }.toVector
+    }
+    case (m: PyMatch, "groups") => m.groupVals.drop(1)
+    case (m: PyMatch, "start") => m.startPos
+    case (m: PyMatch, "end") => m.endPos
+    case (m: PyMatch, "span") => Vector(m.startPos, m.endPos)
+    case (m: PyMatch, "groupdict") =>
+      val d = LinkedHashMap.empty[Any, Any]
+      m.named.foreach { case (k, v) => d(k) = v }
+      d
+
+    case (c: PyCounter, "most_common") =>
+      // count-descending, insertion order on ties (CPython 3.7+)
+      val sorted = c.toSeq.sortWith((a, b) => pyCompare(a._2, b._2) > 0)
+      val n = if (args.isEmpty) sorted.size else asLong(args.head).toInt
+      ArrayBuffer[Any](sorted.take(n).map { case (k, v) => Vector(k, v) }: _*)
+    case (c: PyCounter, "update") =>
+      args.head match {
+        case d: LinkedHashMap[_, _] =>
+          d.asInstanceOf[LinkedHashMap[Any, Any]].foreach { case (k, v) =>
+            c(k) = binop("+", c.getOrElse(k, 0L), v) }
+        case it => iterate(it).foreach(k => c(k) = asLong(c.getOrElse(k, 0L)) + 1L)
+      }
+      null
 
     case (buf: ArrayBuffer[_], m) =>
       val b = buf.asInstanceOf[ArrayBuffer[Any]]

@@ -54,11 +54,17 @@ import scala.util.Try
   *
   * Also in scope (round 8): `lambda` expressions (read-only capture),
   * `sorted/min/max(key=f[, reverse=b])`, `try/except [Exc [as e]]/else/
-  * finally`, `raise Name('msg')` — see [[graft.functions.PyInterp]].
+  * finally`, `raise Name('msg')`, keyword arguments + `*args` + call-site
+  * splat on user defs, bitwise `| & ^ << >>`, `%` string formatting,
+  * `map`/`filter`/`isinstance`, raw strings, `import re` (search/match/
+  * fullmatch/findall/split/sub/subn/escape, match objects, flags,
+  * callable replacements), `from collections import Counter, defaultdict`,
+  * and module-level `class Name:` with `__init__`/methods/instance
+  * attributes — see [[graft.functions.PyInterp]].
   *
   * Out of scope — rejected with a clear parse error at CREATE FUNCTION
-  * time: classes, nested def, imports other than math, keyword arguments
-  * outside sorted/min/max, *args, yield, writes to captured variables.
+  * time: nested def, imports other than math/re/collections, `**kwargs`,
+  * class inheritance, yield, writes to captured variables.
   * (Documented known-gap in COVERAGE.md: full CPython.)
   */
 object UdfSurface {

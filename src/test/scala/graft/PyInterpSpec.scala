@@ -322,11 +322,14 @@ class PyInterpSpec extends AnyFunSuite {
     assert(e.getMessage.contains("recursion"))
   }
 
-  test("classes and nested defs are rejected with a clear error") {
-    // (lambdas are supported since round 8 — see the lambda tests below)
-    intercept[IllegalArgumentException](run("def f(x):\n    return x\nclass C:\n    pass", 1L))
+  test("nested defs, inheritance and yield are rejected with a clear error") {
+    // (lambdas and module-level classes are supported since round 8)
     intercept[IllegalArgumentException](
       run("def f(x):\n    def g(y):\n        return y\n    return g(x)", 1L))
+    intercept[IllegalArgumentException](
+      run("class C(Base):\n    pass\ndef f(x):\n    return x", 1L))
+    intercept[IllegalArgumentException](
+      run("def f(x):\n    yield x", 1L))
   }
 
   test("imports beyond math are rejected") {
@@ -533,5 +536,204 @@ class PyInterpSpec extends AnyFunSuite {
         |    a, b = 'x\'s, y', 2
         |    return a + str(b)"""
     assert(run(src) == "x's, y2")
+  }
+
+  // ------------------------------------------------- round-8 additions
+  // (bitwise ops, % formatting, map/filter/isinstance, re, kwargs/*args,
+  // collections, classes — each expectation re-verified against python3)
+
+  test("bitwise operators with Python precedence") {
+    val src =
+      """def f(a, b):
+        |    return str((a | b, a & b, a ^ b, a << 2, b >> 1))"""
+    assert(run(src, 12L, 10L) == "(14, 8, 6, 48, 5)")
+  }
+
+  test("percent string formatting: s d f width zero-pad hex") {
+    val src =
+      """def f(k, v, x):
+        |    return '%s=%d|%.2f|%05d|%6.1f|%x' % (k, v, x, v, x, 255)"""
+    assert(run(src, "n", 42L, 3.14159) == "n=42|3.14|00042|   3.1|ff")
+  }
+
+  test("map and filter with lambdas (eager lists)") {
+    val src =
+      """def f(xs):
+        |    return str((sum(map(lambda x: x*x, xs)), list(filter(lambda x: x % 2, range(10)))))"""
+    assert(run(src, ArrayBuffer(1L, 2L, 3L, 4L)) == "(30, [1, 3, 5, 7, 9])")
+  }
+
+  test("isinstance with single type, type tuple, and bool-is-int") {
+    val src =
+      """def f(x):
+        |    return '%s|%s|%s' % (isinstance(x, int), isinstance(x, (str, float)), isinstance(x, bool))"""
+    assert(run(src, 3L) == "True|False|False")
+    assert(run(src, 2.5) == "False|True|False")
+    assert(run(src, true) == "True|False|True")
+  }
+
+  test("re.search with groups, start/end; None on miss") {
+    val src =
+      """import re
+        |def f(s):
+        |    m = re.search(r'(\d+)-(\d+)', s)
+        |    if m:
+        |        return int(m.group(1)) + int(m.group(2)) + m.start() + m.end()
+        |    return -1"""
+    assert(run(src, "ab 12-34 cd") == 57L)
+    assert(run(src, "none") == -1L)
+  }
+
+  test("re.sub with backreference template") {
+    val src =
+      """import re
+        |def f(s):
+        |    return re.sub(r'(\w+)@(\w+)', r'\2 at \1', s)"""
+    assert(run(src, "joe@example and amy@test") == "example at joe and test at amy")
+  }
+
+  test("re.sub with callable replacement") {
+    val src =
+      """import re
+        |def f(s):
+        |    return re.sub(r'\d+', lambda m: str(int(m.group(0)) * 2), s)"""
+    assert(run(src, "a1 b22 c333") == "a2 b44 c666")
+  }
+
+  test("re.subn returns (result, count)") {
+    val src =
+      """import re
+        |def f(s):
+        |    return str(re.subn(r'a', 'b', s))"""
+    assert(run(src, "banana") == "('bbnbnb', 3)")
+  }
+
+  test("re.findall: no groups, and tuple-per-match with 2 groups") {
+    val src =
+      """import re
+        |def f(s):
+        |    return str((re.findall(r'[aeiou]', s), re.findall(r'(\w)(\d)', s)))"""
+    assert(run(src, "hello a1 b2") == "(['e', 'o', 'a'], [('a', '1'), ('b', '2')])")
+  }
+
+  test("re.split, with and without capture groups") {
+    val src =
+      """import re
+        |def f(s):
+        |    return str((re.split(r'\s*,\s*', s), re.split(r'(\s+)', s)))"""
+    assert(run(src, "a, b ,c") == "(['a', 'b', 'c'], ['a,', ' ', 'b', ' ', ',c'])")
+  }
+
+  test("re.match anchors at start, search anywhere, fullmatch whole") {
+    val src =
+      """import re
+        |def f(s):
+        |    return '%s|%s|%s' % (bool(re.match(r'\d+', s)), bool(re.search(r'\d+', s)), bool(re.fullmatch(r'\w+', s)))"""
+    assert(run(src, "ab12") == "False|True|True")
+    assert(run(src, "12ab") == "True|True|True")
+  }
+
+  test("re.IGNORECASE flag through re.sub") {
+    val src =
+      """import re
+        |def f(s):
+        |    return re.sub(r'cat', 'dog', s, 0, re.IGNORECASE)"""
+    assert(run(src, "Cat CAT cat") == "dog dog dog")
+  }
+
+  test("keyword arguments on user defs, with defaults") {
+    val src =
+      """def kw(a, b=2, c=3):
+        |    return a*100 + b*10 + c
+        |def f(x):
+        |    return str((kw(1, c=9), kw(1, 5), kw(a=4)))"""
+    assert(run(src, 0L) == "(129, 153, 423)")
+  }
+
+  test("*args parameter and call-site splat") {
+    val src =
+      """def star(*xs):
+        |    return sum(xs) + len(xs)
+        |def f(x):
+        |    return str((star(1, 2, 3), star(), star(*[5, 6])))"""
+    assert(run(src, 0L) == "(9, 0, 13)")
+  }
+
+  test("positional params before *args") {
+    val src =
+      """def mixed(a, *rest):
+        |    return '%s:%s' % (a, list(rest))
+        |def f(x):
+        |    return mixed(1, 2, 3)"""
+    assert(run(src, 0L) == "1:[2, 3]")
+  }
+
+  test("collections.Counter: counts, most_common, missing key is 0") {
+    val src =
+      """from collections import Counter
+        |def f(s):
+        |    c = Counter(s.split())
+        |    mc = c.most_common(2)
+        |    return '%s|%s|%s' % (mc, c['the'], c['zzz'])"""
+    assert(run(src, "the cat and the dog and the bird") ==
+      "[('the', 3), ('and', 2)]|3|0")
+  }
+
+  test("collections.defaultdict with int and list factories") {
+    val src =
+      """from collections import defaultdict
+        |def f(words):
+        |    d = defaultdict(int)
+        |    g = defaultdict(list)
+        |    for w in words:
+        |        d[w[0]] += 1
+        |        g[len(w)].append(w)
+        |    return '%s|%s' % (sorted(d.items()), sorted(g.items()))"""
+    assert(run(src, ArrayBuffer("apple", "ant", "bee", "cow")) ==
+      "[('a', 2), ('b', 1), ('c', 1)]|[(3, ['ant', 'bee', 'cow']), (5, ['apple'])]")
+  }
+
+  test("class with __init__, methods, attribute mutation, class attr") {
+    val src =
+      """class Point:
+        |    count = 0
+        |    def __init__(self, x, y):
+        |        self.x = x
+        |        self.y = y
+        |    def dist2(self):
+        |        return self.x * self.x + self.y * self.y
+        |    def shift(self, dx, dy=0):
+        |        self.x += dx
+        |        self.y += dy
+        |        return self
+        |def f(a, b):
+        |    p = Point(a, b)
+        |    p.shift(1, dy=2)
+        |    return '%s,%s,%s,%s' % (p.x, p.y, p.dist2(), p.count)"""
+    assert(run(src, 3L, 4L) == "4,6,52,0")
+  }
+
+  test("class whose methods call other methods through self") {
+    val src =
+      """class Acc:
+        |    def __init__(self):
+        |        self.items = []
+        |    def add(self, v):
+        |        self.items.append(v)
+        |        return self.total()
+        |    def total(self):
+        |        return sum(self.items)
+        |def f(xs):
+        |    a = Acc()
+        |    r = [a.add(x) for x in xs]
+        |    return str(r)"""
+    assert(run(src, ArrayBuffer(1L, 2L, 3L)) == "[1, 3, 6]")
+  }
+
+  test("raw strings keep backslashes literal") {
+    val src =
+      """def f():
+        |    return len(r'\n\t') + len('\n\t')"""
+    assert(run(src) == 6L)
   }
 }
