@@ -65,7 +65,7 @@ object Dedup {
     * subtree canonicalizes identically and AQE's ReuseExchange computes the
     * corpus-side explode+distinct map work ONCE per query (PlanProbe:
     * without the filter the signature branch re-scans the corpus). */
-  private[data] def shingles(docs: DataFrame): DataFrame = {
+  private[graft] def shingles(docs: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
     docs.filter(col("doc_id").isNotNull && size(w) >= 3)
       .select(col("doc_id"), w.as("w"))
@@ -84,8 +84,8 @@ object Dedup {
     * (headers, licenses) makes an uncapped join a job-killer. The df-cap
     * bounds per-shingle fan-out; near-dup signal lives in rare shingles, so
     * recall on true near-dups is unaffected. */
-  private[data] val MaxShingleDf = 64
-  private[data] def dfCapped(grams: DataFrame, maxDf: Int = MaxShingleDf): DataFrame = {
+  private[graft] val MaxShingleDf = 64
+  private[graft] def dfCapped(grams: DataFrame, maxDf: Int = MaxShingleDf): DataFrame = {
     val rare = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("g"))
     // USING-join puts g first; restore (doc_id, g) for positional toDF callers

@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * Bench-only data (never a correctness input): the driver's oracle gate
   * runs at sf0.01 on its own testdata; this exists so BENCH can run at sf1
   * (~6M lineitem) and be compared against a DuckDB baseline on the SAME
-  * files (see BASELINE.md). Document text gets a per-replica suffix so text
-  * dedup doesn't degenerate into 10x exact duplicates.
+  * files (see BASELINE.md). Document text is rewritten into a disjoint
+  * per-replica token vocabulary so each replica carries the base corpus'
+  * full near-dup structure (see the documents job below).
   *
   * Usage: runMain graft.tools.ScaleUp [srcDir] [outDir] [k] [tables,csv]
   */
@@ -74,10 +75,22 @@ object ScaleUp {
       "documents" -> {
         val d = spread(tbl("documents")).withColumn("_r", explode(sequence(lit(0), lit(k - 1))))
         d.withColumn("doc_id", col("doc_id") + col("_r") * DOC)
-          // perturb replica text so cross-replica docs are near- not exact-dups
+          // Each replica rewrites the corpus into a DISJOINT token vocabulary
+          // (every word tagged with the replica id) — the text analog of the
+          // key-offset remapping above. This preserves per-replica shingle
+          // statistics exactly (document frequencies, near-dup pair structure,
+          // gram-set sizes all replicate ×k) the way key offsets preserve join
+          // cardinalities. The earlier " replica <r>" SUFFIX did not: interior
+          // 3-grams were shared across all k replicas, so at k≥65 every gram
+          // blew past the df≤64 cap and the ngram/minhash/simhash pipelines
+          // ran on an EMPTY capped set — the pair-generation plans never
+          // actually executed past toy scale (measured: tools.NgramSkewProbe
+          // at sf10 found 0 surviving grams).
           .withColumn("text",
             when(col("_r") === 0, col("text"))
-              .otherwise(concat(col("text"), lit(" replica "), col("_r"))))
+              .otherwise(array_join(
+                transform(split(col("text"), " "),
+                  w => concat(w, lit("~"), col("_r"))), " ")))
           .withColumn("n_chars", length(col("text")))
           .drop("_r")
       },
@@ -105,11 +118,21 @@ object ScaleUp {
     // serializes EVERY scan to one task — in Spark and DuckDB alike). Range
     // clustering on the primary key also gives real min/max footer stats,
     // the layout a 100 TB table would have after ingest compaction.
+    // File counts for the scan-heavy tables match the core count: parquet
+    // files here are single-row-group (written in one pass, under the 128 MB
+    // default group size at most SFs), so a scan CANNOT parallelize below one
+    // file — the old 8-file documents/embeddings layout pinned every corpus
+    // scan (the dominant stage of all text/embedding pipelines) to 8 of 32
+    // cores at EVERY decade (tools.StageProbe: the sf100 ngram "68 s bimodal
+    // stage" was 8 scan tasks at 55-65 s with 24 cores idle). 32 files match
+    // the bench machine; a cluster deployment sizes this to executors, same
+    // as the bucket counts below. The 32 MB row-group override on the writes
+    // keeps big-decade files splittable beyond the file count too.
     val layout: Map[String, (Int, String)] = Map(
-      "customer" -> (8, "c_custkey"), "supplier" -> (2, "s_suppkey"),
-      "part" -> (4, "p_partkey"), "orders" -> (16, "o_orderkey"),
-      "lineitem" -> (32, "l_orderkey"), "events" -> (16, "ts"),
-      "documents" -> (8, "doc_id"), "embeddings" -> (8, "vec_id"))
+      "customer" -> (16, "c_custkey"), "supplier" -> (2, "s_suppkey"),
+      "part" -> (8, "p_partkey"), "orders" -> (16, "o_orderkey"),
+      "lineitem" -> (32, "l_orderkey"), "events" -> (32, "ts"),
+      "documents" -> (32, "doc_id"), "embeddings" -> (32, "vec_id"))
 
     new java.io.File(out).mkdirs()
     jobs.filter(j => tableFilter(j._1)).foreach { case (name, df0) =>
@@ -118,7 +141,14 @@ object ScaleUp {
         case Some((n, key)) => df0.repartitionByRange(n, col(key))
         case None => df0
       }
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      // 32 MB row groups (default 128 MB): both engines parallelize parquet
+      // at row-group granularity, so single-group files cap scan parallelism
+      // at the file count; 32 MB keeps sf100-sized files (~100-750 MB)
+      // splittable for Spark's size-based splits and DuckDB's group-parallel
+      // reader alike at a negligible compression cost.
+      df.write.mode("overwrite")
+        .option("parquet.block.size", (32L * 1024 * 1024).toString)
+        .parquet(s"$out/$name.parquet")
       val n = spark.read.parquet(s"$out/$name.parquet").count()
       println(f"[scaleup] $name%-12s $n%10d rows  ${(System.nanoTime() - t0) / 1e9}%6.2fs")
       System.gc() // let ContextCleaner delete the finished table's shuffle files
