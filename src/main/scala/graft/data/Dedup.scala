@@ -32,19 +32,24 @@ object Dedup {
     * corpus. Measured at sf0.1 this beats persist() by ~25% (the columnar
     * cache build serializes branches that otherwise run concurrently), and
     * at 100 TB it avoids pinning a corpus-sized shingle set in the cache —
-    * shuffle files already live on local disk. PlanSpec asserts the reuse. */
+    * shuffle files already live on local disk. PlanSpec asserts the reuse.
+    *
+    * Uses the hashed-gram representation: every jaccard consumer depends
+    * only on per-doc gram-set sizes and pairwise intersection COUNTS, never
+    * on gram identity, so collapsing each gram to its xxhash64 preserves
+    * every result (including the DuckDB string-gram oracle's) except under
+    * a 2⁻⁶⁴ hash collision — while moving 8-byte longs instead of ~25-byte
+    * strings through the pair join's dominant shuffles. */
   private def sharedCapped(docs: DataFrame): DataFrame =
-    dfCapped(shingles(docs))
+    hashedCapped(docs)
 
-  /** Hashed-gram variant for the hash-defined pipelines (minhash, simhash):
-    * the gram string collapses to its xxhash64 BEFORE the distinct, so
-    * every downstream shuffle — distinct, df-count, the semi-join, the
-    * signature aggregate, both verification-join sides — moves 8-byte
-    * longs instead of ~25-byte strings. Not for n-gram jaccard: its DuckDB
-    * oracle computes jaccard over the STRING grams. An in-doc collision
-    * merges two grams (set size −1), a cross-doc collision adds one shared
-    * gram; in a 2⁶⁴ keyspace both are vanishing, and these consumers are
-    * recall-spec'd, not hash-checked. */
+  /** Hashed-gram shingles: the gram string collapses to its xxhash64
+    * BEFORE the distinct, so every downstream shuffle — distinct, df-count,
+    * the semi-join, the signature aggregate, both verification-join sides,
+    * the jaccard pair join — moves 8-byte longs instead of ~25-byte
+    * strings. An in-doc collision merges two grams (set size −1), a
+    * cross-doc collision adds one shared gram; in a 2⁶⁴ keyspace both are
+    * vanishing (P ≈ n²/2⁶⁵ ≈ 10⁻⁸ at the oracle gate's corpus size). */
   private def hashedCapped(docs: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
     val grams = docs.filter(col("doc_id").isNotNull && size(w) >= 3)
