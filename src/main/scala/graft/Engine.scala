@@ -87,7 +87,16 @@ object Engine {
     val tiny = largest > 0 && largest <= TinyBytes
     // small regime: tiny's latency cuts with parallel scans (see SmallBytes)
     val small = largest > TinyBytes && largest <= SmallBytes
-    val shufParts = if (tiny || small) math.min(8, shufflePartitions) else shufflePartitions
+    // tiny: 8-wide shuffles (scheduling dominates); small: 16 — wide enough
+    // that CPU-dense shuffle stages (ev_sessions' 10M-row session window,
+    // q1's agg) keep more cores busy, while still half the scheduling cost
+    // of 32 (A/B at sf1: 16 beats both 8 and 32 on the comparable total;
+    // the two bucketed-fact queries q9/q21 prefer 8 by ~50 ms but the
+    // scan-heavy queries win more)
+    val shufParts =
+      if (tiny) math.min(8, shufflePartitions)
+      else if (small) math.min(16, shufflePartitions)
+      else shufflePartitions
     // one split per file in tiny regime (single-row-group files, see below)
     val (effSplit, effOpen) =
       if (tiny) (128L * 1024 * 1024, 4L * 1024 * 1024) else (splitBytes, openCost)
