@@ -43,24 +43,43 @@ object Dedup {
   private def sharedCapped(docs: DataFrame): DataFrame =
     hashedCapped(docs)
 
-  /** Hashed-gram shingles: the gram string collapses to its xxhash64
-    * BEFORE the distinct, so every downstream shuffle — distinct, df-count,
-    * the semi-join, the signature aggregate, both verification-join sides,
-    * the jaccard pair join — moves 8-byte longs instead of ~25-byte
-    * strings. An in-doc collision merges two grams (set size −1), a
-    * cross-doc collision adds one shared gram; in a 2⁶⁴ keyspace both are
-    * vanishing (P ≈ n²/2⁶⁵ ≈ 10⁻⁸ at the oracle gate's corpus size). */
+  /** Hashed-gram shingles: the gram string collapses to its xxhash64, so
+    * every downstream shuffle — df-count, the signature aggregate, both
+    * verification-join sides, the jaccard pair join — moves 8-byte longs
+    * instead of ~25-byte strings. An in-doc collision merges two grams
+    * (set size −1), a cross-doc collision adds one shared gram; in a 2⁶⁴
+    * keyspace both are vanishing (P ≈ n²/2⁶⁵ ≈ 10⁻⁸ at the oracle gate's
+    * corpus size).
+    *
+    * Shape (round 8): a document's distinct gram set is computed ROW-LOCALLY
+    * (`array_distinct` over a `transform` of the word array) — the global
+    * `distinct()` the old shape shuffled is redundant because all of a doc's
+    * grams live in its own row, so in-doc dedup IS global dedup of
+    * (doc_id, g). That deletes the (doc_id, g) exchange + two dedup
+    * hash-aggregates that dominated the sf100 shingle pipelines (PERF_r10
+    * §4's negative result: skipping the distinct naively forced a second
+    * corpus scan; row-local dedup avoids both). The df-cap then rides ONE
+    * g-keyed exchange: a `count over (partition by g)` window — df is
+    * partition-local once the data is g-partitioned — instead of a
+    * df-count aggregate plus a semi-join back (two more exchanges). The
+    * window's sort-by-g also pre-sorts the pair join's merge inputs, so the
+    * SMJ adds no sort of its own. Consumers share the single g-exchange via
+    * ReuseExchange exactly as before (PlanSpec asserts it). */
   private def hashedCapped(docs: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
-    val grams = docs.filter(col("doc_id").isNotNull && size(w) >= 3)
+    val gs = docs.filter(col("doc_id").isNotNull && size(w) >= 3)
       .select(col("doc_id"), w.as("w"))
-      .select(col("doc_id"), explode(expr("sequence(1, size(w) - 2)")).as("i"), col("w"))
       .select(col("doc_id"),
-        xxhash64(concat_ws(" ", element_at(col("w"), col("i")),
-          element_at(col("w"), col("i") + 1),
-          element_at(col("w"), col("i") + 2))).as("g"))
-      .distinct()
-    dfCapped(grams)
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("w")) - 2),
+          i => xxhash64(concat_ws(" ",
+            element_at(col("w"), i),
+            element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2)))))).as("g"))
+    gs.withColumn("_df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+      .filter(col("_df") <= MaxShingleDf)
+      .select(col("doc_id"), col("g"))
   }
 
   /** Distinct (doc_id, 3-word-shingle) pairs. Guard size>=3: Spark's
