@@ -55,16 +55,18 @@ object Dedup {
     * (`array_distinct` over a `transform` of the word array) — the global
     * `distinct()` the old shape shuffled is redundant because all of a doc's
     * grams live in its own row, so in-doc dedup IS global dedup of
-    * (doc_id, g). That deletes the (doc_id, g) exchange + two dedup
+    * (doc_id, g). That deletes the dedup exchange + two dedup
     * hash-aggregates that dominated the sf100 shingle pipelines (PERF_r10
     * §4's negative result: skipping the distinct naively forced a second
-    * corpus scan; row-local dedup avoids both). The df-cap then rides ONE
-    * g-keyed exchange: a `count over (partition by g)` window — df is
-    * partition-local once the data is g-partitioned — instead of a
-    * df-count aggregate plus a semi-join back (two more exchanges). The
-    * window's sort-by-g also pre-sorts the pair join's merge inputs, so the
-    * SMJ adds no sort of its own. Consumers share the single g-exchange via
-    * ReuseExchange exactly as before (PlanSpec asserts it). */
+    * corpus scan; row-local dedup avoids both). The df-cap stays the
+    * HASH-aggregate + semi-join shape (dfCapped): a `count over
+    * (partition by g)` window was measured faster at sf10 (one exchange
+    * fewer) but catastrophically worse at sf100 — WindowExec SORTS its
+    * ~500M-row input on every consumption (the exchange is reused, the
+    * sort is not), and the external-sort spill exhausted the disk where
+    * the hash df-count's state is one long per distinct gram. A/B
+    * receipts: sf10 minhash 24.1→13.6 s (window) vs 24.1→15.9 s (this
+    * shape); sf100 window DNF (>20 min, disk), this shape completes. */
   private def hashedCapped(docs: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
     val gs = docs.filter(col("doc_id").isNotNull && size(w) >= 3)
@@ -76,11 +78,26 @@ object Dedup {
             element_at(col("w"), i),
             element_at(col("w"), i + 1),
             element_at(col("w"), i + 2)))))).as("g"))
-    gs.withColumn("_df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
-      .filter(col("_df") <= MaxShingleDf)
-      .select(col("doc_id"), col("g"))
+    dfCapped(gs)
   }
+
+  /** Re-key a grams frame by doc_id before a doc-keyed aggregation.
+    *
+    * The df-capped grams come out of the semi-join PARTITIONED BY g, so a
+    * direct groupBy(doc_id) runs its partial phase on partitions where
+    * nearly EVERY document appears (a doc's ~52 grams scatter across all g
+    * partitions: P(doc hits a given partition) ≈ 1−(31/32)⁵² ≈ 0.8). For a
+    * wide aggregate — minhash's 32 min columns, simhash's 64 bit-sums —
+    * the partial state is then #partitions × #docs × row width: ~38 GB of
+    * partial-aggregate exchange at sf100 (5M docs), which exhausted this
+    * host's 53 GB spill headroom. One explicit hash exchange of the raw
+    * (doc_id, g) rows (~260M × 16 B ≈ 5 GB) makes the partial phase a full
+    * combine (each partition owns its docs outright) and the post-partial
+    * exchange a no-op — Catalyst sees the child partitioning satisfies the
+    * aggregate's distribution. All doc-keyed consumers of one query share
+    * this single exchange via ReuseExchange. */
+  private[data] def byDocId(grams: DataFrame): DataFrame =
+    grams.repartition(col("doc_id"))
 
   /** Distinct (doc_id, 3-word-shingle) pairs. Guard size>=3: Spark's
     * sequence(1, n) with n<1 would produce a descending sequence.
@@ -142,9 +159,14 @@ object Dedup {
     * jaccardPairs + semi-join would re-enumerate every pair anyway, since the
     * two-sided pair aggregation can't be pushed past the semi-join). */
   private[data] def jaccardForCandidates(cand: DataFrame, grams: DataFrame): DataFrame = {
-    // caller passes already-df-capped grams (shared with signature generation)
-    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val ga = grams.toDF("a", "g")
+    // caller passes already-df-capped grams (shared with signature generation).
+    // byDoc: the doc-keyed consumers (sizes, the a-side join) read the grams
+    // through ONE doc_id exchange (shared with the caller's signature
+    // aggregate via ReuseExchange) — see byDocId's scaladoc for why doc-keyed
+    // aggregation must not run directly on the g-partitioned semi-join output.
+    val byDoc = byDocId(grams)
+    val sizes = byDoc.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val ga = byDoc.toDF("a", "g")
     val gb = grams.toDF("b", "g")
     val ic = cand.join(ga, Seq("a")).join(gb, Seq("b", "g"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ic"))
@@ -273,7 +295,9 @@ object Dedup {
     val hCol =
       if (grams.schema("g").dataType == org.apache.spark.sql.types.LongType) col("g")
       else xxhash64(col("g"))
-    val withH = grams.select(col("doc_id"), hCol.as("h"))
+    // byDocId: 64 bit-sum columns make the widest partial state of any
+    // doc-keyed aggregate — see byDocId's doc for the g-partitioned blowup
+    val withH = byDocId(grams).select(col("doc_id"), hCol.as("h"))
     val bitSums = withH.groupBy(col("doc_id")).agg(
       sum(when(col("h").bitwiseAND(lit(1L << 0)) =!= 0L, 1).otherwise(-1)).as("b0"),
       (1 until 64).map(i =>
@@ -320,7 +344,10 @@ object Dedup {
       def rot(c: Column, k: Int): Column =
         if (k == 0) c
         else shiftleft(c, k).bitwiseOR(shiftrightunsigned(c, 64 - k))
-      val mh = grams.groupBy(col("doc_id")).agg(
+      // byDocId: the 32-min partial phase on g-partitioned input is a
+      // 38 GB exchange at sf100 (see byDocId's doc); the doc_id exchange
+      // here is the SAME one the verification path reads (ReuseExchange)
+      val mh = byDocId(grams).groupBy(col("doc_id")).agg(
         min(h1.bitwiseXOR(h2)).as("h0"),
         (1 until nHash).map(k => min(h1.bitwiseXOR(rot(h2, k))).as(s"h$k")): _*)
       // one band-array explode instead of per-band re-aggregations — the

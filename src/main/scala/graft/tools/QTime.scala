@@ -30,7 +30,12 @@ object QTime {
     names.toSeq.foreach { n =>
       val q = SparkEntry.queries(n)
       time(q(spark, sfDir)) // warmup
-      val ts = Seq.fill(runs)(time(q(spark, sfDir)))
+      // GC after every run (outside the clock), same reason as Bench: shuffle
+      // files live until the driver GCs their ShuffleDependency; at sf100 a
+      // shingle query spills >10 GB per execution and two retained runs
+      // exhausted the disk (this host's fs reserves ~60% — ~53 GB usable).
+      System.gc()
+      val ts = Seq.fill(runs) { val r = time(q(spark, sfDir)); System.gc(); r }
       println(f"[qtime] $n%-24s median ${med(ts)}%.2f s  runs ${ts.map(x => f"$x%.2f").mkString(" ")}")
     }
     spark.stop()
