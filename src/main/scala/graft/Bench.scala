@@ -47,18 +47,24 @@ object Bench {
 
     val results: Seq[(String, Double)] = selected.filter(SparkEntry.queries.contains).map { name =>
       val t = try {
-        once(name) // warmup: JIT + codegen + file-footer caches
-        // 5 measured runs, median: per-query variance at small SFs is up to
-        // ±3x on shared hardware (PERF_r04.md §1) — a 3-run median still let
-        // one bad pair flag a phantom regression; 5 runs bound the damage.
+        val warm = once(name) // warmup: JIT + codegen + file-footer caches
+        System.gc()
+        // Run count adapts to query cost: 5 measured runs + median for
+        // sub-minute queries (per-query variance at small SFs is up to ±3x
+        // on shared hardware, PERF_r04.md §1 — 5 runs bound the damage),
+        // but a minutes-long query has proportionally low scheduling noise
+        // and 6 × 10 min of honest-sf100 ngram would dominate the whole
+        // campaign — 2 runs (report the faster, like the reference's
+        // benchmark.py min-of-runs) past a 60 s warmup.
         // GC after EVERY run (concurrent, after the clock stops): one sf100
         // run of a shingle-heavy query spills >10 GB, and six runs' retained
         // shuffle files exhausted the disk mid-query before the per-query
         // cleanup below ever ran
-        val runs = Seq.fill(5) { val r = once(name); System.gc(); r }
+        val n = if (warm >= 60.0) 2 else 5
+        val runs = Seq.fill(n) { val r = once(name); System.gc(); r }
         System.err.println(s"[bench] $name runs: " +
           runs.map(r => f"$r%.2f").mkString(" "))
-        runs.sorted.apply(2) // median
+        if (n == 2) runs.min else runs.sorted.apply(2) // median (min for long)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         -1.0

@@ -62,7 +62,11 @@ def connect(sf_dir):
 
 
 def run_one(sf_dir, sql):
-    """Child-process entry: 1 warmup + 5 measured, median → JSON on stdout."""
+    """Child-process entry: 1 warmup + 5 measured, median → JSON on stdout.
+    Same adaptive protocol as graft.Bench: past a 60 s warmup a query gets
+    2 measured runs (min reported) — minutes-long queries have
+    proportionally low scheduling noise and 6 runs would dominate the
+    campaign wall clock."""
     import duckdb
     con = connect(sf_dir)
 
@@ -76,9 +80,10 @@ def run_one(sf_dir, sql):
         finally:
             timer.cancel()
     try:
-        once()  # warmup
-        runs = sorted(once() for _ in range(5))
-        print(json.dumps({"ok": round(runs[2], 4)}))
+        warm = once()  # warmup
+        n = 2 if warm >= 60.0 else 5
+        runs = sorted(once() for _ in range(n))
+        print(json.dumps({"ok": round(runs[0] if n == 2 else runs[2], 4)}))
     except duckdb.InterruptException:
         print(json.dumps({"err": f"TIMEOUT>{TIMEOUT_S}s"}))
     except Exception as e:
