@@ -51,11 +51,21 @@ object Dedup {
     * keyspace both are vanishing (P ≈ n²/2⁶⁵ ≈ 10⁻⁸ at the oracle gate's
     * corpus size).
     *
+    * PRECONDITION (load-bearing for the row-local-dedup equivalence): the
+    * input has ONE ROW PER doc_id — true of the `documents` table (doc_id
+    * is its key). With duplicate doc_id rows, per-row `array_distinct`
+    * would emit duplicate (doc_id, g) pairs that a global distinct() would
+    * have merged: df counts inflate (over-capping) and per-doc set sizes
+    * double, silently corrupting every downstream jaccard. DedupSpec
+    * ("hashedCapped requires one row per doc_id") pins this contract —
+    * callers joining a multi-row-per-doc source must pre-aggregate
+    * (e.g. groupBy(doc_id).agg(concat_ws over collect_list)) first.
+    *
     * Shape (round 8): a document's distinct gram set is computed ROW-LOCALLY
     * (`array_distinct` over a `transform` of the word array) — the global
-    * `distinct()` the old shape shuffled is redundant because all of a doc's
-    * grams live in its own row, so in-doc dedup IS global dedup of
-    * (doc_id, g). That deletes the dedup exchange + two dedup
+    * `distinct()` the old shape shuffled is redundant because, given the
+    * precondition, all of a doc's grams live in its own row, so in-doc
+    * dedup IS global dedup of (doc_id, g). That deletes the dedup exchange + two dedup
     * hash-aggregates that dominated the sf100 shingle pipelines (PERF_r10
     * §4's negative result: skipping the distinct naively forced a second
     * corpus scan; row-local dedup avoids both). The df-cap stays the
@@ -67,7 +77,7 @@ object Dedup {
     * the hash df-count's state is one long per distinct gram. A/B
     * receipts: sf10 minhash 24.1→13.6 s (window) vs 24.1→15.9 s (this
     * shape); sf100 window DNF (>20 min, disk), this shape completes. */
-  private def hashedCapped(docs: DataFrame): DataFrame = {
+  private[graft] def hashedCapped(docs: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
     val gs = docs.filter(col("doc_id").isNotNull && size(w) >= 3)
       .select(col("doc_id"), w.as("w"))

@@ -17,6 +17,36 @@ object Subqueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
   type Q = (SparkSession, String) => DataFrame
 
+  /** relalg.singlejoin (RelAlgOps.td:350-364): left join guaranteeing ≤1
+    * right match per left row — the lowering of a correlated SCALAR
+    * subquery. The reference ERRORS at runtime when a subquery row matches
+    * more than once (SingleJoinLowering semantics; SQL's "scalar subquery
+    * returned more than one row"), and so does this: the right side is
+    * aggregated per join key with first(value) + count(*), and each value
+    * column is wrapped in a CASE that calls raise_error when the match
+    * count exceeds 1 — evaluated only for rows that actually join, so the
+    * happy path stays a plain broadcast/shuffle left join (same shape
+    * Catalyst's own RewriteCorrelatedScalarSubquery produces). first() is
+    * never exposed on the >1 path because that path raises.
+    *
+    * @param right    the correlated subquery's body, NOT pre-aggregated
+    * @param rightKey correlation key column in `right`
+    * @param valueCol the single scalar column the subquery yields
+    */
+  private[graft] def singleJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, valueCol: String): DataFrame = {
+    val agg = right.groupBy(col(rightKey)).agg(
+      count(lit(1)).as("__match_cnt"),
+      first(col(valueCol)).as(valueCol))
+    left.join(agg, col(leftKey) === col(rightKey), "left")
+      .withColumn(valueCol,
+        when(coalesce(col("__match_cnt"), lit(0L)) > 1,
+          raise_error(concat(lit("singlejoin: scalar subquery returned more than one row for key "),
+            col(rightKey).cast("string"))))
+          .otherwise(col(valueCol)))
+      .drop("__match_cnt", rightKey)
+  }
+
   val queries: Map[String, Q] = Map(
     // Uncorrelated scalar subquery — threshold from an aggregate
     // (relalg.getscalar RelAlgOps.td:507). Broadcast of a 1-row relation.
@@ -29,12 +59,14 @@ object Subqueries {
     }),
 
     // Correlated scalar subquery = single join (relalg.singlejoin
-    // RelAlgOps.td:350): ≤1 match per row, NULL-padded when absent.
+    // RelAlgOps.td:350): ≤1 match per row, NULL-padded when absent, ERROR
+    // on ambiguity (here the aggregated subquery guarantees ≤1 per key, so
+    // the assertion is statically dead; SubqueriesSpec has the negative
+    // case where it fires).
     "sub_scalar_corr" -> ((s, d) => {
       val mx = t(s, d, "orders")
         .groupBy(col("o_custkey")).agg(max(col("o_totalprice")).as("max_price"))
-      t(s, d, "customer")
-        .join(mx, col("c_custkey") === col("o_custkey"), "left")
+      singleJoin(t(s, d, "customer"), mx, "c_custkey", "o_custkey", "max_price")
         .select(col("c_custkey"), coalesce(col("max_price"), lit(-1.0)).as("max_price"))
         .orderBy("c_custkey")
     }),

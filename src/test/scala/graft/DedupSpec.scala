@@ -180,4 +180,24 @@ class DedupSpec extends SparkSpec {
       a < b && j >= 0.0 && j <= 1.0
     })
   }
+
+  test("hashedCapped requires one row per doc_id (documented precondition)") {
+    import spark.implicits._
+    // The round-8 row-local gram dedup (array_distinct per row) equals the
+    // old global distinct() ONLY when each doc_id appears on one row — the
+    // contract hashedCapped's scaladoc documents. This pins both sides:
+    // well-formed input yields true per-doc set sizes; duplicated doc_id
+    // rows inflate them (here 2x), which is why multi-row-per-doc sources
+    // must pre-aggregate before shingling.
+    val text = "w1 w2 w3 w4 w5" // 3 distinct trigram shingles
+    val clean = Seq((1L, text), (2L, "x1 x2 x3")).toDF("doc_id", "text")
+    val dup = Seq((1L, text), (1L, text), (2L, "x1 x2 x3")).toDF("doc_id", "text")
+    def sizes(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.data.Dedup.hashedCapped(df)
+        .groupBy("doc_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes(clean) == Map(1L -> 3L, 2L -> 1L))
+    assert(sizes(dup) == Map(1L -> 6L, 2L -> 1L),
+      "duplicate doc_id rows must double the gram multiset — the documented divergence")
+  }
 }

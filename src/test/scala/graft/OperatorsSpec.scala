@@ -48,4 +48,23 @@ class OperatorsSpec extends SparkSpec {
     val b = operators.TpchLike.q1(spark, sf).collect().map(_.toString).toSeq
     assert(a == b)
   }
+
+  test("singlejoin raises on >1 match (reference SingleJoinLowering semantics)") {
+    import spark.implicits._
+    val left = Seq((1L, "x"), (2L, "y")).toDF("k", "lv")
+    val unique = Seq((1L, 10.0)).toDF("rk", "rv")
+    val dup = Seq((1L, 10.0), (1L, 11.0)).toDF("rk", "rv")
+    // happy path: <=1 match per key, NULL-padded when absent
+    val ok = operators.Subqueries.singleJoin(left, unique, "k", "rk", "rv")
+      .orderBy("k").collect()
+    assert(ok.map(r => (r.getLong(0), Option(r.get(2)))).toSeq ==
+      Seq((1L, Some(10.0)), (2L, None)))
+    // ambiguous scalar subquery: reference errors, so must we
+    val e = intercept[Exception] {
+      operators.Subqueries.singleJoin(left, dup, "k", "rk", "rv").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("more than one row")), s"wrong error: $e")
+  }
 }

@@ -8,7 +8,10 @@ class — is the explicit stand-in (recorded as such in BASELINE.md).
 
 Runs each headline query's oracle SQL (the exact semantics the Spark side
 computes, from Verify's oracle_sql.json) over the SAME parquet files Bench
-reads, with the same protocol (1 warmup + 5 measured, median), all cores.
+reads, with the same protocol as graft.Bench (1 warmup, then 5 measured
+runs — or 2 once the first measured run reaches 60 s — MIN reported),
+all cores. The statistic and the adaptive rule are pinned identically in
+both engines so per-query ratios compare like with like.
 
 Per-query timeout (default 300 s, TIMEOUT_S env to override): the reference's
 own benchmark harness caps each query at 60 s (tools/scripts/benchmark.py:35);
@@ -62,11 +65,11 @@ def connect(sf_dir):
 
 
 def run_one(sf_dir, sql):
-    """Child-process entry: 1 warmup + 5 measured, median → JSON on stdout.
-    Same adaptive protocol as graft.Bench: past a 60 s warmup a query gets
-    2 measured runs (min reported) — minutes-long queries have
-    proportionally low scheduling noise and 6 runs would dominate the
-    campaign wall clock."""
+    """Child-process entry: 1 warmup + adaptive measured runs, min → JSON.
+    Same protocol as graft.Bench: 5 measured runs, or 2 once the FIRST
+    MEASURED run reaches 60 s (minutes-long queries have proportionally low
+    scheduling noise and 6 runs would dominate the campaign wall clock);
+    MIN across measured runs reported for every query on both engines."""
     import duckdb
     con = connect(sf_dir)
 
@@ -80,10 +83,10 @@ def run_one(sf_dir, sql):
         finally:
             timer.cancel()
     try:
-        warm = once()  # warmup
-        n = 2 if warm >= 60.0 else 5
-        runs = sorted(once() for _ in range(n))
-        print(json.dumps({"ok": round(runs[0] if n == 2 else runs[2], 4)}))
+        once()  # warmup
+        r1 = once()  # first measured run decides the count (see docstring)
+        runs = [r1] + [once() for _ in range(1 if r1 >= 60.0 else 4)]
+        print(json.dumps({"ok": round(min(runs), 4)}))
     except duckdb.InterruptException:
         print(json.dumps({"err": f"TIMEOUT>{TIMEOUT_S}s"}))
     except Exception as e:
