@@ -78,16 +78,28 @@ object Dedup {
     * receipts: sf10 minhash 24.1→13.6 s (window) vs 24.1→15.9 s (this
     * shape); sf100 window DNF (>20 min, disk), this shape completes. */
   private[graft] def hashedCapped(docs: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.{rolling_hash, splitmix64 => sm}
     val w = split(col("text"), " ")
+    // Gram hash (round 9, closed form): per-word 61-bit rolling_hash, then
+    // a position-sensitive splitmix64 chain over the 3-word window —
+    // sm64(sm64(sm64(h(w1)) ^ h(w2)) ^ h(w3)). Every step is mirrorable in
+    // plain SQL (OracleSql.sm64Select), which is what lets the minhash and
+    // simhash oracles enumerate the IDENTICAL signatures the engine
+    // computes (the old xxhash64(concat_ws) gram was engine-defined, so
+    // those two queries were rows-only-checked). Each word hashes ONCE per
+    // row (hw array) instead of ~3x through overlapping windows, and no
+    // 25-byte gram string is materialized — the window mix is 4 long ops.
+    // Collision analysis unchanged from the xxhash64 shape: 64-bit
+    // keyspace, P ≈ n²/2⁶⁵ at corpus scale (scaladoc above).
     val gs = docs.filter(col("doc_id").isNotNull && size(w) >= 3)
-      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"),
+        transform(w, wd => rolling_hash(wd)).as("hw"))
       .select(col("doc_id"),
         explode(array_distinct(transform(
-          sequence(lit(1), size(col("w")) - 2),
-          i => xxhash64(concat_ws(" ",
-            element_at(col("w"), i),
-            element_at(col("w"), i + 1),
-            element_at(col("w"), i + 2)))))).as("g"))
+          sequence(lit(1), size(col("hw")) - 2),
+          i => sm(sm(sm(element_at(col("hw"), i))
+            .bitwiseXOR(element_at(col("hw"), i + 1)))
+            .bitwiseXOR(element_at(col("hw"), i + 2)))))).as("g"))
     dfCapped(gs)
   }
 
@@ -332,10 +344,13 @@ object Dedup {
         .filter(col("jac") >= 0.1)
         .orderBy("a", "b")),
 
-    // MinHash (32 perms) + LSH (8 bands x 4 rows) with exact-jaccard
+    // MinHash (32 perms) + LSH (16 bands x 2 rows) with exact-jaccard
     // verification of candidates ONLY (jaccardForCandidates) — the pair
-    // enumeration LSH exists to avoid never runs. Engine-defined hashes →
-    // rows-only check; recall spec in DedupSpec.
+    // enumeration LSH exists to avoid never runs. The hash family is
+    // closed-form (round 9: rolling_hash words + splitmix64 mixing), so
+    // the DuckDB oracle replays the identical signatures and this query is
+    // fully hash-checked (OracleSql.minhashLshOracle); the recall spec in
+    // DedupSpec remains as the semantic gate.
     "dedup_minhash_lsh" -> ((s, d) => {
       // shared by the signature pass AND both sides of the verification
       // join — the identical subtrees let ReuseExchange compute the
@@ -347,10 +362,12 @@ object Dedup {
       // mode): h_k = h1 XOR rot(h2, k) gives 32 independent-enough
       // permutations from TWO hash evaluations per shingle instead of
       // 32 — the signature pass is the LSH bottleneck at corpus scale.
-      // grams.g is already a 64-bit gram hash (hashedCapped), so h1 is the
-      // gram itself and h2 one further xxhash64 round.
+      // grams.g is already a closed-form 64-bit gram hash (hashedCapped),
+      // so h1 is the gram itself and h2 one further splitmix64 round —
+      // both mirrored bit-exactly by the DuckDB oracle (OracleSql), which
+      // is what moves this query from rows-only to hash-checked.
       val h1 = col("g")
-      val h2 = xxhash64(col("g"))
+      val h2 = graft.functions.GraftFunctions.splitmix64(col("g"))
       def rot(c: Column, k: Int): Column =
         if (k == 0) c
         else shiftleft(c, k).bitwiseOR(shiftrightunsigned(c, 64 - k))
@@ -511,6 +528,10 @@ object Dedup {
   private[data] val MaxCcRounds = 30
 
   val oracle: Map[String, String] = Map(
+    // Closed-form hash family (round 9) → these two moved from rows-only
+    // to fully hash-checked; see OracleSql for the mod-2^64 SQL mirror.
+    "dedup_minhash_lsh" -> graft.util.OracleSql.minhashLshOracle,
+    "dedup_simhash" -> graft.util.OracleSql.simhashOracle,
     "dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY h",
     "dedup_ngram_jaccard" ->

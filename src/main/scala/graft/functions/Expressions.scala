@@ -98,6 +98,21 @@ object ExprUtil {
     s
   }
 
+  /** splitmix64 finalizer (Steele et al. 2014, public-domain constants):
+    * closed-form 64-bit mixer whose every step — wrapping add, logical
+    * shifts, wrapping multiplies — is reproducible in plain SQL (DuckDB:
+    * HUGEINT arithmetic mod 2^64, see graft.util.OracleSql.sm64Select).
+    * Used wherever a hash VALUE (not just hash equality) must be mirrored
+    * bit-exactly by the oracle: the minhash signature family and the
+    * simhash bit-majority input. xxhash64 stays for engine-internal
+    * bucket/band KEYS where only equality matters. */
+  def sm64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   def rollingHash(s: UTF8String): Long = {
     val bytes = s.getBytes
     var h = 0L
@@ -182,6 +197,16 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): RollingHash = copy(child = c)
 }
 
+/** splitmix64(long) → mixed long, codegen-native (see ExprUtil.sm64). */
+case class SplitMix64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "splitmix64"
+  override def nullSafeEval(v: Any): Any = ExprUtil.sm64(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprUtil.sm64($c)")
+  override protected def withNewChildInternal(c: Expression): SplitMix64 = copy(child = c)
+}
+
 /** nfc_normalize(str) → Unicode NFC canonical form, codegen-native (Spark has
   * no built-in normalizer; the reference's string runtime is byte-oriented and
   * sidesteps the question — this is the pipeline-grade answer). Oracle:
@@ -224,6 +249,8 @@ object GraftFunctions {
     GraftColumnBridge.column(Erf(GraftColumnBridge.expression(c.cast("double"))))
   def rolling_hash(c: Column): Column =
     GraftColumnBridge.column(RollingHash(GraftColumnBridge.expression(c.cast("string"))))
+  def splitmix64(c: Column): Column =
+    GraftColumnBridge.column(SplitMix64(GraftColumnBridge.expression(c.cast("long"))))
   def nfc_normalize(c: Column): Column =
     GraftColumnBridge.column(NfcNormalize(GraftColumnBridge.expression(c.cast("string"))))
   def text_stats(c: Column, stopwords: Seq[String]): Column =

@@ -20,6 +20,24 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(v - 0.8427007929497149) < 1e-12)
   }
 
+  test("splitmix64 finalizer: pinned vectors, codegen/interpreted parity") {
+    // sm64(0) is the first output of the splitmix64 stream from seed 0
+    // (0xE220A8397B1DCDAF — Steele et al.'s published reference value);
+    // sm64(1)/sm64(2) pin the finalizer on further inputs (cross-checked
+    // against the independent HUGEINT SQL implementation in
+    // OracleSql.sm64Ctes — minhash/simhash hash-matching depends on the
+    // two implementations agreeing bit-for-bit).
+    import graft.functions.ExprUtil.sm64
+    assert(sm64(0L) == java.lang.Long.parseUnsignedLong("E220A8397B1DCDAF", 16))
+    assert(sm64(1L) == java.lang.Long.parseUnsignedLong("910A2DEC89025CC1", 16))
+    assert(sm64(2L) == java.lang.Long.parseUnsignedLong("975835DE1C9756CE", 16))
+    // codegen and interpreted paths agree through the Column API
+    val df = spark.range(3).toDF("x")
+      .select(graft.functions.GraftFunctions.splitmix64(org.apache.spark.sql.functions.col("x")).as("h"))
+    assert(df.collect().map(_.getLong(0)).toSeq ==
+      Seq(sm64(0L), sm64(1L), sm64(2L)))
+  }
+
   test("rolling_hash: deterministic, content-sensitive, non-negative") {
     import org.apache.spark.unsafe.types.UTF8String
     val h1 = ExprUtil.rollingHash(UTF8String.fromString("hello world"))
