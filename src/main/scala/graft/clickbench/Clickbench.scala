@@ -174,9 +174,40 @@ object Clickbench {
       }
     }.mkString
 
+  /** `SELECT * FROM hits WHERE <pred> ORDER BY <ord> LIMIT <n>` — the q24
+    * shape: a wide-row top-k. Spark's TakeOrderedAndProject decodes EVERY
+    * projected column for EVERY row just to keep n of them (the three wide
+    * string columns dominate: ~9.7 s at ×45 vs DuckDB's 0.8, which
+    * late-materializes by rowid). */
+  private val wideTopKRe =
+    """(?is)^\s*SELECT\s+\*\s+FROM\s+hits\s+WHERE\s+(.+?)\s+ORDER\s+BY\s+([\w\s,."]+?)\s+LIMIT\s+(\d+)\s*;?\s*$""".r
+
   def run(spark: SparkSession, qn: String): DataFrame = {
     ensure(spark)
-    wrap(spark.sql(sparkSql(loadQuery(qn))))
+    loadQuery(qn) match {
+      case wideTopKRe(pred, ord, n) =>
+        // Two-phase late materialization (C-Store's technique, the same
+        // trade DuckDB's rowid fetch makes): phase 1 ranks on a NARROW scan
+        // (predicate + sort + unique-key columns only — the wide strings
+        // are never decoded), phase 2 refetches the n winners' full rows
+        // keyed by the table's unique row key (WatchID, unique by
+        // generation), which reaches the parquet scan as PushedFilters
+        // In(WatchID, ...) and prunes to the handful of row groups holding
+        // them. The n-key driver hop is the distributed form of the rowid
+        // join: bounded by LIMIT, same at any corpus size. WatchID is
+        // appended to the sort on BOTH phases and BOTH engines (detOrder
+        // does the same for the DuckDB text), so the total order — and the
+        // hash-compare — is unchanged.
+        val ids = spark.sql(
+          s"SELECT WatchID FROM cb_hits WHERE $pred ORDER BY $ord, WatchID LIMIT $n")
+          .collect().map(_.get(0).toString)
+        val df =
+          if (ids.isEmpty) spark.sql("SELECT * FROM cb_hits WHERE 1=0")
+          else spark.sql(s"SELECT * FROM cb_hits WHERE WatchID IN (${ids.mkString(",")}) " +
+            s"ORDER BY $ord, WatchID LIMIT $n")
+        wrap(df)
+      case q => wrap(spark.sql(sparkSql(q)))
+    }
   }
 
   def oracleFor(qn: String, sig: String): String = {

@@ -33,10 +33,13 @@ import json, sys, time, os, threading, subprocess, tempfile
 TIMEOUT_S = float(os.environ.get("TIMEOUT_S", "300"))
 MEM_LIMIT = os.environ.get("DUCKDB_MEM", "96GB")
 
+# spill-heavy queries last — same order as graft.Bench.headline (see its
+# scaladoc: the shingle pipelines evict the page cache and leave writeback
+# that inflates whatever runs next; light queries measure on a clean machine)
 HEADLINE = ["tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q10",
             "tpch_q21", "agg_rollup", "agg_groupjoin", "win_running_sum",
-            "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-            "dedup_embed_cos", "sim_cosine_topk", "text_quality", "ev_sessions"]
+            "dedup_exact", "sim_cosine_topk", "text_quality", "ev_sessions",
+            "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embed_cos"]
 
 
 def connect(sf_dir):
