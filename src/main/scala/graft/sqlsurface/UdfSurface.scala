@@ -198,16 +198,21 @@ object GraftSql {
     """(?is)^\s*COPY\s+(\w+)\s+FROM\s+'([^']+)'\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*$""".r
   private val setRe = """(?is)^\s*SET\s+(\S+)\s*(?:=|TO)\s*'?([^';]*)'?\s*;?\s*$""".r
 
-  private val createIndexRe = """(?is)^\s*CREATE\s+(?:UNIQUE\s+)?INDEX\s+.*$""".r
+  private val insertRe = """(?is)^\s*INSERT\s+INTO\s+(\w+)\b.*$""".r
+  private val createTableRe = """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\b.*$""".r
+  private val dropTableRe = """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$""".r
 
   /** Execute one statement; DDL/utility statements return an empty frame. */
   def apply(spark: SparkSession, stmt: String): DataFrame = {
     val s = stmt.trim
-    if (createIndexRe.findFirstIn(s).isDefined) {
+    if (IndexSurface.isCreateIndex(s)) {
       // Secondary hash indexes drive the reference's index-nested-loop joins
-      // (src/runtime/LingoDBHashIndex.cpp); on Spark the equivalent physical
-      // choice is broadcast/AQE join selection (SURVEY §2.5) — index DDL is
-      // accepted as a no-op, results are unaffected.
+      // (src/runtime/LingoDBHashIndex.cpp); the Spark-native equivalent is a
+      // bucketed+sorted physical layout — see IndexSurface.
+      IndexSurface.create(spark, s)
+      spark.emptyDataFrame
+    } else if (IndexSurface.isDropIndex(s)) {
+      IndexSurface.drop(spark, s)
       spark.emptyDataFrame
     } else if (UdfSurface.isCreateFunction(s)) {
       UdfSurface.execute(spark, s); spark.emptyDataFrame
@@ -230,12 +235,14 @@ object GraftSql {
       val reader = spark.read
         .option("delimiter", delim).option("header", header.toString)
         .option("nullValue", opts.getOrElse("NULL", ""))
+      IndexSurface.beforeWrite(spark, table) // resolve past any index shadow
       if (Try(spark.catalog.tableExists(table)).getOrElse(false)) {
         // Declared-schema table: COPY appends with the table's types, like the
         // reference's catalog append (reference src/runtime/RelationHelper.cpp:93-145)
         val target = spark.table(table)
         val df = reader.schema(target.schema).csv(path)
         df.write.mode("append").insertInto(table)
+        IndexSurface.afterWrite(spark, table)
       } else {
         // no declared target: expose the file as an inferred-schema view
         reader.option("inferSchema", "true").csv(path).createOrReplaceTempView(table)
@@ -248,6 +255,20 @@ object GraftSql {
     } else if (PipeSql.splitTop(s, "|>").length > 1) {
       PipeSql.sql(spark, s)
     } else {
+      // index maintenance around DML/DDL that mutates an indexed table: an
+      // INSERT must reach the BASE table (not the index's shadow view) and
+      // the bucketed snapshot is rebuilt afterwards; re-CREATE/DROP of the
+      // table discards its indexes (reference IndexCatalogEntry lifecycle)
+      s match {
+        case insertRe(table) if IndexSurface.indexedTables(spark)(table.toLowerCase) =>
+          IndexSurface.beforeWrite(spark, table)
+          val r = spark.sql(SqlCanonicalizer(s))
+          IndexSurface.afterWrite(spark, table)
+          return r
+        case createTableRe(table) => IndexSurface.invalidate(spark, table)
+        case dropTableRe(table) => IndexSurface.invalidate(spark, table)
+        case _ =>
+      }
       // engine-side canonicalization (outer-agg decomposition, deep-
       // correlation hoisting, …) — every SQL entry point gets it, not just
       // the sqllogictest harness
