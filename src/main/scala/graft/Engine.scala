@@ -138,6 +138,14 @@ object Engine {
       // Scan-split sizing — derived from the file layout, see scanSplitConf
       .config("spark.sql.files.maxPartitionBytes", effSplit.toString)
       .config("spark.sql.files.openCostInBytes", effOpen.toString)
+      // Vectorized-reader batch: 16k rows/batch instead of the default 4k.
+      // Fewer batch boundaries per scan = fewer per-batch bookkeeping stalls
+      // in the decode hot loop (A/B at sf100, QTime runs=5: tpch_q9
+      // 10.12 → 9.47 s median, q3/q5/q6 each ~5%; neutral at sf0.1; 32k
+      // regressed — L2-resident batches stop paying off past ~16k). The
+      // schemas here are narrow (≤17 columns), so per-batch memory stays
+      // a few MB; a wide-schema deployment would revisit this.
+      .config("spark.sql.parquet.columnarReaderBatchSize", "16384")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Bucketed scans report their on-disk sort order so co-located

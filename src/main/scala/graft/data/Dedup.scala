@@ -246,17 +246,20 @@ object Dedup {
 
   /** Per-vector combo keys (6 rows/vector). */
   private[graft] def signBandKeys(emb: DataFrame): DataFrame = {
-    val bandVals = array((0 until 4).map { j =>
-      (0 until 16).map { r =>
-        when(element_at(col("embedding"), j * 16 + r + 1) >= 0f, lit(1 << r))
-          .otherwise(lit(0))
-      }.reduce(_ + _)
-    }: _*)
+    // One codegen-native sign_bits node instead of 96 inlined CASE WHENs:
+    // band j = bits[16j .. 16j+15], bit-for-bit the old Σ-of-whens value
+    // (SignBits scaladoc pins the equivalence), so the closed-form DuckDB
+    // oracle is unchanged. The CASE-WHEN tree was ~64 KB and the candidate
+    // self-join put it on BOTH sides — Catalyst spent ~2.8 s/run generating
+    // whole-stage source for it (PhaseProbe sf0.1: toRdd 2.79 s of the
+    // 4.4 s total, at every scale factor since planning cost is
+    // data-independent).
+    val bits = graft.functions.GraftFunctions.sign_bits(col("embedding"))
+    val band = (j: Int) =>
+      shiftrightunsigned(bits, 16 * j).bitwiseAND(lit(0xFFFFL))
     val combos = Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
     val keyArr = array(combos.zipWithIndex.map { case ((x, y), ci) =>
-      struct(lit(ci).as("ci"),
-        (element_at(bandVals, x + 1).cast("long") * 65536L +
-          element_at(bandVals, y + 1).cast("long")).as("kv"))
+      struct(lit(ci).as("ci"), (band(x) * 65536L + band(y)).as("kv"))
     }: _*)
     emb.select(col("vec_id"), explode(keyArr).as("k"))
       .select(col("vec_id"), col("k.ci").as("ci"), col("k.kv").as("kv"))

@@ -113,6 +113,18 @@ object ExprUtil {
     z ^ (z >>> 31)
   }
 
+  /** See [[SignBits]]: bit i (0-based) ⇔ element i+1 ≥ 0, first 64 elems.
+    * `!(x < 0)` not `x >= 0`: Spark SQL orders NaN above every value, so
+    * the CASE-WHEN formulation this replaces sets the bit for NaN — Java's
+    * `NaN >= 0` would not. */
+  def signBits(a: ArrayData): Long = {
+    val n = math.min(64, a.numElements())
+    var bits = 0L
+    var i = 0
+    while (i < n) { if (!(a.getFloat(i) < 0f)) bits |= 1L << i; i += 1 }
+    bits
+  }
+
   def rollingHash(s: UTF8String): Long = {
     val bytes = s.getBytes
     var h = 0L
@@ -207,6 +219,32 @@ case class SplitMix64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): SplitMix64 = copy(child = c)
 }
 
+/** sign_bits(array<float>) → long with bit i set iff element i+1 ≥ 0
+  * (first 64 elements). One codegen-native node replacing the 96-deep
+  * CASE-WHEN band construction in the sign-LSH pipelines: semantics are
+  * IDENTICAL to `Σ CASE WHEN element_at(v, i+1) >= 0 THEN 2ⁱ END` per
+  * 16-bit band (band j = bits >>> 16j & 0xFFFF), so the closed-form DuckDB
+  * oracles are untouched — but the Catalyst tree shrinks from ~64 KB
+  * (which the self-join duplicated onto both sides, costing ~2.8 s of
+  * whole-stage codegen source generation PER RUN at any SF) to one node.
+  * NaN SETS the bit: Spark SQL comparison semantics order NaN above every
+  * numeric, so the CASE WHEN it replaces evaluates `NaN >= 0` to true. */
+case class SignBits(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_bits"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sign_bits needs array<float>, got $other")
+    }
+  override def nullSafeEval(v: Any): Any = ExprUtil.signBits(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprUtil.signBits($c)")
+  override protected def withNewChildInternal(c: Expression): SignBits = copy(child = c)
+}
+
 /** nfc_normalize(str) → Unicode NFC canonical form, codegen-native (Spark has
   * no built-in normalizer; the reference's string runtime is byte-oriented and
   * sidesteps the question — this is the pipeline-grade answer). Oracle:
@@ -255,6 +293,8 @@ object GraftFunctions {
     GraftColumnBridge.column(NfcNormalize(GraftColumnBridge.expression(c.cast("string"))))
   def text_stats(c: Column, stopwords: Seq[String]): Column =
     GraftColumnBridge.column(TextStats(GraftColumnBridge.expression(c.cast("string")), stopwords))
+  def sign_bits(c: Column): Column =
+    GraftColumnBridge.column(SignBits(GraftColumnBridge.expression(c)))
   def array_dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(ArrayDot(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))

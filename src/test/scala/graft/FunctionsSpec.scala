@@ -107,4 +107,27 @@ class FunctionsSpec extends SparkSpec {
       .map(s => ExprUtil.rollingHash(org.apache.spark.unsafe.types.UTF8String.fromString(s)))
     assert(viaExpr.toSeq == direct)
   }
+
+  test("sign_bits equals the CASE-WHEN band construction it replaced") {
+    import spark.implicits._
+    // the exact formulation Dedup.signBandKeys used before SignBits; the
+    // equivalence here is what keeps the closed-form DuckDB oracle valid
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.fill(50)(Array.fill(64)((rnd.nextGaussian() - 0.3).toFloat)) :+
+      Array.fill(64)(0f) :+ Array.fill(64)(Float.NaN)
+    val df = vecs.map(v => Tuple1(v)).toDF("embedding")
+    val whenBands = (0 until 4).map { j =>
+      (0 until 16).map { r =>
+        when(element_at(col("embedding"), j * 16 + r + 1) >= 0f, lit(1 << r))
+          .otherwise(lit(0))
+      }.reduce(_ + _).cast("long")
+    }
+    val bits = GraftFunctions.sign_bits(col("embedding"))
+    val bands = (0 until 4).map(j =>
+      shiftrightunsigned(bits, 16 * j).bitwiseAND(lit(0xFFFFL)))
+    val mismatches = df.select(
+      (0 until 4).map(j => (whenBands(j) =!= bands(j)).as(s"m$j")): _*)
+      .collect().count(r => (0 until 4).exists(r.getBoolean))
+    assert(mismatches == 0)
+  }
 }
