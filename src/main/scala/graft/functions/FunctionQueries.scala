@@ -227,6 +227,26 @@ object FunctionQueries {
         .orderBy("p_partkey")
     }),
 
+    // statement-shaped C body (loops/mutation) → interpreter path
+    // (graft.functions.CInterp; the reference compiles these via cc+dlopen,
+    // UDFImplementer.cpp). Oracle: DuckDB's native gcd — semantics pinned
+    // against the real math, not our own interpreter.
+    "fn_c_udf_loop" -> ((s, d) => {
+      graft.sqlsurface.UdfSurface.execute(s,
+        """CREATE OR REPLACE FUNCTION graft_c_gcd(a bigint, b bigint) RETURNS bigint LANGUAGE c AS $$
+          while (b != 0) {
+            long t = b;
+            b = a % b;
+            a = t;
+          }
+          return a < 0 ? -a : a;
+        $$""")
+      t(s, d, "part").filter(col("p_partkey") <= 300)
+        .select(col("p_partkey"),
+          expr("graft_c_gcd(p_partkey, p_size)").as("g"))
+        .orderBy("p_partkey")
+    }),
+
     // interpreted Python UDF (reference py_interp bridge; PyInterp.scala) —
     // the oracle replays the same arithmetic/string semantics in plain SQL
     "fn_py_udf" -> ((s, d) => {
@@ -386,6 +406,9 @@ object FunctionQueries {
     "fn_udf_macro" ->
       """SELECT p_partkey, CAST(p_size + 1 AS INTEGER) AS size1,
                 p_retailprice * 2.0 + 1.0 AS scaled
+         FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""",
+    "fn_c_udf_loop" ->
+      """SELECT p_partkey, gcd(p_partkey, CAST(p_size AS BIGINT)) AS g
          FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""",
     "fn_py_udf" ->
       """SELECT p_partkey, CAST(p_size * 6 AS INTEGER) AS tax6,

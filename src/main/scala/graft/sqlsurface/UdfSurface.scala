@@ -156,6 +156,31 @@ object UdfSurface {
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "python_udf")
       name
+    case (name, argList, retType, "c" | "C", body0)
+        if Try(translateCBody(body0.trim)).isFailure =>
+      // statement-shaped C (loops, mutation, blocks): interpreted per row —
+      // see CInterp. Expression-shaped bodies fall through to the Catalyst
+      // macro below (codegen'd, optimizer-visible) as before.
+      val args: Seq[(String, String)] = argList.trim match {
+        case "" => Seq.empty
+        case l => l.split(",").toSeq.map { a =>
+          val parts = a.trim.split("\\s+", 2)
+          require(parts.length == 2, s"malformed UDF argument: '$a'")
+          (parts(0).toLowerCase, normalizeType(parts(1)))
+        }
+      }
+      val fn = graft.functions.CInterp.parse(args.map(_._1), body0.trim)
+      val retDt = CatalystSqlParser.parseDataType(normalizeType(retType))
+      val argDts = args.map(a => CatalystSqlParser.parseDataType(a._2))
+      val builder: Seq[Expression] => Expression = { exprs =>
+        require(exprs.length == argDts.length,
+          s"$name expects ${argDts.length} arguments, got ${exprs.length}")
+        val castArgs = exprs.zip(argDts).map { case (e, dt) => Cast(e, dt) }
+        graft.functions.CUdfExpression(fn, retDt, castArgs)
+      }
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "sql_udf")
+      name
     case (name, argList, retType, language, body0) =>
       val body = language.toLowerCase match {
         case "sql" | "scala" => body0.trim
