@@ -66,16 +66,26 @@ import scala.collection.mutable.{ArrayBuffer, HashMap, LinkedHashMap}
   * `from collections import Counter, defaultdict` (most_common/update;
   * int/list/lambda factories).
   *
-  * Classes: module-level `class Name:` with `__init__`, methods,
+  * Classes: module-level `class Name[(Base)]:` with `__init__`, methods,
   * instance attributes (read/write/augmented), simple class-level
-  * constants (evaluated per instantiation), `isinstance` checks. No
-  * inheritance, no dunder protocol beyond `__init__`.
+  * constants (evaluated per instantiation), single inheritance with
+  * method/attr lookup through the base chain and subclass-aware
+  * `isinstance` (round 9). No `super()`, no dunder protocol beyond
+  * `__init__`.
+  *
+  * Round 9 additions: nested `def` → closures over the defining frame
+  * (live reads by reference; assignment is local per CPython unless
+  * declared `nonlocal`, which writes through — counters/accumulators
+  * work), `**kwargs` parameters (unmatched keywords collect into a dict),
+  * and class inheritance as above.
   *
   * Out of scope (rejected with a clear parse error, documented in
-  * COVERAGE.md known-gaps): nested defs (closure writes), imports beyond
-  * math/re/collections, `**kwargs`, class inheritance, generators with
-  * `yield`. The exact accepted grammar is documented in
-  * [[graft.sqlsurface.UdfSurface]].
+  * COVERAGE.md known-gaps): generators with `yield`, `global`
+  * declarations, call-site `**d` splat, `super()`, imports beyond
+  * math/re/collections. One documented closure divergence: reading a name
+  * before its first local assignment sees the enclosing binding instead
+  * of raising UnboundLocalError (dynamic-env model). The exact accepted
+  * grammar is documented in [[graft.sqlsurface.UdfSurface]].
   *
   * Deliberately interpreted, not codegen'd: an external-language UDF is
   * opaque to Catalyst in the reference too (SURVEY §2.7). NULL inputs
@@ -150,14 +160,30 @@ object PyInterp {
       consts: Seq[PStmt] = Nil,
       vararg: Option[String] = None,
       classes: Map[String, PyClass] = Map.empty,
-      imported: Set[String] = Set.empty)
+      imported: Set[String] = Set.empty,
+      kwarg: Option[String] = None)
 
-  /** A `class Name:` definition — methods (defs whose first param is
-    * `self`) plus simple class-level assignments. No inheritance, no
-    * dunder protocol beyond `__init__`; class attributes are evaluated
+  /** `def` nested inside a function body: binds a [[PyClosure]] over the
+    * defining frame at execution time (round 9). */
+  private final case class PDefStmt(fn: PyFunc) extends PStmt
+  /** `nonlocal a, b` — registers write-through names on the closure frame. */
+  private final case class PNonlocal(names: Seq[String]) extends PStmt
+
+  /** A `class Name[(Base)]:` definition — methods (defs whose first param
+    * is `self`) plus simple class-level assignments. Single inheritance
+    * (round 9): method/attr lookup walks `parent`; no dunder protocol
+    * beyond `__init__`, no `super()` (call the base method through an
+    * explicit instance pattern instead); class attributes are evaluated
     * per instantiation (shared mutable class state is out of scope). */
   final case class PyClass(name: String, methods: Map[String, PyFunc],
-    attrs: Seq[PStmt])
+    attrs: Seq[PStmt], parent: Option[PyClass] = None) {
+    def findMethod(m: String): Option[PyFunc] =
+      methods.get(m).orElse(parent.flatMap(_.findMethod(m)))
+    def isSubclassOf(other: PyClass): Boolean =
+      (this eq other) || parent.exists(_.isSubclassOf(other))
+    /** Base-first attr statements (child overrides by re-assignment). */
+    def allAttrs: Seq[PStmt] = parent.map(_.allAttrs).getOrElse(Nil) ++ attrs
+  }
 
   /** An instance: its class + mutable attribute table. */
   final class PyInstance(val cls: PyClass,
@@ -673,8 +699,16 @@ object PyInterp {
             Option(m.group(2)).filter(_.nonEmpty).map(exprOf))
           p += 1
         } else if (t.startsWith("def ")) {
-          throw new IllegalArgumentException(
-            "py parse: nested def (closures) is outside the supported subset")
+          // nested def → closure over the defining frame (round 9)
+          val (fn, np) = parseDef(lines, p, indent)
+          out += PDefStmt(fn)
+          p = np
+        } else if (t == "nonlocal" || t.startsWith("nonlocal ")) {
+          val names = t.stripPrefix("nonlocal").split(",").map(_.trim).filter(_.nonEmpty)
+          require(names.nonEmpty && names.forall(_.matches("\\w+")),
+            s"py parse: bad nonlocal statement: $t")
+          out += PNonlocal(names.toSeq)
+          p += 1
         } else if (t.startsWith("import ") || t.startsWith("from ")) {
           throw new IllegalArgumentException(
             "py parse: imports are only allowed at module level, and only 'math'")
@@ -812,17 +846,24 @@ object PyInterp {
     val params = ArrayBuffer.empty[String]
     val defaults = LinkedHashMap.empty[String, PExpr]
     var vararg: Option[String] = None
+    var kwarg: Option[String] = None
     rawParams.foreach { rp =>
-      if (rp.startsWith("**")) throw new IllegalArgumentException(
-        s"py parse: **kwargs parameters are outside the supported subset: $rp")
+      if (rp.startsWith("**")) {
+        require(kwarg.isEmpty, s"py parse: duplicate **kwargs parameter: $rp")
+        val name = rp.drop(2).split(":").head.trim
+        require(name.matches("\\w+"), s"py parse: unsupported parameter form: $rp")
+        kwarg = Some(name)
+      }
       else if (rp.startsWith("*")) {
         require(vararg.isEmpty, s"py parse: duplicate *args parameter: $rp")
+        require(kwarg.isEmpty, s"py parse: *args after **kwargs: $rp")
         val name = rp.drop(1).split(":").head.trim
         require(name.matches("\\w+"), s"py parse: unsupported parameter form: $rp")
         vararg = Some(name)
       } else {
         require(vararg.isEmpty,
           s"py parse: parameters after *args are outside the supported subset: $rp")
+        require(kwarg.isEmpty, s"py parse: parameters after **kwargs: $rp")
         val (nameAnn, dflt) = rp.indexOf('=') match {
           case -1 => (rp, None)
           case i => (rp.take(i).trim, Some(rp.drop(i + 1).trim))
@@ -834,7 +875,8 @@ object PyInterp {
       }
     }
     val (body, np) = parseBlock(lines, p + 1, nextIndent(lines, p + 1, outerIndent))
-    (PyFunc(m.group(1), params.toSeq, body, defaults.toMap, vararg = vararg), np)
+    (PyFunc(m.group(1), params.toSeq, body, defaults.toMap, vararg = vararg,
+      kwarg = kwarg), np)
   }
 
   /** Parse a module: imports (`math`, `re`, `collections`), module
@@ -880,8 +922,14 @@ object PyInterp {
       } else if (t.startsWith("class ")) {
         val m = classRe.findFirstMatchIn(t).getOrElse(
           throw new IllegalArgumentException(s"py parse: unsupported class form: $t"))
-        require(m.group(2) == null || m.group(2).isEmpty || m.group(2) == "object",
-          s"py parse: class inheritance is outside the supported subset: $t")
+        // single inheritance (round 9): the base must be defined earlier in
+        // the module, same as CPython's execution order requires
+        val parent: Option[PyClass] = m.group(2) match {
+          case null | "" | "object" => None
+          case base => Some(classes.getOrElse(base,
+            throw new IllegalArgumentException(
+              s"py parse: base class '$base' is not defined (define it before '$t')")))
+        }
         val bodyIndent = nextIndent(lines, p + 1, modIndent)
         val methods = LinkedHashMap.empty[String, PyFunc]
         val attrs = ArrayBuffer.empty[PStmt]
@@ -903,7 +951,7 @@ object PyInterp {
               s"py parse: unsupported class-body statement: $ct")
           }
         }
-        classes(m.group(1)) = PyClass(m.group(1), methods.toMap, attrs.toSeq)
+        classes(m.group(1)) = PyClass(m.group(1), methods.toMap, attrs.toSeq, parent)
         p = q
       } else if (t.startsWith("def ")) {
         val (fn, np) = parseDef(lines, p, modIndent)
@@ -968,16 +1016,25 @@ object PyInterp {
   }
 
   private def callIn(fn: PyFunc, args: Seq[Any], ctx: Ctx,
-      kwargs: Map[String, Any] = Map.empty): Any = {
+      kwargs: Map[String, Any] = Map.empty,
+      enclosing: Option[HashMap[String, Any]] = None): Any = {
     ctx.depth += 1
     require(ctx.depth <= MaxDepth,
       s"py: maximum recursion depth exceeded in ${fn.name}")
     try {
-      // seed from the module env: a binding copy, so assignment inside the
-      // frame stays local (CPython: assignment without `global` is local)
-      // while mutable objects (lists, dicts) stay shared across frames
-      val env = HashMap.empty[String, Any]
-      env ++= ctx.constEnv
+      // Module defs seed a binding COPY of the module env, so assignment
+      // inside the frame stays local (CPython: assignment without `global`
+      // is local) while mutable objects (lists, dicts) stay shared across
+      // frames. Closure calls instead CHAIN to the defining frame (live
+      // reads, `nonlocal` write-through — see ChainedEnv); the chain
+      // bottoms out at a module frame, so module bindings stay reachable.
+      val env: HashMap[String, Any] = enclosing match {
+        case Some(captured) => new ChainedEnv(captured)
+        case None =>
+          val e = HashMap.empty[String, Any]
+          e ++= ctx.constEnv
+          e
+      }
       val bound = scala.collection.mutable.HashSet.empty[String]
       fn.params.zip(args).foreach { case (p, v) => env(p) = v; bound += p }
       if (args.size > fn.params.size) {
@@ -986,13 +1043,23 @@ object PyInterp {
             s"but ${args.size} were given"))
         env(va) = args.drop(fn.params.size).toVector
       } else fn.vararg.foreach(va => env(va) = Vector.empty[Any])
+      // keyword arguments: declared params bind by name; the rest collect
+      // into the **kwargs dict if the def declares one (round 9)
+      val extraKw = fn.kwarg.map(_ => LinkedHashMap.empty[Any, Any])
       kwargs.foreach { case (k, v) =>
-        if (!fn.params.contains(k)) throw new PyError("TypeError",
-          s"${fn.name}() got an unexpected keyword argument '$k'")
-        if (bound(k)) throw new PyError("TypeError",
-          s"${fn.name}() got multiple values for argument '$k'")
-        env(k) = v; bound += k
+        if (!fn.params.contains(k)) {
+          extraKw match {
+            case Some(m) => m(k) = v
+            case None => throw new PyError("TypeError",
+              s"${fn.name}() got an unexpected keyword argument '$k'")
+          }
+        } else {
+          if (bound(k)) throw new PyError("TypeError",
+            s"${fn.name}() got multiple values for argument '$k'")
+          env(k) = v; bound += k
+        }
       }
+      fn.kwarg.foreach(kw => env(kw) = extraKw.get)
       fn.params.filterNot(bound).foreach { p =>
         val d = fn.defaults.getOrElse(p, throw new PyError("TypeError",
           s"${fn.name}() missing argument '$p'"))
@@ -1007,6 +1074,12 @@ object PyInterp {
     stmts.foreach {
       case PReturn(e) =>
         throw new ReturnException(eval(e, env, ctx))
+      case PDefStmt(fn) => env(fn.name) = PyClosure(fn, env)
+      case PNonlocal(names) => env match {
+        case ce: ChainedEnv => ce.nonlocals ++= names
+        case _ => throw new IllegalArgumentException(
+          "py: nonlocal declaration outside a nested function")
+      }
       case PAssign(n, e) => env(n) = eval(e, env, ctx)
       case PTupleAssign(names, rhs) =>
         // Python semantics: the whole RHS evaluates before any name binds,
@@ -1538,7 +1611,7 @@ object PyInterp {
       case (ReModule, "DOTALL" | "S") => 16L
       case (inst: PyInstance, n) =>
         inst.attrs.getOrElse(n,
-          if (inst.cls.methods.contains(n)) BoundMethod(inst, n)
+          if (inst.cls.findMethod(n).isDefined) BoundMethod(inst, n)
           else throw new PyError("AttributeError",
             s"'${inst.cls.name}' object has no attribute '$n'"))
       case (v, n) => BoundMethod(v, n) // resolved at call time
@@ -1669,7 +1742,7 @@ object PyInterp {
       require(kwargs.isEmpty, s"py: keyword arguments not supported on re.$name")
       reCall(name, args, ctx)
     case BoundMethod(inst: PyInstance, name) =>
-      inst.cls.methods.get(name) match {
+      inst.cls.findMethod(name) match {
         case Some(m) => callIn(m, inst +: args, ctx, kwargs)
         case None => throw new PyError("AttributeError",
           s"'${inst.cls.name}' object has no attribute '$name'")
@@ -1678,6 +1751,7 @@ object PyInterp {
       require(kwargs.isEmpty, s"py: keyword arguments not supported on method $name")
       callMethod(recv, name, args)
     case fn: PyFunc => callIn(fn, args, ctx, kwargs)
+    case PyClosure(fn, captured) => callIn(fn, args, ctx, kwargs, Some(captured))
     case cls: PyClass => instantiate(cls, args, kwargs, ctx)
     case PyLambda(params, body, captured) =>
       require(kwargs.isEmpty, "py: keyword arguments not supported on lambda")
@@ -1700,16 +1774,17 @@ object PyInterp {
   private def instantiate(cls: PyClass, args: Seq[Any],
       kwargs: Map[String, Any], ctx: Ctx): Any = {
     val inst = new PyInstance(cls)
-    if (cls.attrs.nonEmpty) {
+    val attrStmts = cls.allAttrs
+    if (attrStmts.nonEmpty) {
       val tmp = HashMap.empty[String, Any]
       tmp ++= ctx.constEnv
-      exec(cls.attrs, tmp, ctx)
-      cls.attrs.foreach {
+      exec(attrStmts, tmp, ctx)
+      attrStmts.foreach {
         case PAssign(n, _) => inst.attrs(n) = tmp(n)
         case _ =>
       }
     }
-    cls.methods.get("__init__") match {
+    cls.findMethod("__init__") match {
       case Some(init) => callIn(init, inst +: args, ctx, kwargs)
       case None => require(args.isEmpty && kwargs.isEmpty,
         s"py: ${cls.name}() takes no arguments")
@@ -1806,7 +1881,7 @@ object PyInterp {
         case BuiltinRef("tuple") => v.isInstanceOf[Vector[_]]
         case BuiltinRef("dict") => v.isInstanceOf[LinkedHashMap[_, _]]
         case cls: PyClass => v match {
-          case inst: PyInstance => inst.cls eq cls
+          case inst: PyInstance => inst.cls.isSubclassOf(cls)
           case _ => false
         }
         case other => throw new PyError("TypeError",
@@ -2048,6 +2123,37 @@ object PyInterp {
     * out of scope, as for defs). */
   private final case class PyLambda(params: Seq[String], body: PExpr,
     captured: HashMap[String, Any])
+
+  /** A nested `def` bound as a value: full statement body + the DEFINING
+    * frame's env, shared by reference (CPython closure cells). Reads fall
+    * through to the enclosing frame; assignment is local (CPython:
+    * assignment without `nonlocal` creates a local) unless declared
+    * `nonlocal`, which writes through to the enclosing frame — see
+    * [[ChainedEnv]]. Self- and sibling-recursion work because the closure
+    * name is bound in the defining frame before any call. */
+  private final case class PyClosure(fn: PyFunc, captured: HashMap[String, Any])
+
+  /** Frame env for closure calls: lookup chains to the defining frame
+    * (live, by reference); writes stay local unless the name was declared
+    * `nonlocal`. One CPython divergence, shared with the rest of this
+    * interpreter's dynamic-env model: reading a name before its first
+    * local assignment sees the enclosing binding instead of raising
+    * UnboundLocalError. */
+  private final class ChainedEnv(parent: HashMap[String, Any])
+      extends HashMap[String, Any] {
+    val nonlocals = scala.collection.mutable.HashSet.empty[String]
+    override def get(k: String): Option[Any] =
+      if (nonlocals(k)) parent.get(k) else super.get(k).orElse(parent.get(k))
+    override def apply(k: String): Any =
+      get(k).getOrElse(throw new NoSuchElementException(s"key not found: $k"))
+    override def getOrElse[V1 >: Any](k: String, default: => V1): V1 =
+      get(k).getOrElse(default)
+    override def contains(k: String): Boolean =
+      (nonlocals(k) && parent.contains(k)) || super.contains(k) || parent.contains(k)
+    override def put(k: String, v: Any): Option[Any] =
+      if (nonlocals(k)) parent.put(k, v) else super.put(k, v)
+    override def update(k: String, v: Any): Unit = { put(k, v); () }
+  }
 
   /** A builtin referenced as a value (`key=len`). */
   private final case class BuiltinRef(name: String)

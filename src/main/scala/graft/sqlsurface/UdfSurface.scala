@@ -62,9 +62,13 @@ import scala.util.Try
   * and module-level `class Name:` with `__init__`/methods/instance
   * attributes — see [[graft.functions.PyInterp]].
   *
+  * Round 9: nested `def` (closures with live enclosing-frame reads and
+  * `nonlocal` write-through), `**kwargs` parameters, and single class
+  * inheritance (subclass-aware `isinstance`) joined the subset.
+  *
   * Out of scope — rejected with a clear parse error at CREATE FUNCTION
-  * time: nested def, imports other than math/re/collections, `**kwargs`,
-  * class inheritance, yield, writes to captured variables.
+  * time: yield/generators, `global`, `super()`, call-site `**d` splat,
+  * imports other than math/re/collections.
   * (Documented known-gap in COVERAGE.md: full CPython.)
   */
 object UdfSurface {

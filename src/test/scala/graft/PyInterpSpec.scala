@@ -322,10 +322,9 @@ class PyInterpSpec extends AnyFunSuite {
     assert(e.getMessage.contains("recursion"))
   }
 
-  test("nested defs, inheritance and yield are rejected with a clear error") {
-    // (lambdas and module-level classes are supported since round 8)
-    intercept[IllegalArgumentException](
-      run("def f(x):\n    def g(y):\n        return y\n    return g(x)", 1L))
+  test("yield and an undefined base class are rejected with a clear error") {
+    // (nested defs + inheritance are supported since round 9; a base that
+    // was never defined must still fail at parse, like CPython's NameError)
     intercept[IllegalArgumentException](
       run("class C(Base):\n    pass\ndef f(x):\n    return x", 1L))
     intercept[IllegalArgumentException](
@@ -735,5 +734,131 @@ class PyInterpSpec extends AnyFunSuite {
       """def f():
         |    return len(r'\n\t') + len('\n\t')"""
     assert(run(src) == 6L)
+  }
+
+  // ---- round 9: nested defs / closures / nonlocal / **kwargs / inheritance
+
+  test("nested def: closure reads the enclosing frame live") {
+    val src =
+      """def f(n):
+        |    base = 10
+        |    def scaled(x):
+        |        return x * base + n
+        |    base = 100
+        |    return scaled(3)"""
+    assert(run(src, 7L) == 307L) // reads base=100 at call time, like CPython cells
+  }
+
+  test("nested def: assignment without nonlocal stays local") {
+    val src =
+      """def f():
+        |    x = 1
+        |    def g():
+        |        x = 99
+        |        return x
+        |    r = g()
+        |    return [r, x]"""
+    assert(run(src).asInstanceOf[ArrayBuffer[Any]].toSeq == Seq(99L, 1L))
+  }
+
+  test("nonlocal: counter closure mutates the enclosing frame") {
+    val src =
+      """def f(n):
+        |    count = 0
+        |    def bump(step):
+        |        nonlocal count
+        |        count += step
+        |        return count
+        |    for i in range(n):
+        |        bump(i)
+        |    return count"""
+    assert(run(src, 5L) == 10L) // 0+1+2+3+4
+  }
+
+  test("nested def: self-recursion and capture of helper args") {
+    val src =
+      """def f(n):
+        |    def fact(k):
+        |        if k <= 1:
+        |            return 1
+        |        return k * fact(k - 1)
+        |    return fact(n)"""
+    assert(run(src, 6L) == 720L)
+  }
+
+  test("closures as values: key= and map over a nested def") {
+    val src =
+      """def f(xs):
+        |    offset = 100
+        |    def dist(x):
+        |        return abs(x - offset)
+        |    return sorted(xs, key=dist)[0]"""
+    assert(run(src, ArrayBuffer(1L, 90L, 250L)) == 90L)
+  }
+
+  test("**kwargs: unmatched keywords collect into a dict") {
+    val src =
+      """def tag(name, **attrs):
+        |    parts = [name]
+        |    for k in sorted(attrs.keys()):
+        |        parts.append(k + '=' + str(attrs[k]))
+        |    return ','.join(parts)
+        |def f():
+        |    return tag('a', href=1, rel='x')"""
+    assert(run(src) == "a,href=1,rel=x")
+  }
+
+  test("**kwargs: declared params still bind by name; empty kwargs is {}") {
+    val src =
+      """def g(a, b=2, **rest):
+        |    return a * 10 + b + len(rest)
+        |def f():
+        |    return [g(1), g(1, b=5), g(1, c=0, d=0)]"""
+    assert(run(src).asInstanceOf[ArrayBuffer[Any]].toSeq == Seq(12L, 15L, 14L))
+  }
+
+  test("single inheritance: method and __init__ lookup through the base") {
+    val src =
+      """class Animal:
+        |    def __init__(self, name):
+        |        self.name = name
+        |    def greet(self):
+        |        return 'I am ' + self.name
+        |class Dog(Animal):
+        |    def speak(self):
+        |        return self.greet() + ', woof'
+        |def f():
+        |    d = Dog('rex')
+        |    return d.speak()"""
+    assert(run(src) == "I am rex, woof")
+  }
+
+  test("inheritance: child overrides a method; isinstance honors the chain") {
+    val src =
+      """class Base:
+        |    def kind(self):
+        |        return 'base'
+        |class Child(Base):
+        |    def kind(self):
+        |        return 'child'
+        |def f():
+        |    b = Base()
+        |    c = Child()
+        |    flags = [isinstance(c, Base), isinstance(c, Child), isinstance(b, Child)]
+        |    return c.kind() + '/' + b.kind() + '/' + str(flags)"""
+    assert(run(src) == "child/base/[True, True, False]")
+  }
+
+  test("inheritance: class attrs flow base-first, child overrides") {
+    val src =
+      """class A:
+        |    limit = 10
+        |    tag = 'a'
+        |class B(A):
+        |    tag = 'b'
+        |def f():
+        |    x = B()
+        |    return str(x.limit) + x.tag"""
+    assert(run(src) == "10b")
   }
 }
