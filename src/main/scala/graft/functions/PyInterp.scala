@@ -77,12 +77,14 @@ import scala.collection.mutable.{ArrayBuffer, HashMap, LinkedHashMap}
   * (live reads by reference; assignment is local per CPython unless
   * declared `nonlocal`, which writes through — counters/accumulators
   * work), `**kwargs` parameters (unmatched keywords collect into a dict),
-  * and class inheritance as above.
+  * class inheritance as above, and `yield` statements — a generator def
+  * runs eagerly into a list, indistinguishable from CPython's lazy
+  * generator for the finite, effect-free bodies a per-row UDF contains.
   *
   * Out of scope (rejected with a clear parse error, documented in
-  * COVERAGE.md known-gaps): generators with `yield`, `global`
-  * declarations, call-site `**d` splat, `super()`, imports beyond
-  * math/re/collections. One documented closure divergence: reading a name
+  * COVERAGE.md known-gaps): coroutine-style `x = yield v` / lazy infinite
+  * generators, `global` declarations, call-site `**d` splat, `super()`,
+  * imports beyond math/re/collections. One documented closure divergence: reading a name
   * before its first local assignment sees the enclosing binding instead
   * of raising UnboundLocalError (dynamic-env model). The exact accepted
   * grammar is documented in [[graft.sqlsurface.UdfSurface]].
@@ -161,13 +163,29 @@ object PyInterp {
       vararg: Option[String] = None,
       classes: Map[String, PyClass] = Map.empty,
       imported: Set[String] = Set.empty,
-      kwarg: Option[String] = None)
+      kwarg: Option[String] = None) {
+    /** A def whose own body yields is a generator (nested defs are their
+      * own functions and don't count, as in CPython). */
+    lazy val isGenerator: Boolean = hasYield(body)
+  }
+
+  private def hasYield(stmts: Seq[PStmt]): Boolean = stmts.exists {
+    case PYield(_) => true
+    case PIf(_, t, e) => hasYield(t) || hasYield(e)
+    case PFor(_, _, b) => hasYield(b)
+    case PWhile(_, b) => hasYield(b)
+    case PTry(b, hs, o, f) =>
+      hasYield(b) || hs.exists(h => hasYield(h.body)) || hasYield(o) || hasYield(f)
+    case _ => false
+  }
 
   /** `def` nested inside a function body: binds a [[PyClosure]] over the
     * defining frame at execution time (round 9). */
   private final case class PDefStmt(fn: PyFunc) extends PStmt
   /** `nonlocal a, b` — registers write-through names on the closure frame. */
   private final case class PNonlocal(names: Seq[String]) extends PStmt
+  /** `yield e` — appends to the generator frame's eager output list. */
+  private final case class PYield(e: PExpr) extends PStmt
 
   /** A `class Name[(Base)]:` definition — methods (defs whose first param
     * is `self`) plus simple class-level assignments. Single inheritance
@@ -703,6 +721,11 @@ object PyInterp {
           val (fn, np) = parseDef(lines, p, indent)
           out += PDefStmt(fn)
           p = np
+        } else if (t.startsWith("yield ") || t == "yield") {
+          // eager generator element (see PyFunc.isGenerator in callIn)
+          require(t != "yield", "py parse: bare 'yield' (yield None) is not supported")
+          out += PYield(exprOf(t.stripPrefix("yield").trim))
+          p += 1
         } else if (t == "nonlocal" || t.startsWith("nonlocal ")) {
           val names = t.stripPrefix("nonlocal").split(",").map(_.trim).filter(_.nonEmpty)
           require(names.nonEmpty && names.forall(_.matches("\\w+")),
@@ -990,6 +1013,8 @@ object PyInterp {
       val classes: Map[String, PyClass] = Map.empty,
       val imported: Set[String] = Set.empty) {
     var depth = 0
+    /** Active eager-generator sinks, innermost last (see callIn). */
+    val yieldSinks = ArrayBuffer.empty[ArrayBuffer[Any]]
     /** Module-level bindings, evaluated ONCE per top-level call (see
       * [[call]]); frames seed from it so a mutable module global (a list a
       * helper appends to) is the SAME object in every frame, as in CPython
@@ -1065,8 +1090,28 @@ object PyInterp {
           s"${fn.name}() missing argument '$p'"))
         env(p) = eval(d, env, ctx)
       }
-      try { exec(fn.body, env, ctx); null }
-      catch { case r: ReturnException => r.value }
+      if (fn.isGenerator) {
+        // Eager generator: the body runs to completion collecting yields
+        // into a list — indistinguishable from CPython's lazy generator for
+        // the finite, effect-free bodies a per-row UDF can contain
+        // (iteration, sum, list, join all see the same elements in the
+        // same order). `return` ends iteration; `return value` has no
+        // consumer here and is rejected.
+        val sink = ArrayBuffer.empty[Any]
+        ctx.yieldSinks += sink
+        try {
+          try exec(fn.body, env, ctx)
+          catch {
+            case r: ReturnException =>
+              if (r.value != null) throw new PyError("TypeError",
+                s"'return value' inside generator ${fn.name} is not supported")
+          }
+          sink
+        } finally { ctx.yieldSinks.remove(ctx.yieldSinks.size - 1); () }
+      } else {
+        try { exec(fn.body, env, ctx); null }
+        catch { case r: ReturnException => r.value }
+      }
     } finally ctx.depth -= 1
   }
 
@@ -1074,6 +1119,9 @@ object PyInterp {
     stmts.foreach {
       case PReturn(e) =>
         throw new ReturnException(eval(e, env, ctx))
+      case PYield(e) =>
+        require(ctx.yieldSinks.nonEmpty, "py: yield outside a generator frame")
+        ctx.yieldSinks.last += eval(e, env, ctx)
       case PDefStmt(fn) => env(fn.name) = PyClosure(fn, env)
       case PNonlocal(names) => env match {
         case ce: ChainedEnv => ce.nonlocals ++= names

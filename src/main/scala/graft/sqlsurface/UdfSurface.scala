@@ -63,12 +63,13 @@ import scala.util.Try
   * attributes — see [[graft.functions.PyInterp]].
   *
   * Round 9: nested `def` (closures with live enclosing-frame reads and
-  * `nonlocal` write-through), `**kwargs` parameters, and single class
-  * inheritance (subclass-aware `isinstance`) joined the subset.
+  * `nonlocal` write-through), `**kwargs` parameters, single class
+  * inheritance (subclass-aware `isinstance`), and `yield` (eager
+  * generators) joined the subset.
   *
   * Out of scope — rejected with a clear parse error at CREATE FUNCTION
-  * time: yield/generators, `global`, `super()`, call-site `**d` splat,
-  * imports other than math/re/collections.
+  * time: coroutine `x = yield v`, `global`, `super()`, call-site `**d`
+  * splat, imports other than math/re/collections.
   * (Documented known-gap in COVERAGE.md: full CPython.)
   */
 object UdfSurface {

@@ -322,13 +322,14 @@ class PyInterpSpec extends AnyFunSuite {
     assert(e.getMessage.contains("recursion"))
   }
 
-  test("yield and an undefined base class are rejected with a clear error") {
-    // (nested defs + inheritance are supported since round 9; a base that
-    // was never defined must still fail at parse, like CPython's NameError)
+  test("an undefined base class and yield-as-expression are rejected") {
+    // (nested defs, inheritance and yield statements are supported since
+    // round 9; a base that was never defined must still fail at parse,
+    // like CPython's NameError, and coroutine-style `x = yield v` stays out)
     intercept[IllegalArgumentException](
       run("class C(Base):\n    pass\ndef f(x):\n    return x", 1L))
     intercept[IllegalArgumentException](
-      run("def f(x):\n    yield x", 1L))
+      run("def f(x):\n    v = yield x\n    return v", 1L))
   }
 
   test("imports beyond math are rejected") {
@@ -847,6 +848,34 @@ class PyInterpSpec extends AnyFunSuite {
         |    flags = [isinstance(c, Base), isinstance(c, Child), isinstance(b, Child)]
         |    return c.kind() + '/' + b.kind() + '/' + str(flags)"""
     assert(run(src) == "child/base/[True, True, False]")
+  }
+
+  test("yield: generator def collects eagerly, iterable like a list") {
+    val src =
+      """def evens(n):
+        |    for i in range(n):
+        |        if i % 2 == 0:
+        |            yield i
+        |def f(n):
+        |    total = 0
+        |    for v in evens(n):
+        |        total += v
+        |    return [total, sum(evens(n)), list(evens(n))[-1]]"""
+    assert(run(src, 10L).asInstanceOf[ArrayBuffer[Any]].toSeq == Seq(20L, 20L, 8L))
+  }
+
+  test("yield: bare return ends iteration early") {
+    val src =
+      """def firstk(xs, k):
+        |    n = 0
+        |    for x in xs:
+        |        if n >= k:
+        |            return
+        |        yield x
+        |        n += 1
+        |def f(xs):
+        |    return ','.join([str(v) for v in firstk(xs, 2)])"""
+    assert(run(src, ArrayBuffer(7L, 8L, 9L, 10L)) == "7,8")
   }
 
   test("inheritance: class attrs flow base-first, child overrides") {
