@@ -77,14 +77,15 @@ import scala.collection.mutable.{ArrayBuffer, HashMap, LinkedHashMap}
   * (live reads by reference; assignment is local per CPython unless
   * declared `nonlocal`, which writes through — counters/accumulators
   * work), `**kwargs` parameters (unmatched keywords collect into a dict),
-  * class inheritance as above, and `yield` statements — a generator def
-  * runs eagerly into a list, indistinguishable from CPython's lazy
-  * generator for the finite, effect-free bodies a per-row UDF contains.
+  * class inheritance as above, `yield` statements — a generator def runs
+  * eagerly into a list, indistinguishable from CPython's lazy generator
+  * for the finite, effect-free bodies a per-row UDF contains — plus
+  * `global` declarations (module-env write-through; module state still
+  * resets per row) and call-site `**d` splat.
   *
   * Out of scope (rejected with a clear parse error, documented in
   * COVERAGE.md known-gaps): coroutine-style `x = yield v` / lazy infinite
-  * generators, `global` declarations, call-site `**d` splat, `super()`,
-  * imports beyond math/re/collections. One documented closure divergence: reading a name
+  * generators, `super()`, imports beyond math/re/collections. One documented closure divergence: reading a name
   * before its first local assignment sees the enclosing binding instead
   * of raising UnboundLocalError (dynamic-env model). The exact accepted
   * grammar is documented in [[graft.sqlsurface.UdfSurface]].
@@ -132,6 +133,9 @@ object PyInterp {
   /** Call-site iterable splat (`f(*xs)`); only ever a direct child of
     * PCall args — expanded into positionals at evaluation time. */
   private final case class PStar(value: PExpr) extends PExpr
+  /** Call-site dict splat (`f(**d)`); expanded into keyword arguments at
+    * evaluation time (round 9). */
+  private final case class PKwStar(value: PExpr) extends PExpr
 
   sealed trait PStmt
   private final case class PReturn(e: PExpr) extends PStmt
@@ -186,6 +190,8 @@ object PyInterp {
   private final case class PNonlocal(names: Seq[String]) extends PStmt
   /** `yield e` — appends to the generator frame's eager output list. */
   private final case class PYield(e: PExpr) extends PStmt
+  /** `global a, b` — registers module-env write-through names. */
+  private final case class PGlobal(names: Seq[String]) extends PStmt
 
   /** A `class Name[(Base)]:` definition — methods (defs whose first param
     * is `self`) plus simple class-level assignments. Single inheritance
@@ -426,7 +432,8 @@ object PyInterp {
         // `=` never appears inside an expression, and `==` lexes as one
         // token, so the peek is unambiguous)
         def parseArg(): PExpr =
-          if (lx.tok == "*") { lx.advance(); PStar(parseExpr(lx)) }
+          if (lx.tok == "**") { lx.advance(); PKwStar(parseExpr(lx)) }
+          else if (lx.tok == "*") { lx.advance(); PStar(parseExpr(lx)) }
           else if (lx.tok != null && lx.tok.headOption.exists(c => c.isLetter || c == '_')
               && lx.peekIs("=")) {
             val n = lx.tok; lx.advance(); lx.eat("=")
@@ -731,6 +738,12 @@ object PyInterp {
           require(names.nonEmpty && names.forall(_.matches("\\w+")),
             s"py parse: bad nonlocal statement: $t")
           out += PNonlocal(names.toSeq)
+          p += 1
+        } else if (t == "global" || t.startsWith("global ")) {
+          val names = t.stripPrefix("global").split(",").map(_.trim).filter(_.nonEmpty)
+          require(names.nonEmpty && names.forall(_.matches("\\w+")),
+            s"py parse: bad global statement: $t")
+          out += PGlobal(names.toSeq)
           p += 1
         } else if (t.startsWith("import ") || t.startsWith("from ")) {
           throw new IllegalArgumentException(
@@ -1047,18 +1060,14 @@ object PyInterp {
     require(ctx.depth <= MaxDepth,
       s"py: maximum recursion depth exceeded in ${fn.name}")
     try {
-      // Module defs seed a binding COPY of the module env, so assignment
-      // inside the frame stays local (CPython: assignment without `global`
-      // is local) while mutable objects (lists, dicts) stay shared across
-      // frames. Closure calls instead CHAIN to the defining frame (live
-      // reads, `nonlocal` write-through — see ChainedEnv); the chain
-      // bottoms out at a module frame, so module bindings stay reachable.
+      // Every frame CHAINS to its enclosing scope (ChainedEnv): the
+      // defining frame for closure calls, the module env for top-level
+      // defs. Reads see live enclosing bindings (CPython scope lookup),
+      // assignment stays local unless declared nonlocal/global, and
+      // mutable objects (lists, dicts) are shared by reference.
       val env: HashMap[String, Any] = enclosing match {
-        case Some(captured) => new ChainedEnv(captured)
-        case None =>
-          val e = HashMap.empty[String, Any]
-          e ++= ctx.constEnv
-          e
+        case Some(captured) => new ChainedEnv(captured, ctx.constEnv, isClosure = true)
+        case None => new ChainedEnv(ctx.constEnv, ctx.constEnv, isClosure = false)
       }
       val bound = scala.collection.mutable.HashSet.empty[String]
       fn.params.zip(args).foreach { case (p, v) => env(p) = v; bound += p }
@@ -1124,9 +1133,14 @@ object PyInterp {
         ctx.yieldSinks.last += eval(e, env, ctx)
       case PDefStmt(fn) => env(fn.name) = PyClosure(fn, env)
       case PNonlocal(names) => env match {
-        case ce: ChainedEnv => ce.nonlocals ++= names
+        case ce: ChainedEnv if ce.isClosure => ce.nonlocals ++= names
         case _ => throw new IllegalArgumentException(
           "py: nonlocal declaration outside a nested function")
+      }
+      case PGlobal(names) => env match {
+        case ce: ChainedEnv => ce.globals ++= names
+        case _ => throw new IllegalArgumentException(
+          "py: global declaration outside a function frame")
       }
       case PAssign(n, e) => env(n) = eval(e, env, ctx)
       case PTupleAssign(names, rhs) =>
@@ -1736,6 +1750,7 @@ object PyInterp {
     // here, not in `builtin`, because applying the key needs ctx/env
     case PCall(PName(bn @ ("sorted" | "min" | "max")), args)
         if args.exists(_.isInstanceOf[PKw]) && !args.exists(_.isInstanceOf[PStar])
+           && !args.exists(_.isInstanceOf[PKwStar])
            && !ctx.defs.contains(bn) && !env.contains(bn) =>
       val (kwArgs, posArgs) = args.partition(_.isInstanceOf[PKw])
       val kw = kwArgs.collect { case PKw(n, v) => n -> eval(v, env, ctx) }.toMap
@@ -1769,7 +1784,8 @@ object PyInterp {
     // CPython's TypeError), not silently call the builtin
     case PCall(PName(bi), args) if Builtins(bi) && !ctx.defs.contains(bi)
         && !env.contains(bi) && !args.exists(_.isInstanceOf[PKw])
-        && !args.exists(_.isInstanceOf[PStar]) =>
+        && !args.exists(_.isInstanceOf[PStar])
+        && !args.exists(_.isInstanceOf[PKwStar]) =>
       builtin(bi, args.map(eval(_, env, ctx)), ctx)
     case PCall(f, rawArgs) =>
       val pos = ArrayBuffer.empty[Any]
@@ -1777,6 +1793,17 @@ object PyInterp {
       rawArgs.foreach {
         case PKw(n, v) => kw(n) = eval(v, env, ctx)
         case PStar(e2) => pos ++= iterate(eval(e2, env, ctx))
+        case PKwStar(e2) => eval(e2, env, ctx) match {
+          case d: LinkedHashMap[_, _] => d.foreach { case (k, v) =>
+            k match {
+              case ks: String => kw(ks) = v
+              case other => throw new PyError("TypeError",
+                s"keywords must be strings, got ${pyStr(other)}")
+            }
+          }
+          case other => throw new PyError("TypeError",
+            s"argument after ** must be a dict, got ${pyStr(other)}")
+        }
         case a => pos += eval(a, env, ctx)
       }
       applyCallable(eval(f, env, ctx), pos.toSeq, ctx, kw.toMap)
@@ -2181,25 +2208,34 @@ object PyInterp {
     * name is bound in the defining frame before any call. */
   private final case class PyClosure(fn: PyFunc, captured: HashMap[String, Any])
 
-  /** Frame env for closure calls: lookup chains to the defining frame
-    * (live, by reference); writes stay local unless the name was declared
-    * `nonlocal`. One CPython divergence, shared with the rest of this
+  /** Frame env: lookup chains to the parent scope (the defining frame for
+    * closures, the module env for top-level defs — live, by reference);
+    * writes stay local (CPython: assignment is local) unless the name was
+    * declared `nonlocal` (→ parent frame; closures only) or `global`
+    * (→ module env). One CPython divergence, shared with the rest of this
     * interpreter's dynamic-env model: reading a name before its first
     * local assignment sees the enclosing binding instead of raising
     * UnboundLocalError. */
-  private final class ChainedEnv(parent: HashMap[String, Any])
+  private final class ChainedEnv(parent: HashMap[String, Any],
+      val moduleEnv: HashMap[String, Any], val isClosure: Boolean)
       extends HashMap[String, Any] {
     val nonlocals = scala.collection.mutable.HashSet.empty[String]
+    val globals = scala.collection.mutable.HashSet.empty[String]
     override def get(k: String): Option[Any] =
-      if (nonlocals(k)) parent.get(k) else super.get(k).orElse(parent.get(k))
+      if (globals(k)) moduleEnv.get(k)
+      else if (nonlocals(k)) parent.get(k)
+      else super.get(k).orElse(parent.get(k))
     override def apply(k: String): Any =
       get(k).getOrElse(throw new NoSuchElementException(s"key not found: $k"))
     override def getOrElse[V1 >: Any](k: String, default: => V1): V1 =
       get(k).getOrElse(default)
     override def contains(k: String): Boolean =
-      (nonlocals(k) && parent.contains(k)) || super.contains(k) || parent.contains(k)
+      if (globals(k)) moduleEnv.contains(k)
+      else super.contains(k) || parent.contains(k)
     override def put(k: String, v: Any): Option[Any] =
-      if (nonlocals(k)) parent.put(k, v) else super.put(k, v)
+      if (globals(k)) moduleEnv.put(k, v)
+      else if (nonlocals(k)) parent.put(k, v)
+      else super.put(k, v)
     override def update(k: String, v: Any): Unit = { put(k, v); () }
   }
 

@@ -64,12 +64,12 @@ import scala.util.Try
   *
   * Round 9: nested `def` (closures with live enclosing-frame reads and
   * `nonlocal` write-through), `**kwargs` parameters, single class
-  * inheritance (subclass-aware `isinstance`), and `yield` (eager
-  * generators) joined the subset.
+  * inheritance (subclass-aware `isinstance`), `yield` (eager generators),
+  * `global`, and call-site `**d` splat joined the subset.
   *
   * Out of scope — rejected with a clear parse error at CREATE FUNCTION
-  * time: coroutine `x = yield v`, `global`, `super()`, call-site `**d`
-  * splat, imports other than math/re/collections.
+  * time: coroutine `x = yield v`, `super()`, imports other than
+  * math/re/collections.
   * (Documented known-gap in COVERAGE.md: full CPython.)
   */
 object UdfSurface {

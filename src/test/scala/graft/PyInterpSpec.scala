@@ -878,6 +878,41 @@ class PyInterpSpec extends AnyFunSuite {
     assert(run(src, ArrayBuffer(7L, 8L, 9L, 10L)) == "7,8")
   }
 
+  test("global: a helper mutates a module-level counter") {
+    val src =
+      """calls = 0
+        |def bump():
+        |    global calls
+        |    calls += 1
+        |    return calls
+        |def f(n):
+        |    for i in range(n):
+        |        bump()
+        |    return calls"""
+    assert(run(src, 4L) == 4L)
+  }
+
+  test("call-site **d splat expands into keyword arguments") {
+    val src =
+      """def box(w, h, unit='px'):
+        |    return str(w) + 'x' + str(h) + unit
+        |def f():
+        |    opts = {'h': 2, 'unit': 'em'}
+        |    return box(1, **opts)"""
+    assert(run(src) == "1x2em")
+  }
+
+  test("**d splat merges with explicit keywords into **kwargs") {
+    val src =
+      """def render(tag, **attrs):
+        |    keys = sorted(attrs.keys())
+        |    return tag + ':' + ','.join([k + '=' + str(attrs[k]) for k in keys])
+        |def f():
+        |    d = {'b': 2}
+        |    return render('p', a=1, **d)"""
+    assert(run(src) == "p:a=1,b=2")
+  }
+
   test("inheritance: class attrs flow base-first, child overrides") {
     val src =
       """class A:
