@@ -81,11 +81,13 @@ import scala.collection.mutable.{ArrayBuffer, HashMap, LinkedHashMap}
   * eagerly into a list, indistinguishable from CPython's lazy generator
   * for the finite, effect-free bodies a per-row UDF contains — plus
   * `global` declarations (module-env write-through; module state still
-  * resets per row) and call-site `**d` splat.
+  * resets per row), call-site `**d` splat, and zero-arg `super()`
+  * (base-method/initializer dispatch from an override).
   *
   * Out of scope (rejected with a clear parse error, documented in
   * COVERAGE.md known-gaps): coroutine-style `x = yield v` / lazy infinite
-  * generators, `super()`, imports beyond math/re/collections. One documented closure divergence: reading a name
+  * generators, argful `super(C, self)`, imports beyond
+  * math/re/collections. One documented closure divergence: reading a name
   * before its first local assignment sees the enclosing binding instead
   * of raising UnboundLocalError (dynamic-env model). The exact accepted
   * grammar is documented in [[graft.sqlsurface.UdfSurface]].
@@ -203,6 +205,9 @@ object PyInterp {
     attrs: Seq[PStmt], parent: Option[PyClass] = None) {
     def findMethod(m: String): Option[PyFunc] =
       methods.get(m).orElse(parent.flatMap(_.findMethod(m)))
+    /** The method plus the class that DEFINES it (for zero-arg super()). */
+    def findMethodOwner(m: String): Option[(PyFunc, PyClass)] =
+      methods.get(m).map((_, this)).orElse(parent.flatMap(_.findMethodOwner(m)))
     def isSubclassOf(other: PyClass): Boolean =
       (this eq other) || parent.exists(_.isSubclassOf(other))
     /** Base-first attr statements (child overrides by re-assignment). */
@@ -1055,7 +1060,8 @@ object PyInterp {
 
   private def callIn(fn: PyFunc, args: Seq[Any], ctx: Ctx,
       kwargs: Map[String, Any] = Map.empty,
-      enclosing: Option[HashMap[String, Any]] = None): Any = {
+      enclosing: Option[HashMap[String, Any]] = None,
+      extraEnv: Map[String, Any] = Map.empty): Any = {
     ctx.depth += 1
     require(ctx.depth <= MaxDepth,
       s"py: maximum recursion depth exceeded in ${fn.name}")
@@ -1069,6 +1075,7 @@ object PyInterp {
         case Some(captured) => new ChainedEnv(captured, ctx.constEnv, isClosure = true)
         case None => new ChainedEnv(ctx.constEnv, ctx.constEnv, isClosure = false)
       }
+      extraEnv.foreach { case (k, v) => env(k) = v }
       val bound = scala.collection.mutable.HashSet.empty[String]
       fn.params.zip(args).foreach { case (p, v) => env(p) = v; bound += p }
       if (args.size > fn.params.size) {
@@ -1676,6 +1683,7 @@ object PyInterp {
           if (inst.cls.findMethod(n).isDefined) BoundMethod(inst, n)
           else throw new PyError("AttributeError",
             s"'${inst.cls.name}' object has no attribute '$n'"))
+      case (SuperProxy(inst, above), n) => SuperMethod(inst, above.parent, n)
       case (v, n) => BoundMethod(v, n) // resolved at call time
     }
     case PList(items) => ArrayBuffer[Any](items.map(eval(_, env, ctx)): _*)
@@ -1787,6 +1795,16 @@ object PyInterp {
         && !args.exists(_.isInstanceOf[PStar])
         && !args.exists(_.isInstanceOf[PKwStar]) =>
       builtin(bi, args.map(eval(_, env, ctx)), ctx)
+    // zero-arg super(): resolves against the class that DEFINED the
+    // currently-executing method (threaded through the frame by every
+    // method dispatch site) — CPython's common idiom for calling the
+    // base __init__/method from an override
+    case PCall(PName("super"), Nil)
+        if env.contains("__graft_class__") && !env.contains("super") =>
+      SuperProxy(env("__graft_self__").asInstanceOf[PyInstance],
+        env("__graft_class__").asInstanceOf[PyClass])
+    case PCall(PName("super"), _) if !env.contains("__graft_class__") =>
+      throw new PyError("RuntimeError", "super(): no arguments and not in a method")
     case PCall(f, rawArgs) =>
       val pos = ArrayBuffer.empty[Any]
       val kw = LinkedHashMap.empty[String, Any]
@@ -1817,10 +1835,18 @@ object PyInterp {
       require(kwargs.isEmpty, s"py: keyword arguments not supported on re.$name")
       reCall(name, args, ctx)
     case BoundMethod(inst: PyInstance, name) =>
-      inst.cls.findMethod(name) match {
-        case Some(m) => callIn(m, inst +: args, ctx, kwargs)
+      inst.cls.findMethodOwner(name) match {
+        case Some((m, owner)) => callIn(m, inst +: args, ctx, kwargs,
+          extraEnv = Map("__graft_class__" -> owner, "__graft_self__" -> inst))
         case None => throw new PyError("AttributeError",
           s"'${inst.cls.name}' object has no attribute '$name'")
+      }
+    case SuperMethod(inst, start, name) =>
+      start.flatMap(_.findMethodOwner(name)) match {
+        case Some((m, owner)) => callIn(m, inst +: args, ctx, kwargs,
+          extraEnv = Map("__graft_class__" -> owner, "__graft_self__" -> inst))
+        case None => throw new PyError("AttributeError",
+          s"'super' object has no attribute '$name'")
       }
     case BoundMethod(recv, name) =>
       require(kwargs.isEmpty, s"py: keyword arguments not supported on method $name")
@@ -1859,8 +1885,9 @@ object PyInterp {
         case _ =>
       }
     }
-    cls.findMethod("__init__") match {
-      case Some(init) => callIn(init, inst +: args, ctx, kwargs)
+    cls.findMethodOwner("__init__") match {
+      case Some((init, owner)) => callIn(init, inst +: args, ctx, kwargs,
+        extraEnv = Map("__graft_class__" -> owner, "__graft_self__" -> inst))
       case None => require(args.isEmpty && kwargs.isEmpty,
         s"py: ${cls.name}() takes no arguments")
     }
@@ -2191,6 +2218,13 @@ object PyInterp {
   }
 
   private final case class BoundMethod(recv: Any, name: String)
+
+  /** `super()` inside a method: method lookup starts ABOVE the class that
+    * defined the currently-executing method (zero-arg CPython form; the
+    * defining class rides the frame as __graft_class__, round 9). */
+  private final case class SuperProxy(inst: PyInstance, above: PyClass)
+  private final case class SuperMethod(inst: PyInstance, start: Option[PyClass],
+    name: String)
 
   /** A `lambda` value: params + body expression + the DEFINING frame's env
     * (shared by reference, so reads see the enclosing frame's current

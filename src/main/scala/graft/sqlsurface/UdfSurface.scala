@@ -65,11 +65,12 @@ import scala.util.Try
   * Round 9: nested `def` (closures with live enclosing-frame reads and
   * `nonlocal` write-through), `**kwargs` parameters, single class
   * inheritance (subclass-aware `isinstance`), `yield` (eager generators),
-  * `global`, and call-site `**d` splat joined the subset.
+  * `global`, call-site `**d` splat, and zero-arg `super()` joined the
+  * subset.
   *
   * Out of scope — rejected with a clear parse error at CREATE FUNCTION
-  * time: coroutine `x = yield v`, `super()`, imports other than
-  * math/re/collections.
+  * time: coroutine `x = yield v`, argful `super(C, self)`, imports other
+  * than math/re/collections.
   * (Documented known-gap in COVERAGE.md: full CPython.)
   */
 object UdfSurface {

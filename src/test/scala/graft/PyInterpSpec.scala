@@ -913,6 +913,43 @@ class PyInterpSpec extends AnyFunSuite {
     assert(run(src) == "p:a=1,b=2")
   }
 
+  test("super(): child __init__ extends the base initializer") {
+    val src =
+      """class Point:
+        |    def __init__(self, x, y):
+        |        self.x = x
+        |        self.y = y
+        |class Point3(Point):
+        |    def __init__(self, x, y, z):
+        |        super().__init__(x, y)
+        |        self.z = z
+        |def f():
+        |    p = Point3(1, 2, 3)
+        |    return p.x * 100 + p.y * 10 + p.z"""
+    assert(run(src) == 123L)
+  }
+
+  test("super(): overridden method calls the base version") {
+    val src =
+      """class Greeter:
+        |    def greet(self):
+        |        return 'hello'
+        |class Loud(Greeter):
+        |    def greet(self):
+        |        return super().greet().upper() + '!'
+        |def f():
+        |    return Loud().greet()"""
+    assert(run(src) == "HELLO!")
+  }
+
+  test("super() outside a method raises like CPython") {
+    val src =
+      """def f(x):
+        |    return super().foo() + x"""
+    val e = intercept[Exception](run(src, 1L))
+    assert(e.getMessage.contains("super"))
+  }
+
   test("inheritance: class attrs flow base-first, child overrides") {
     val src =
       """class A:
