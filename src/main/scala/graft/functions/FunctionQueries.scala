@@ -286,6 +286,31 @@ object FunctionQueries {
         .orderBy("doc_id")
     }),
 
+    // round-9 Python surface (nested def + nonlocal closure, yield
+    // generator, **kwargs) in one body whose result is SQL-expressible:
+    // sum of non-empty token lengths ×100 + token count of split(' ')
+    "fn_py_udf3" -> ((s, d) => {
+      graft.sqlsurface.UdfSurface.execute(s,
+        "CREATE OR REPLACE FUNCTION graft_py_tokmetric(s varchar) RETURNS bigint AS $$\n" +
+          "def graft_py_tokmetric(s, **opts):\n" +
+          "    scale = opts.get('scale', 100)\n" +
+          "    total = 0\n" +
+          "    def add(n):\n" +
+          "        nonlocal total\n" +
+          "        total += n\n" +
+          "    def lens(ws):\n" +
+          "        for w in ws:\n" +
+          "            if len(w) > 0:\n" +
+          "                yield len(w)\n" +
+          "    toks = s.split(' ')\n" +
+          "    for L in lens(toks):\n" +
+          "        add(L)\n" +
+          "    return total * scale + len(toks)\n$$ LANGUAGE python")
+      t(s, d, "documents").filter(col("doc_id") <= 200)
+        .select(col("doc_id"), expr("graft_py_tokmetric(text)").as("tok_metric"))
+        .orderBy("doc_id")
+    }),
+
     // rolling_hash — custom fingerprint expression, hash-checked against a
     // DuckDB replay of the same 61-bit polynomial (util.OracleSql.rollingFp).
     "fn_rolling_hash" -> ((s, d) =>
@@ -410,6 +435,11 @@ object FunctionQueries {
     "fn_c_udf_loop" ->
       """SELECT p_partkey, gcd(p_partkey, CAST(p_size AS BIGINT)) AS g
          FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""",
+    "fn_py_udf3" ->
+      """SELECT doc_id,
+                CAST(length(replace(text, ' ', '')) AS BIGINT) * 100
+                  + (length(text) - length(replace(text, ' ', '')) + 1) AS tok_metric
+         FROM documents WHERE doc_id <= 200 ORDER BY doc_id""",
     "fn_py_udf" ->
       """SELECT p_partkey, CAST(p_size * 6 AS INTEGER) AS tax6,
                 upper(p_brand) AS brand_up
