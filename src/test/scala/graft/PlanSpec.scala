@@ -439,7 +439,12 @@ class PlanSpec extends SparkSpec {
       "CollectList", "CollectSet", "HyperLogLogPlusPlus",
       "ApproximatePercentile", "PivotFirst", "ReplicateRows",
       "ScalaAggregator")
-    val allowedGraft = Set("PyUdfExpression")
+    // PyUdfExpression / CUdfExpression: external-language UDF bodies are
+    // interpreted per row BY DESIGN (UdfSurface scaladoc — the reference
+    // embeds CPython / dlopens compiled C; generating Java from either
+    // language would be a compiler project, and expression-shaped C/SQL
+    // bodies take the codegen'd Catalyst-macro path instead)
+    val allowedGraft = Set("PyUdfExpression", "CUdfExpression")
 
     val offenders = scala.collection.mutable.SortedMap.empty[String, Set[String]]
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -69,10 +69,11 @@ def connect(sf_dir):
 
 def run_one(sf_dir, sql):
     """Child-process entry: 1 warmup + adaptive measured runs, min → JSON.
-    Same protocol as graft.Bench: 5 measured runs, or 2 once the FIRST
-    MEASURED run reaches 60 s (minutes-long queries have proportionally low
-    scheduling noise and 6 runs would dominate the campaign wall clock);
-    MIN across measured runs reported for every query on both engines."""
+    Same protocol as graft.Bench: 5 measured runs, or — once the FIRST
+    MEASURED run reaches 60 s — as few as 2, extending (up to 5) until the
+    two BEST runs agree within 15% (a stable minutes-long query stops at 2;
+    a host-contention burst spanning two runs doesn't get to publish a 10x
+    number); MIN across measured runs reported on both engines."""
     import duckdb
     con = connect(sf_dir)
 
@@ -88,7 +89,15 @@ def run_one(sf_dir, sql):
     try:
         once()  # warmup
         r1 = once()  # first measured run decides the count (see docstring)
-        runs = [r1] + [once() for _ in range(1 if r1 >= 60.0 else 4)]
+        if r1 >= 60.0:
+            runs = [r1]
+            def converged(rs):
+                best = sorted(rs)[:2]
+                return len(best) >= 2 and best[1] <= best[0] * 1.15
+            while len(runs) < 5 and not converged(runs):
+                runs.append(once())
+        else:
+            runs = [r1] + [once() for _ in range(4)]
         print(json.dumps({"ok": round(min(runs), 4)}))
     except duckdb.InterruptException:
         print(json.dumps({"err": f"TIMEOUT>{TIMEOUT_S}s"}))
