@@ -38,6 +38,24 @@ object Bench {
     "dedup_exact", "sim_cosine_topk", "text_quality", "ev_sessions",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embed_cos")
 
+  // The heavies-last ordering protects the light queries but left the
+  // heavies contaminating EACH OTHER: BENCH_r09's ngram leg published
+  // 4.63 s (runs 4.6-13.9 s) against a clean-host 1.60 s because it ran in
+  // minhash's spill residue, and its own runs compounded their own. Between
+  // heavy runs: GC (releases finished ShuffleDependency refs so the
+  // ContextCleaner can delete spill files), a drain pause for the async
+  // cleaner, and an OS `sync` so dirty writeback from the previous run is
+  // flushed on the barrier's clock instead of the next run's.
+  // tools/baseline_duckdb.py mirrors the sync+pause for the same queries.
+  private val heavies = Set("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embed_cos")
+
+  private def heavyBarrier(): Unit = {
+    System.gc()
+    Thread.sleep(1500) // ContextCleaner drains asynchronously post-GC
+    try new ProcessBuilder("sync").start().waitFor() catch { case _: Exception => }
+    Thread.sleep(500)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -66,9 +84,11 @@ object Bench {
     }
 
     val results: Seq[(String, Double)] = selected.filter(SparkEntry.queries.contains).map { name =>
+      val heavy = heavies(name)
       val t = try {
+        if (heavy) heavyBarrier() // don't inherit the previous heavy's residue
         once(name) // warmup: JIT + codegen + file-footer caches
-        System.gc()
+        if (heavy) heavyBarrier() else System.gc()
         val r1 = once(name) // first measured run decides the count (see doc)
         val long = r1 >= 60.0
         // Long branch: GC after EVERY run — one sf100 run of a
@@ -97,7 +117,8 @@ object Bench {
               System.gc(); rs :+= once(name); System.gc()
             }
             rs
-          } else r1 +: Seq.fill(4)(once(name))
+          } else if (heavy) r1 +: Seq.fill(4) { heavyBarrier(); once(name) }
+          else r1 +: Seq.fill(4)(once(name))
         System.err.println(s"[bench] $name runs: " +
           runs.map(r => f"$r%.2f").mkString(" "))
         runs.min

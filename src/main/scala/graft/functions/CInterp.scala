@@ -29,16 +29,23 @@ import scala.collection.mutable
   * mixed int/float arithmetic promotes to double, conditions accept any
   * numeric (nonzero = true), chars are their integer codepoints.
   *
-  * Statements: blocks, declarations (multi-declarator, with init),
-  * expression statements (assignment, compound assignment, ++/--, calls),
-  * if/else, while, do-while, for, break, continue, return. Expressions:
-  * ternary, || &&, bitwise | ^ &, == !=, relational, << >>, + - * / %,
-  * unary + - ! ~ ++ -- and casts, postfix ++ -- and string subscripts
-  * (`s[i]` reads the char as its integer value), calls, literals
-  * (decimal/hex ints, floats, chars, strings, true/false), parens.
+  * Statements: blocks, declarations (multi-declarator, with init; local
+  * fixed arrays `int a[n]`, `char buf[n]`, brace initializers, `char
+  * s[n] = "lit"`), expression statements (assignment — incl. array-element
+  * lvalues — compound assignment, ++/--, calls), if/else, while, do-while,
+  * for, break, continue, return (a returned char buffer converts to the
+  * SQL string). Expressions: ternary, || &&, bitwise | ^ &, == !=,
+  * relational, << >>, + - * / %, unary + - ! ~ ++ -- and casts, postfix
+  * ++ -- and string/array subscripts (`s[i]` reads a char as its integer
+  * value), calls, literals (decimal/hex ints, floats, chars, strings,
+  * true/false), parens.
   * Libc subset: abs/labs/llabs, fabs, sqrt, pow, floor, ceil, exp, log,
-  * log2, log10, fmod, fmin, fmax, strlen, strcmp, toupper, tolower,
-  * isdigit, isalpha, isspace.
+  * log2, log10, fmod, fmin, fmax, strlen, strcmp, strncmp, strchr
+  * (index-valued), strcpy, strncpy, strcat, sprintf/snprintf (the
+  * %[-0][w][.p][l|z]?[diuxXcsfeg%] subset), memset, toupper, tolower,
+  * isdigit, isalpha, isspace. No pointers, structs, or heap — local
+  * arrays cover the reference corpus' string-building loop idioms without
+  * a memory model.
   *
   * A per-call budget of 100M statements/loop iterations turns an infinite
   * loop into a clear error instead of a hung executor — the distributed
@@ -49,7 +56,11 @@ object CInterp {
   // ------------------------------------------------------------- AST
   sealed trait Stmt
   case class Block(stmts: Seq[Stmt]) extends Stmt
-  case class Decl(names: Seq[(String, Option[Expr])]) extends Stmt
+  /** One declarator: `name`, optional `[size]`, optional `= expr` or
+    * `= {e, ...}` brace initializer. `char s[n] = "lit"` is init=Lit(String). */
+  case class Declarator(name: String, size: Option[Expr], init: Option[Expr],
+      initList: Option[Seq[Expr]])
+  case class Decl(isChar: Boolean, names: Seq[Declarator]) extends Stmt
   case class ExprStmt(e: Expr) extends Stmt
   case class If(cond: Expr, t: Stmt, f: Option[Stmt]) extends Stmt
   case class While(cond: Expr, body: Stmt) extends Stmt
@@ -66,13 +77,37 @@ object CInterp {
   case class Un(op: String, e: Expr) extends Expr
   case class Bin(op: String, l: Expr, r: Expr) extends Expr
   case class Assign(name: String, op: String, e: Expr) extends Expr
+  case class AssignIdx(arr: Expr, ix: Expr, op: String, e: Expr) extends Expr
   case class IncDec(name: String, delta: Long, post: Boolean) extends Expr
+  case class IncDecIdx(arr: Expr, ix: Expr, delta: Long, post: Boolean) extends Expr
   case class Tern(c: Expr, t: Expr, f: Expr) extends Expr
   case class CastTo(toFloat: Boolean, toBool: Boolean, e: Expr) extends Expr
   case class Call(name: String, args: Seq[Expr]) extends Expr
   case class Index(e: Expr, i: Expr) extends Expr // s[i] → char code (C reads a char as its integer value)
 
   case class CFunc(params: Seq[String], body: Seq[Stmt])
+
+  /** A local fixed array (`int a[n]`, `char buf[n]`): one mutable heap
+    * object, reference semantics — the value model's stand-in for C's stack
+    * arrays (no pointer arithmetic; indexing and the strcpy/sprintf libc
+    * family are the supported access paths). Char arrays follow the NUL
+    * convention when read as strings. */
+  final class CArr(val a: Array[Any], val isChar: Boolean) {
+    override def toString: String = if (isChar) CInterp.cstr(this) else a.mkString("[", ",", "]")
+  }
+
+  /** Chars of a char array up to the first NUL (C string convention). */
+  def cstr(arr: CArr): String = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < arr.a.length) {
+      val c = arr.a(i).asInstanceOf[Long]
+      if (c == 0L) return sb.toString
+      sb.append(c.toChar)
+      i += 1
+    }
+    sb.toString
+  }
 
   // ------------------------------------------------------------- lexer
   private val typeWords = Set("int", "long", "short", "char", "float", "double",
@@ -177,11 +212,11 @@ object CInterp {
       b.result()
     }
 
-    private def skipTypeWords(): Boolean = {
-      var saw = false
-      while (typeWords.contains(peek)) { next(); saw = true }
+    private def skipTypeWords(): Seq[String] = {
+      val ws = Seq.newBuilder[String]
+      while (typeWords.contains(peek)) ws += next()
       while (peek == "*") next() // pointer decorations (char *s)
-      saw
+      ws.result()
     }
 
     def stmt(): Stmt = peek match {
@@ -215,35 +250,65 @@ object CInterp {
       case _ => val e = expr(); expect(";"); ExprStmt(e)
     }
 
-    /** `type a = e, b;` or plain expression statement — consumes the `;`. */
+    /** `type a = e, b[n], c[] = {..};` or plain expression statement —
+      * consumes the `;`. */
     private def declOrExprStmt(): Stmt = {
       if (typeWords.contains(peek)) {
-        skipTypeWords()
-        val ds = Seq.newBuilder[(String, Option[Expr])]
+        val words = skipTypeWords()
+        val isChar = words.contains("char")
+        val ds = Seq.newBuilder[Declarator]
         var more = true
         while (more) {
           while (peek == "*") next()
           val name = next()
           require(name.head.isLetter || name.head == '_', s"C parse: bad declarator '$name'")
-          val init = if (peek == "=") { next(); Some(assignExpr()) } else None
-          ds += ((name, init))
+          val size = if (peek == "[") {
+            next()
+            val s = if (peek == "]") None else Some(expr()) // `a[] = {...}` sizes from the initializer
+            expect("]"); s.orElse(Some(Lit(-1L)))
+          } else None
+          var init: Option[Expr] = None
+          var initList: Option[Seq[Expr]] = None
+          if (peek == "=") {
+            next()
+            if (peek == "{") {
+              next()
+              val items = Seq.newBuilder[Expr]
+              if (peek != "}") {
+                items += assignExpr()
+                while (peek == ",") { next(); items += assignExpr() }
+              }
+              expect("}")
+              initList = Some(items.result())
+            } else init = Some(assignExpr())
+          }
+          ds += Declarator(name, size, init, initList)
           if (peek == ",") next() else more = false
         }
         expect(";")
-        Decl(ds.result())
+        Decl(isChar, ds.result())
       } else { val e = expr(); expect(";"); ExprStmt(e) }
     }
 
     // expression grammar, C precedence
     def expr(): Expr = assignExpr()
 
+    private val compoundOps = Set("+=", "-=", "*=", "/=", "%=", "&=", "|=", "^=")
+
     private def assignExpr(): Expr = {
-      // identifier (op)= rhs
-      if (peek.startsWith("#") || peek == "(") ternary()
-      else if (peek2 == "=" || Set("+=", "-=", "*=", "/=", "%=", "&=", "|=", "^=").contains(peek2)) {
-        val name = next(); val op = next()
-        Assign(name, op.stripSuffix("="), assignExpr())
-      } else ternary()
+      // general lvalue form: parse the ternary, then turn a trailing
+      // (op)= into an assignment if the lhs is a variable or an index
+      val lhs = ternary()
+      if (peek == "=" || compoundOps.contains(peek)) {
+        val op = next().stripSuffix("=")
+        val rhs = assignExpr()
+        lhs match {
+          case Ref(n) => Assign(n, op, rhs)
+          case Index(a, i) => AssignIdx(a, i, op, rhs)
+          case _ => throw new IllegalArgumentException(
+            s"C parse: assignment target must be a variable or array element")
+        }
+      } else lhs
     }
 
     private def ternary(): Expr = {
@@ -273,8 +338,8 @@ object CInterp {
       case "+" => next(); unary()
       case "!" => next(); Un("!", unary())
       case "~" => next(); Un("~", unary())
-      case "++" => next(); val n = next(); IncDec(n, 1L, post = false)
-      case "--" => next(); val n = next(); IncDec(n, -1L, post = false)
+      case "++" => next(); incDecOf(unary(), 1L, post = false)
+      case "--" => next(); incDecOf(unary(), -1L, post = false)
       case "(" if typeWords.contains(peek2) =>
         // (type) cast
         next()
@@ -287,18 +352,19 @@ object CInterp {
       case _ => postfix()
     }
 
+    private def incDecOf(e: Expr, delta: Long, post: Boolean): Expr = e match {
+      case Ref(n) => IncDec(n, delta, post)
+      case Index(a, i) => IncDecIdx(a, i, delta, post)
+      case _ => throw new IllegalArgumentException(
+        "C parse: ++/-- needs a variable or array element")
+    }
+
     private def postfix(): Expr = {
       var e = primary()
       var loop = true
       while (loop) peek match {
-        case "++" => next(); e = e match {
-          case Ref(n) => IncDec(n, 1L, post = true)
-          case _ => throw new IllegalArgumentException("C parse: ++ needs a variable")
-        }
-        case "--" => next(); e = e match {
-          case Ref(n) => IncDec(n, -1L, post = true)
-          case _ => throw new IllegalArgumentException("C parse: -- needs a variable")
-        }
+        case "++" => next(); e = incDecOf(e, 1L, post = true)
+        case "--" => next(); e = incDecOf(e, -1L, post = true)
         case "[" => next(); val ix = expr(); expect("]"); e = Index(e, ix)
         case _ => loop = false
       }
@@ -378,6 +444,7 @@ object CInterp {
       case l: Long => l != 0L
       case d: Double => d != 0.0
       case s: String => s != null
+      case a: CArr => a != null // arrays decay to a non-null pointer
       case null => false
       case o => throw new IllegalArgumentException(s"C: non-scalar condition $o")
     }
@@ -457,14 +524,135 @@ object CInterp {
       case ("fmod", Seq(a, b)) => asDouble(a) % asDouble(b)
       case ("fmin", Seq(a, b)) => math.min(asDouble(a), asDouble(b))
       case ("fmax", Seq(a, b)) => math.max(asDouble(a), asDouble(b))
-      case ("strlen", Seq(s: String)) => s.length.toLong
-      case ("strcmp", Seq(a: String, b: String)) => math.signum(a.compareTo(b)).toLong
+      case ("strlen", Seq(s)) => asStr(s).length.toLong
+      case ("strcmp", Seq(a, b)) => math.signum(asStr(a).compareTo(asStr(b))).toLong
+      case ("strncmp", Seq(a, b, n)) =>
+        val k = asLong(n).toInt
+        math.signum(asStr(a).take(k).compareTo(asStr(b).take(k))).toLong
+      case ("strcpy", Seq(d: CArr, s)) => strInto(d, 0, asStr(s))
+      case ("strncpy", Seq(d: CArr, s, n)) => strInto(d, 0, asStr(s).take(asLong(n).toInt))
+      case ("strcat", Seq(d: CArr, s)) => strInto(d, cstr(d).length, asStr(s))
+      case ("strchr", Seq(s, c)) => // C returns a pointer; the useful scalar is the index (-1 = NULL)
+        asStr(s).indexOf(asLong(c).toInt.toChar).toLong
+      case ("sprintf", d +: fmt +: rest) =>
+        val out = cFormat(asStr(fmt), rest)
+        d match {
+          case arr: CArr => strInto(arr, 0, out); out.length.toLong
+          case o => throw new IllegalArgumentException(s"C: sprintf target must be a char array, got $o")
+        }
+      case ("snprintf", d +: n +: fmt +: rest) =>
+        val out = cFormat(asStr(fmt), rest)
+        val cap = asLong(n).toInt
+        d match {
+          case arr: CArr =>
+            strInto(arr, 0, out.take(math.max(0, cap - 1)))
+            out.length.toLong // C: would-have-written length
+          case o => throw new IllegalArgumentException(s"C: snprintf target must be a char array, got $o")
+        }
+      case ("memset", Seq(d: CArr, c, n)) =>
+        val v = asLong(c); val k = asLong(n).toInt
+        require(k >= 0 && k <= d.a.length, s"C: memset of $k over length ${d.a.length}")
+        var i = 0; while (i < k) { d.a(i) = v; i += 1 }
+        d
       case ("toupper", Seq(v)) => Character.toUpperCase(asLong(v).toInt).toLong
       case ("tolower", Seq(v)) => Character.toLowerCase(asLong(v).toInt).toLong
       case ("isdigit", Seq(v)) => if (Character.isDigit(asLong(v).toInt)) 1L else 0L
       case ("isalpha", Seq(v)) => if (Character.isLetter(asLong(v).toInt)) 1L else 0L
       case ("isspace", Seq(v)) => if (Character.isWhitespace(asLong(v).toInt)) 1L else 0L
       case _ => throw new IllegalArgumentException(s"C: unsupported function '$name'/${vs.length}")
+    }
+
+    def MaxArr = 1 << 20 // bounds a runaway `int a[hugeness]` before it OOMs an executor
+
+    def newArr(n: Int, isChar: Boolean): CArr = {
+      require(n >= 0 && n <= MaxArr, s"C: array size $n out of range [0, $MaxArr]")
+      new CArr(Array.fill[Any](n)(0L), isChar)
+    }
+
+    /** Value for one declarator: scalar default 0, `= expr`, array with
+      * optional brace/string initializer (`char s[8] = "hi"` NUL-pads). */
+    def declValue(d: Declarator, isChar: Boolean, env: Env): Any = d.size match {
+      case None => d.init.map(ev(_, env)).getOrElse(0L)
+      case Some(sz) =>
+        val items: Seq[Any] = d.initList.map(_.map(ev(_, env)))
+          .orElse(d.init.map(e => ev(e, env) match {
+            case s: String => s.map(_.toLong) :+ 0L // string initializer incl. NUL
+            case o => throw new IllegalArgumentException(s"C: bad array initializer $o")
+          })).getOrElse(Nil)
+        val n = ev(sz, env) match {
+          case -1L => items.length // `a[] = {...}`: size from the initializer
+          case v => asLong(v).toInt
+        }
+        val arr = newArr(n, isChar)
+        require(items.length <= n, s"C: ${items.length} initializers for array of $n")
+        items.zipWithIndex.foreach { case (v, i) => arr.a(i) = v }
+        arr
+    }
+
+    /** A C "string" in this model: a String param/literal or a char array. */
+    def asStr(v: Any): String = v match {
+      case s: String => s
+      case a: CArr if a.isChar => cstr(a)
+      case o => throw new IllegalArgumentException(s"C: expected a string, got $o")
+    }
+
+    def idx(arr: CArr, i: Long): Int = {
+      require(i >= 0 && i < arr.a.length,
+        s"C: array index $i out of bounds (length ${arr.a.length})")
+      i.toInt
+    }
+
+    /** sprintf-lite: %[-0][width][.prec][l|ll|z|h]*[diuxXcsfeg%], mapped to
+      * java.util.Formatter (Locale.ROOT). The reference compiles real libc
+      * sprintf; this covers the string-building subset UDF bodies use. */
+    def cFormat(fmt: String, args: Seq[Any]): String = {
+      val out = new java.lang.StringBuilder
+      var i = 0; var ai = 0
+      def nextArg(): Any = {
+        require(ai < args.length, s"C: sprintf needs more arguments (format '$fmt')")
+        ai += 1; args(ai - 1)
+      }
+      while (i < fmt.length) {
+        val c = fmt.charAt(i)
+        if (c != '%') { out.append(c); i += 1 }
+        else if (i + 1 < fmt.length && fmt.charAt(i + 1) == '%') { out.append('%'); i += 2 }
+        else {
+          val start = i; i += 1
+          while (i < fmt.length && "-+ 0123456789.".indexOf(fmt.charAt(i)) >= 0) i += 1
+          while (i < fmt.length && "hlz".indexOf(fmt.charAt(i)) >= 0) i += 1
+          require(i < fmt.length, s"C: dangling %% in format '$fmt'")
+          val conv = fmt.charAt(i); i += 1
+          val spec = fmt.substring(start, i)
+            .replaceAll("[hlz]", "") // length modifiers are noise on Long
+          val j = conv match {
+            case 'd' | 'i' | 'u' => spec.dropRight(1) + "d"
+            case 'x' | 'X' | 'o' => spec.dropRight(1) + conv
+            case 'c' => spec.dropRight(1) + "c"
+            case 's' => spec
+            case 'f' | 'e' | 'E' | 'g' | 'G' => spec
+            case o => throw new IllegalArgumentException(s"C: unsupported format %$o")
+          }
+          val arg: Any = conv match {
+            case 'd' | 'i' | 'u' | 'x' | 'X' | 'o' => Long.box(asLong(nextArg()))
+            case 'c' => Char.box(asLong(nextArg()).toChar)
+            case 's' => asStr(nextArg())
+            case _ => Double.box(asDouble(nextArg()))
+          }
+          out.append(String.format(java.util.Locale.ROOT, j, arg))
+        }
+      }
+      out.toString
+    }
+
+    /** Copy `s` + NUL into `dst` starting at `at` (bounds-checked). */
+    def strInto(dst: CArr, at: Int, s: String): CArr = {
+      require(dst.isChar, "C: str* target must be a char array")
+      require(at + s.length < dst.a.length,
+        s"C: string of ${s.length} chars overflows char[${dst.a.length}] at $at")
+      var i = 0
+      while (i < s.length) { dst.a(at + i) = s.charAt(i).toLong; i += 1 }
+      dst.a(at + s.length) = 0L
+      dst
     }
 
     def ev(e: Expr, env: Env): Any = { tick(); e match {
@@ -509,14 +697,38 @@ object CInterp {
           if (i < 0 || i >= s.length) throw new IllegalArgumentException(
             s"C: string index $i out of bounds (length ${s.length})")
           s.charAt(i).toLong
+        case arr: CArr => arr.a(idx(arr, asLong(ev(ix, env))))
         case o => throw new IllegalArgumentException(s"C: cannot index $o")
+      }
+      case IncDecIdx(a, ix, d, post) => ev(a, env) match {
+        case arr: CArr =>
+          val i = idx(arr, asLong(ev(ix, env)))
+          val old = arr.a(i)
+          val nv: Any =
+            if (isFloat(old)) asDouble(old) + d.toDouble else asLong(old) + d
+          arr.a(i) = nv
+          if (post) old else nv
+        case o => throw new IllegalArgumentException(s"C: cannot ++/-- index $o")
+      }
+      case AssignIdx(a, ix, op, rhs) => ev(a, env) match {
+        case arr: CArr =>
+          val i = idx(arr, asLong(ev(ix, env)))
+          val v = op match {
+            case "" => ev(rhs, env)
+            case "&" => asLong(arr.a(i)) & asLong(ev(rhs, env))
+            case "|" => asLong(arr.a(i)) | asLong(ev(rhs, env))
+            case "^" => asLong(arr.a(i)) ^ asLong(ev(rhs, env))
+            case o => arith(o, arr.a(i), ev(rhs, env))
+          }
+          arr.a(i) = v; v
+        case o => throw new IllegalArgumentException(s"C: cannot index-assign $o")
       }
     }}
 
     def exec(s: Stmt, env: Env): Unit = { tick(); s match {
       case Block(ss) => val inner = new Env(Some(env)); ss.foreach(exec(_, inner))
-      case Decl(ds) => ds.foreach { case (n, init) =>
-        env.declare(n, init.map(ev(_, env)).getOrElse(0L)) }
+      case Decl(isChar, ds) => ds.foreach { d =>
+        env.declare(d.name, declValue(d, isChar, env)) }
       case ExprStmt(e) => ev(e, env)
       case If(c, t, f) =>
         if (truthy(ev(c, env))) exec(t, env) else f.foreach(exec(_, env))
@@ -596,6 +808,8 @@ case class CUdfExpression(fn: CInterp.CFunc, retType: DataType,
     case (b: Boolean, BooleanType) => b
     case (l: Long, BooleanType) => l != 0L
     case (s: String, StringType) => UTF8String.fromString(s)
+    case (a: CInterp.CArr, StringType) if a.isChar =>
+      UTF8String.fromString(CInterp.cstr(a)) // `return buf;` from a char-buffer body
     case (b: Boolean, IntegerType) => if (b) 1 else 0
     case (b: Boolean, LongType) => if (b) 1L else 0L
     case other =>

@@ -116,12 +116,17 @@ object ExprUtil {
   /** See [[SignBits]]: bit i (0-based) ⇔ element i+1 ≥ 0, first 64 elems.
     * `!(x < 0)` not `x >= 0`: Spark SQL orders NaN above every value, so
     * the CASE-WHEN formulation this replaces sets the bit for NaN — Java's
-    * `NaN >= 0` would not. */
+    * `NaN >= 0` would not. A NULL element leaves the bit UNSET, matching
+    * that formulation's `WHEN null THEN ... ELSE 0` (getFloat on a null
+    * slot is undefined, so the isNullAt guard is load-bearing). */
   def signBits(a: ArrayData): Long = {
     val n = math.min(64, a.numElements())
     var bits = 0L
     var i = 0
-    while (i < n) { if (!(a.getFloat(i) < 0f)) bits |= 1L << i; i += 1 }
+    while (i < n) {
+      if (!a.isNullAt(i) && !(a.getFloat(i) < 0f)) bits |= 1L << i
+      i += 1
+    }
     bits
   }
 

@@ -247,6 +247,32 @@ object FunctionQueries {
         .orderBy("p_partkey")
     }),
 
+    // string-BUILDING C body: local char buffers, a reverse loop over
+    // array-element lvalues, sprintf — the round-10 CInterp surface
+    // (arrays + the str*/sprintf libc family). Oracle: DuckDB printf +
+    // reverse, so the semantics are pinned against real libc behavior.
+    "fn_c_udf_string" -> ((s, d) => {
+      graft.sqlsurface.UdfSurface.execute(s,
+        """CREATE OR REPLACE FUNCTION graft_c_tag(id bigint, name varchar) RETURNS varchar LANGUAGE c AS $$
+          char buf[160];
+          char rev[80];
+          int n = strlen(name);
+          for (int i = 0; i < n; i++) {
+            rev[i] = name[n - 1 - i];
+          }
+          rev[n] = '\0';
+          sprintf(buf, "%ld:", id);
+          strcat(buf, name);
+          strcat(buf, ":");
+          strcat(buf, rev);
+          return buf;
+        $$""")
+      t(s, d, "part").filter(col("p_partkey") <= 300)
+        .select(col("p_partkey"),
+          expr("graft_c_tag(p_partkey, p_name)").as("tag"))
+        .orderBy("p_partkey")
+    }),
+
     // interpreted Python UDF (reference py_interp bridge; PyInterp.scala) —
     // the oracle replays the same arithmetic/string semantics in plain SQL
     "fn_py_udf" -> ((s, d) => {
@@ -434,6 +460,9 @@ object FunctionQueries {
          FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""",
     "fn_c_udf_loop" ->
       """SELECT p_partkey, gcd(p_partkey, CAST(p_size AS BIGINT)) AS g
+         FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""",
+    "fn_c_udf_string" ->
+      """SELECT p_partkey, printf('%d:%s:%s', p_partkey, p_name, reverse(p_name)) AS tag
          FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""",
     "fn_py_udf3" ->
       """SELECT doc_id,

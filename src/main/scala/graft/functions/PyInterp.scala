@@ -77,16 +77,21 @@ import scala.collection.mutable.{ArrayBuffer, HashMap, LinkedHashMap}
   * (live reads by reference; assignment is local per CPython unless
   * declared `nonlocal`, which writes through — counters/accumulators
   * work), `**kwargs` parameters (unmatched keywords collect into a dict),
-  * class inheritance as above, `yield` statements — a generator def runs
-  * eagerly into a list, indistinguishable from CPython's lazy generator
-  * for the finite, effect-free bodies a per-row UDF contains — plus
+  * class inheritance as above, `yield` statements, plus
   * `global` declarations (module-env write-through; module state still
   * resets per row), call-site `**d` splat, and zero-arg `super()`
   * (base-method/initializer dispatch from an override).
   *
+  * Round 10: generators are LAZY ([[LazyGen]] — no body code at call time,
+  * strict-alternation coroutine per generator object), so `next(gen)`,
+  * `zip(gen, range(n))` early exits and large-range generators don't
+  * materialize; StopIteration/spent-generator semantics match CPython,
+  * and a fully-consumed infinite generator hits a 10M-yield budget
+  * instead of hanging the executor.
+  *
   * Out of scope (rejected with a clear parse error, documented in
-  * COVERAGE.md known-gaps): coroutine-style `x = yield v` / lazy infinite
-  * generators, argful `super(C, self)`, imports beyond
+  * COVERAGE.md known-gaps): coroutine-style `x = yield v` /
+  * `gen.send(v)`, argful `super(C, self)`, imports beyond
   * math/re/collections. One documented closure divergence: reading a name
   * before its first local assignment sees the enclosing binding instead
   * of raising UnboundLocalError (dynamic-env model). The exact accepted
@@ -1019,6 +1024,85 @@ object PyInterp {
 
   // ------------------------------------------------------------ evaluate
 
+  /** The running generator body's emit — per coroutine THREAD, not a ctx
+    * stack: each generator body runs wholly on its own dedicated thread
+    * (see [[LazyGen]]), so a suspended outer generator can never see an
+    * inner generator's sink. */
+  private val yieldEmit = new ThreadLocal[Any => Unit]
+
+  /** A generator object: the def body runs as a coroutine on a dedicated
+    * daemon thread with STRICT ALTERNATION — the body only executes between
+    * a consumer pull (`req`) and the matching yield handoff (`resp`), so
+    * consumer and body never run concurrently and the shared interpreter
+    * state needs no locking. The thread is the JVM stand-in for the
+    * continuation a tree-walking interpreter doesn't have; CPython
+    * semantics preserved: no code runs at call time, StopIteration on
+    * exhaustion, a spent generator iterates empty, body exceptions surface
+    * at the pull that triggers them. A yield cap (10M) bounds a
+    * `list(infinite_gen)` the way CInterp's step budget bounds loops.
+    * [[close]] interrupts a suspended body; Ctx closes all stragglers when
+    * the top-level call returns. */
+  private[functions] final class LazyGen(name: String, runBody: (Any => Unit) => Unit)
+      extends Iterator[Any] {
+    private sealed trait Msg
+    private final case class Item(v: Any) extends Msg
+    private case object End extends Msg
+    private final case class Err(t: Throwable) extends Msg
+
+    private val req = new java.util.concurrent.SynchronousQueue[AnyRef]
+    private val resp = new java.util.concurrent.SynchronousQueue[Msg]
+    private var lookahead: Msg = null
+    private var finished = false
+    private var started = false
+    private var yielded = 0L
+    private val MaxYields = 10000000L
+
+    private val thread = new Thread(() => {
+      try {
+        req.take() // no body code before the first pull (CPython)
+        runBody { v => resp.put(Item(v)); req.take(); () }
+        resp.put(End)
+      } catch {
+        case _: InterruptedException => // closed while suspended
+        case t: Throwable =>
+          try resp.put(Err(t)) catch { case _: InterruptedException => }
+      }
+    }, s"py-gen-$name")
+    thread.setDaemon(true)
+
+    override def hasNext: Boolean = {
+      if (finished) return false
+      if (lookahead == null) {
+        if (!started) { thread.start(); started = true }
+        yielded += 1
+        if (yielded > MaxYields) {
+          close()
+          throw new IllegalArgumentException(
+            s"py: generator $name exceeded $MaxYields yields (infinite generator fully consumed?)")
+        }
+        req.put(this)
+        lookahead = resp.take()
+      }
+      lookahead match {
+        case End => finished = true; false
+        case Err(t) => finished = true; lookahead = null; throw t
+        case Item(_) => true
+      }
+    }
+
+    override def next(): Any = {
+      if (!hasNext) throw new PyError("StopIteration", "")
+      val Item(v) = lookahead: @unchecked
+      lookahead = null
+      v
+    }
+
+    def close(): Unit = if (started && !finished) {
+      finished = true
+      thread.interrupt()
+    }
+  }
+
   /** Non-stack-filling control-flow exceptions. Return carries a value per
     * instance; break/continue are stateless singletons. */
   private final class ReturnException(val value: Any)
@@ -1031,8 +1115,11 @@ object PyInterp {
       val classes: Map[String, PyClass] = Map.empty,
       val imported: Set[String] = Set.empty) {
     var depth = 0
-    /** Active eager-generator sinks, innermost last (see callIn). */
-    val yieldSinks = ArrayBuffer.empty[ArrayBuffer[Any]]
+    /** Every generator object born during this top-level call; [[call]]
+      * closes the unfinished ones on the way out so an early-exit consumer
+      * (zip(gen, range(n)), next(gen)) cannot leak a suspended coroutine
+      * thread past the row that made it. */
+    val openGens = ArrayBuffer.empty[LazyGen]
     /** Module-level bindings, evaluated ONCE per top-level call (see
       * [[call]]); frames seed from it so a mutable module global (a list a
       * helper appends to) is the SAME object in every frame, as in CPython
@@ -1050,12 +1137,19 @@ object PyInterp {
 
   def call(fn: PyFunc, args: Seq[Any]): Any = {
     val ctx = new Ctx(fn.defs + (fn.name -> fn), fn.consts, fn.classes, fn.imported)
-    // module constants run once, in order, against the shared module env —
-    // an initializer calling a def sees the consts bound so far (CPython's
-    // in-order module execution), and helper frames below share the
-    // resulting objects rather than re-evaluating per call
-    if (ctx.consts.nonEmpty) exec(ctx.consts, ctx.constEnv, ctx)
-    callIn(fn, args, ctx)
+    try {
+      // module constants run once, in order, against the shared module env —
+      // an initializer calling a def sees the consts bound so far (CPython's
+      // in-order module execution), and helper frames below share the
+      // resulting objects rather than re-evaluating per call
+      if (ctx.consts.nonEmpty) exec(ctx.consts, ctx.constEnv, ctx)
+      callIn(fn, args, ctx) match {
+        // a generator RESULT has no SQL representation — materialize it the
+        // way CPython callers do with list(gen) before serializing
+        case g: LazyGen => ArrayBuffer[Any](g.toSeq: _*)
+        case other => other
+      }
+    } finally ctx.openGens.foreach(_.close())
   }
 
   private def callIn(fn: PyFunc, args: Seq[Any], ctx: Ctx,
@@ -1107,23 +1201,25 @@ object PyInterp {
         env(p) = eval(d, env, ctx)
       }
       if (fn.isGenerator) {
-        // Eager generator: the body runs to completion collecting yields
-        // into a list — indistinguishable from CPython's lazy generator for
-        // the finite, effect-free bodies a per-row UDF can contain
-        // (iteration, sum, list, join all see the same elements in the
-        // same order). `return` ends iteration; `return value` has no
-        // consumer here and is rejected.
-        val sink = ArrayBuffer.empty[Any]
-        ctx.yieldSinks += sink
-        try {
-          try exec(fn.body, env, ctx)
-          catch {
-            case r: ReturnException =>
-              if (r.value != null) throw new PyError("TypeError",
-                s"'return value' inside generator ${fn.name} is not supported")
-          }
-          sink
-        } finally { ctx.yieldSinks.remove(ctx.yieldSinks.size - 1); () }
+        // Lazy generator (round 10, replacing the eager-list execution):
+        // calling the def builds a LazyGen and runs NO body code — the body
+        // executes between the consumer's pulls, so `zip(gen, range(n))`
+        // early exits and large-range generators never materialize.
+        // `return` ends iteration (StopIteration); `return value` has no
+        // consumer here and is rejected, as before.
+        val gen = new LazyGen(fn.name, emit => {
+          yieldEmit.set(emit) // this coroutine thread's own sink
+          try {
+            try exec(fn.body, env, ctx)
+            catch {
+              case r: ReturnException =>
+                if (r.value != null) throw new PyError("TypeError",
+                  s"'return value' inside generator ${fn.name} is not supported")
+            }
+          } finally yieldEmit.remove()
+        })
+        ctx.openGens += gen
+        gen
       } else {
         try { exec(fn.body, env, ctx); null }
         catch { case r: ReturnException => r.value }
@@ -1136,8 +1232,9 @@ object PyInterp {
       case PReturn(e) =>
         throw new ReturnException(eval(e, env, ctx))
       case PYield(e) =>
-        require(ctx.yieldSinks.nonEmpty, "py: yield outside a generator frame")
-        ctx.yieldSinks.last += eval(e, env, ctx)
+        val emit = yieldEmit.get()
+        require(emit != null, "py: yield outside a generator frame")
+        emit(eval(e, env, ctx))
       case PDefStmt(fn) => env(fn.name) = PyClosure(fn, env)
       case PNonlocal(names) => env match {
         case ce: ChainedEnv if ce.isClosure => ce.nonlocals ++= names
@@ -1279,6 +1376,7 @@ object PyInterp {
   }
 
   private def iterate(v: Any): Iterator[Any] = v match {
+    case g: LazyGen => g // pulls lazily; a spent generator iterates empty
     case seq: scala.collection.Seq[_] => seq.iterator
     case s: String => s.iterator.map(_.toString)
     case r: RangeVal => Iterator.iterate(r.start)(_ + r.step).takeWhile(i =>
@@ -1944,7 +2042,7 @@ object PyInterp {
 
   private val Builtins = Set("len", "int", "float", "str", "bool", "abs", "min", "max",
     "sum", "round", "sorted", "reversed", "list", "tuple", "dict", "range",
-    "enumerate", "zip", "any", "all", "ord", "chr", "print", "repr",
+    "enumerate", "zip", "any", "all", "next", "ord", "chr", "print", "repr",
     "map", "filter", "isinstance")
 
   private def builtin(name: String, args: Seq[Any], ctx: Ctx): Any = (name, args) match {
@@ -2082,13 +2180,18 @@ object PyInterp {
       out
     case ("any", Seq(seq)) => iterate(seq).exists(truthy)
     case ("all", Seq(seq)) => iterate(seq).forall(truthy)
+    case ("next", Seq(g: LazyGen)) =>
+      if (g.hasNext) g.next() else throw new PyError("StopIteration", "")
+    case ("next", Seq(g: LazyGen, dflt)) =>
+      if (g.hasNext) g.next() else dflt
     case ("print", xs) => // no stdout on executors; a no-op returning None
       null
     case (n, a) => throw new IllegalArgumentException(s"py: $n(${a.mkString(", ")})")
   }
 
   private def isIterable(v: Any): Boolean = v match {
-    case _: scala.collection.Seq[_] | _: String | _: RangeVal | _: LinkedHashMap[_, _] => true
+    case _: scala.collection.Seq[_] | _: String | _: RangeVal
+       | _: LinkedHashMap[_, _] | _: LazyGen => true
     case _ => false
   }
 

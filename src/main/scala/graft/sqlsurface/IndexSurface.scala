@@ -3,7 +3,7 @@ package graft.sqlsurface
 import java.io.File
 import java.nio.file.Files
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 import scala.collection.mutable
@@ -33,6 +33,8 @@ import scala.util.Try
   *  3. shadow the original name with a temp view over the bucketed table —
   *     every later read (SQL or `spark.table`) resolves to the indexed
   *     layout, exactly as reference queries transparently use the index.
+  *     If the original name was itself a temp view, its DataFrame is saved
+  *     so un-shadowing restores the original binding instead of losing it.
   *
   * Bucket count scales with table size (`max(1, bytes/128MB)` capped at the
   * session shuffle parallelism): a 130-row sqllogictest table gets one
@@ -41,16 +43,30 @@ import scala.util.Try
   *
   * Writes to an indexed table keep results correct rather than going
   * stale: [[beforeWrite]] drops the shadow so the statement hits the base
-  * table, [[afterWrite]] rebuilds every index registered on it (the
-  * reference updates its hash indexes on append,
-  * src/catalog/IndexCatalogEntry.cpp). `CREATE TABLE`/`DROP TABLE` of a
-  * shadowed name discard its indexes entirely.
+  * table, [[afterWrite]] brings the index up to date. When the caller can
+  * supply the just-inserted rows, the delta is APPENDED to the bucketed
+  * layout — O(delta) work, the Spark analog of the reference's in-place
+  * hash-index append (src/catalog/IndexCatalogEntry.cpp) — with a periodic
+  * full compaction (every [[CompactEvery]] appends) restoring the
+  * one-file-per-bucket sorted form. Writes with no extractable delta
+  * (INSERT OVERWRITE, column-list INSERTs) fall back to a full rebuild.
+  * `CREATE TABLE`/`DROP TABLE` of a shadowed name discard its indexes.
   *
-  * UNIQUE is enforced at build time (count vs distinct-count over the key
-  * columns), matching the constraint the reference's unique hash index
-  * guarantees; violation raises instead of silently indexing.
+  * UNIQUE is enforced at build AND append time over non-null keys only —
+  * SQL unique-index semantics: NULL keys never collide (NULL != NULL), so
+  * any number of NULL-keyed rows is legal. Violation raises instead of
+  * silently indexing.
+  *
+  * Unparseable CREATE INDEX forms (expression indexes like `ON t(a+b)`,
+  * columns missing from the table) degrade to accept-as-no-op: the corpus
+  * treats index DDL as `statement ok` and results never depend on it.
   */
 object IndexSurface {
+
+  /** Full compaction (rewrite to one sorted file per bucket) after this
+    * many delta appends — bounds read amplification from multi-file
+    * buckets while keeping the common append O(delta). */
+  val CompactEvery = 16
 
   private val createIndexRe =
     """(?is)^\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+ON\s+(\w+)\s*\(([^)]*)\)\s*;?\s*$""".r
@@ -63,6 +79,8 @@ object IndexSurface {
 
   val isDropIndex: String => Boolean = s => dropIndexRe.matches(s)
 
+  private val identRe = """[A-Za-z_][A-Za-z0-9_]*""".r
+
   private case class IndexDef(name: String, table: String,
       cols: Seq[String], unique: Boolean, dir: String)
 
@@ -72,16 +90,29 @@ object IndexSurface {
   private val registry =
     new java.util.WeakHashMap[SparkSession, mutable.Map[String, List[IndexDef]]]()
 
+  /** Temp-view bases captured at first index build: table name → the
+    * original view's DataFrame, restored on un-shadow (a temp-view base
+    * would otherwise be REPLACED by the shadow and lost at DROP INDEX). */
+  private val baseViews =
+    new java.util.WeakHashMap[SparkSession, mutable.Map[String, DataFrame]]()
+
+  /** Delta appends since the last full build, per index dir (compaction). */
+  private val appendCounts = mutable.Map.empty[String, Int]
+
   private def sessionIndexes(spark: SparkSession) = registry.synchronized {
     var m = registry.get(spark)
     if (m == null) { m = mutable.Map.empty; registry.put(spark, m) }
     m
   }
 
-  /** Execute one CREATE INDEX statement. Unparseable forms (expression
-    * indexes, DESC modifiers beyond column names, partial indexes) degrade
-    * to the previous accept-as-no-op behavior — the corpus treats index DDL
-    * as `statement ok` and results never depend on it. */
+  private def sessionBases(spark: SparkSession) = registry.synchronized {
+    var m = baseViews.get(spark)
+    if (m == null) { m = mutable.Map.empty; baseViews.put(spark, m) }
+    m
+  }
+
+  /** Execute one CREATE INDEX statement (no-op degrade for invalid forms —
+    * see object scaladoc). */
   def create(spark: SparkSession, stmt: String): Unit = stmt match {
     case createIndexRe(uniq, name, table, colList) =>
       // strip per-column ASC/DESC/NULLS FIRST|LAST (select4.test: `e8 DESC, d8 ASC`)
@@ -89,7 +120,12 @@ object IndexSurface {
         .replaceAll("(?i)\\s+(asc|desc)\\b", "")
         .replaceAll("(?i)\\s+nulls\\s+(first|last)\\b", "")
         .trim).filter(_.nonEmpty).toSeq
-      if (cols.nonEmpty && Try(spark.table(table)).isSuccess) {
+      val schema = Try(spark.table(table).schema).toOption
+      // expression indexes (`ON t(a+b)`) or unknown columns: tolerated no-op,
+      // not an AnalysisException mid-`statement ok`
+      val valid = schema.exists(sch => cols.nonEmpty && cols.forall(c =>
+        identRe.matches(c) && sch.fieldNames.exists(_.equalsIgnoreCase(c))))
+      if (valid) {
         drop(spark, s"DROP INDEX IF EXISTS $name") // re-CREATE replaces
         build(spark, IndexDef(name, table.toLowerCase, cols,
           unique = uniq != null, dir = newIndexDir(name)))
@@ -105,31 +141,61 @@ object IndexSurface {
           val remaining = defs.filterNot(_.name.equalsIgnoreCase(name))
           dropShadow(spark, table)
           defs.filter(_.name.equalsIgnoreCase(name)).foreach(unregister(spark, _))
-          if (remaining.isEmpty) idxs.remove(table)
-          else { idxs(table) = remaining; shadow(spark, remaining.last) }
+          if (remaining.isEmpty) {
+            idxs.remove(table)
+            sessionBases(spark).remove(table) // dropShadow already restored it
+          } else { idxs(table) = remaining; shadow(spark, remaining.last) }
       }
     case _ => ()
   }
 
   /** Route a write statement (INSERT/COPY/CTAS target) at the base table:
-    * drop the shadow view so name resolution reaches the real table. */
+    * drop the shadow view so name resolution reaches the real table (a
+    * temp-view base is restored, not just unshadowed). */
   def beforeWrite(spark: SparkSession, table: String): Unit =
     if (sessionIndexes(spark).contains(table.toLowerCase))
       dropShadow(spark, table.toLowerCase)
 
-  /** Rebuild the indexes of a just-written table (reference appends update
-    * the hash index in place; here the bucketed snapshot is rewritten). */
-  def afterWrite(spark: SparkSession, table: String): Unit =
+  /** Reject a write that would violate a UNIQUE index BEFORE it executes,
+    * so the base table is left unchanged (the reference's hash index
+    * rejects the offending append in place). Only possible when the delta
+    * is known; otherwise the violation surfaces at the afterWrite rebuild. */
+  def preWriteCheck(spark: SparkSession, table: String,
+      delta: Option[DataFrame]): Unit =
+    delta.foreach { dd =>
+      sessionIndexes(spark).get(table.toLowerCase).foreach { defs =>
+        defs.filter(_.unique).foreach { d =>
+          val snapT = Try(spark.table(registeredName(d)))
+          if (snapT.isSuccess && dd.schema.length == snapT.get.schema.length) {
+            val aligned = dd.toDF(snapT.get.schema.fieldNames: _*)
+            assertNoDupKeys(aligned, d, "inserted rows")
+            assertNoKeyClash(aligned, snapT.get, d)
+          }
+        }
+      }
+    }
+
+  /** Bring the indexes of a just-written table up to date. With `delta`
+    * (the inserted rows, materialized BEFORE the write ran) each index
+    * appends O(delta) to its bucketed layout; without, the snapshot is
+    * rebuilt from the base table. */
+  def afterWrite(spark: SparkSession, table: String,
+      delta: Option[DataFrame] = None): Unit =
     sessionIndexes(spark).get(table.toLowerCase).foreach { defs =>
-      defs.foreach(d => buildFiles(spark, d))
+      defs.foreach { d =>
+        val appended = delta.exists(appendDelta(spark, d, _))
+        if (!appended) { buildFiles(spark, d); appendCounts.remove(d.dir) }
+      }
       shadow(spark, defs.last)
     }
 
-  /** A table is being re-created or dropped: its indexes no longer apply. */
+  /** A table is being re-created or dropped: its indexes no longer apply,
+    * and the old name binding is intentionally discarded (not restored). */
   def invalidate(spark: SparkSession, table: String): Unit = {
     val idxs = sessionIndexes(spark)
     idxs.remove(table.toLowerCase).foreach { defs =>
-      dropShadow(spark, table.toLowerCase)
+      spark.catalog.dropTempView(table.toLowerCase)
+      sessionBases(spark).remove(table.toLowerCase)
       defs.foreach(unregister(spark, _))
     }
   }
@@ -141,10 +207,39 @@ object IndexSurface {
   // ------------------------------------------------------------ internals
 
   private def build(spark: SparkSession, d: IndexDef): Unit = {
-    buildFiles(spark, d)
     val idxs = sessionIndexes(spark)
+    if (!idxs.contains(d.table)) {
+      // first index on this table: if the name is a temp view, remember its
+      // DataFrame — the shadow will REPLACE the view, not stack under it
+      val isTempView = Try(spark.catalog.getTable(d.table).isTemporary).getOrElse(false)
+      if (isTempView) sessionBases(spark)(d.table) = spark.table(d.table)
+    }
+    buildFiles(spark, d)
     idxs(d.table) = idxs.getOrElse(d.table, Nil) :+ d
     shadow(spark, d)
+  }
+
+  /** UNIQUE-index duplicate check over NON-NULL keys only (NULL != NULL:
+    * any number of NULL-keyed rows is legal in SQL unique-index semantics). */
+  private def assertNoDupKeys(df: DataFrame, d: IndexDef, what: String): Unit = {
+    val keyCols = d.cols.map(c => col(quote(c)))
+    val dups = df.filter(keyCols.map(_.isNotNull).reduce(_ && _))
+      .groupBy(keyCols: _*).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dups == 0L, s"UNIQUE index ${d.name}: duplicate key in $what")
+  }
+
+  /** Inserted keys must not collide with keys already indexed (non-null
+    * keys only, same NULL semantics as [[assertNoDupKeys]]). */
+  private def assertNoKeyClash(delta: DataFrame, snap: DataFrame, d: IndexDef): Unit = {
+    val keyCols = d.cols.map(c => col(quote(c)))
+    val clash = delta
+      .filter(keyCols.map(_.isNotNull).reduce(_ && _))
+      .select(keyCols: _*)
+      .join(snap.select(keyCols: _*), d.cols)
+      .limit(1).count()
+    require(clash == 0L,
+      s"UNIQUE index ${d.name}: inserted key already present in ${d.table}")
   }
 
   /** Write the bucketed snapshot + register the bucketed catalog table.
@@ -153,13 +248,7 @@ object IndexSurface {
     * dropped, so this reads the freshly-written base table). */
   private def buildFiles(spark: SparkSession, d: IndexDef): Unit = {
     val src = spark.table(d.table)
-    if (d.unique) {
-      val Array(n, dn) = src.selectExpr(
-        "count(*)", s"count(distinct ${d.cols.map(quote).mkString(", ")})")
-        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-      require(n == dn,
-        s"UNIQUE index ${d.name}: duplicate key in ${d.table} (${n - dn} dups)")
-    }
+    if (d.unique) assertNoDupKeys(src, d, d.table)
     val bytes = src.queryExecution.optimizedPlan.stats.sizeInBytes
     val parallelism = spark.sessionState.conf.numShufflePartitions
     val nBuckets = math.max(1L, math.min(parallelism.toLong,
@@ -180,17 +269,48 @@ object IndexSurface {
       .saveAsTable(tbl)
   }
 
+  /** Append just-inserted rows to the existing bucketed layout — O(delta),
+    * no full-table rewrite. Multi-file buckets keep the zero-exchange
+    * HashPartitioning property (only the per-bucket sort claim is lost
+    * until the next compaction). Returns false (caller rebuilds) on any
+    * shape mismatch; a UNIQUE violation raises, matching build-time. */
+  private def appendDelta(spark: SparkSession, d: IndexDef, delta: DataFrame): Boolean = {
+    val tbl = registeredName(d)
+    val snapT = Try(spark.table(tbl))
+    if (snapT.isFailure) return false
+    val snap = snapT.get
+    if (delta.schema.length != snap.schema.length) return false
+    val count = appendCounts.getOrElse(d.dir, 0)
+    if (count >= CompactEvery) return false // caller full-rebuilds = compaction
+    val aligned = delta.toDF(snap.schema.fieldNames: _*)
+    if (d.unique) {
+      assertNoDupKeys(aligned, d, "inserted rows")
+      assertNoKeyClash(aligned, snap, d)
+    }
+    val ok = Try {
+      // insertInto picks up the catalog table's bucketSpec: the write hashes
+      // rows into the existing bucket scheme (new files, same bucket ids)
+      aligned.write.mode("append").insertInto(tbl)
+    }.isSuccess
+    if (ok) appendCounts(d.dir) = count + 1
+    ok
+  }
+
   /** Point the table name at the indexed layout (temp views shadow catalog
     * tables in resolution, so SQL and `spark.table` both see it). */
   private def shadow(spark: SparkSession, d: IndexDef): Unit =
     spark.table(registeredName(d)).createOrReplaceTempView(d.table)
 
-  private def dropShadow(spark: SparkSession, table: String): Unit = {
-    spark.catalog.dropTempView(table); ()
-  }
+  /** Remove the shadow; a temp-view base gets its original binding back. */
+  private def dropShadow(spark: SparkSession, table: String): Unit =
+    sessionBases(spark).get(table) match {
+      case Some(base) => base.createOrReplaceTempView(table)
+      case None => spark.catalog.dropTempView(table); ()
+    }
 
   private def unregister(spark: SparkSession, d: IndexDef): Unit = {
     Try(spark.sql(s"DROP TABLE IF EXISTS ${registeredName(d)}"))
+    appendCounts.remove(d.dir)
     deleteRec(new File(d.dir))
   }
 

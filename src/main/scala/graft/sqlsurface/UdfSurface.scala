@@ -229,9 +229,32 @@ object GraftSql {
     """(?is)^\s*COPY\s+(\w+)\s+FROM\s+'([^']+)'\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*$""".r
   private val setRe = """(?is)^\s*SET\s+(\S+)\s*(?:=|TO)\s*'?([^';]*)'?\s*;?\s*$""".r
 
-  private val insertRe = """(?is)^\s*INSERT\s+INTO\s+(\w+)\b.*$""".r
+  // every INSERT form that can hit an indexed table: INTO/OVERWRITE, optional
+  // TABLE keyword, quoted and schema-qualified names (last path component is
+  // the registered name) — a miss here would resolve the write against the
+  // stale index shadow and silently discard it
+  private val insertRe =
+    """(?is)^\s*INSERT\s+(?:OVERWRITE\s+|INTO\s+)(?:TABLE\s+)?["`]?(?:\w+\s*\.\s*)?(\w+)["`]?\b.*$""".r
+  private val insertOverwriteRe = """(?is)^\s*INSERT\s+OVERWRITE\b.*$""".r
+  // plain INSERT INTO with NO column list: the source query after the table
+  // name (VALUES/SELECT/WITH/TABLE/FROM) is itself runnable, giving us the
+  // delta rows for O(delta) index maintenance
+  private val insertSourceRe =
+    """(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?["`]?(?:\w+\s*\.\s*)?\w+["`]?\s+((?:VALUES|SELECT|WITH|TABLE|FROM)\b.*?)\s*;?\s*$""".r
   private val createTableRe = """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\b.*$""".r
   private val dropTableRe = """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$""".r
+
+  /** The rows an `INSERT INTO t <query>` will add, materialized BEFORE the
+    * insert runs (localCheckpoint — `INSERT INTO t SELECT * FROM t` must not
+    * re-read post-insert state). None for OVERWRITE / column-list / any
+    * unrunnable source → the caller falls back to a full index rebuild. */
+  private def insertDelta(spark: SparkSession, stmt: String): Option[DataFrame] =
+    if (insertOverwriteRe.matches(stmt)) None
+    else stmt match {
+      case insertSourceRe(src) =>
+        Try(spark.sql(SqlCanonicalizer(src)).localCheckpoint()).toOption
+      case _ => None
+    }
 
   /** Execute one statement; DDL/utility statements return an empty frame. */
   def apply(spark: SparkSession, stmt: String): DataFrame = {
@@ -273,7 +296,8 @@ object GraftSql {
         val target = spark.table(table)
         val df = reader.schema(target.schema).csv(path)
         df.write.mode("append").insertInto(table)
-        IndexSurface.afterWrite(spark, table)
+        // the CSV frame IS the delta (stable re-read): O(delta) index append
+        IndexSurface.afterWrite(spark, table, Some(df))
       } else {
         // no declared target: expose the file as an inferred-schema view
         reader.option("inferSchema", "true").csv(path).createOrReplaceTempView(table)
@@ -292,9 +316,12 @@ object GraftSql {
       // table discards its indexes (reference IndexCatalogEntry lifecycle)
       s match {
         case insertRe(table) if IndexSurface.indexedTables(spark)(table.toLowerCase) =>
+          val delta = insertDelta(spark, s) // capture BEFORE the write runs
+          // UNIQUE violations reject here, leaving the base table unchanged
+          IndexSurface.preWriteCheck(spark, table, delta)
           IndexSurface.beforeWrite(spark, table)
           val r = spark.sql(SqlCanonicalizer(s))
-          IndexSurface.afterWrite(spark, table)
+          IndexSurface.afterWrite(spark, table, delta)
           return r
         case createTableRe(table) => IndexSurface.invalidate(spark, table)
         case dropTableRe(table) => IndexSurface.invalidate(spark, table)

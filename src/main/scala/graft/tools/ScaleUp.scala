@@ -39,6 +39,14 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, out, k, tableFilter)
+    spark.stop()
+  }
+
+  /** Programmatic entry (Sf1Spec auto-provisions /tmp/graft_sf1 through
+    * this with the test session — the CLI main owns its own session). */
+  def run(spark: SparkSession, src: String, out: String, k: Int,
+      tableFilter: String => Boolean = _ => true): Unit = {
 
     def tbl(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
@@ -196,6 +204,5 @@ object ScaleUp {
         total.toString.getBytes("UTF-8"))
       println(f"[scaleup] $name%-12s sample written ($total%d rows total)")
     }
-    spark.stop()
   }
 }

@@ -143,4 +143,102 @@ class CUdfSpec extends SparkSpec {
     val plan = spark.sql("SELECT c_inc(41) AS v").queryExecution.optimizedPlan.toString
     assert(plan.contains("42"), s"macro not folded: $plan")
   }
+
+  // ---------------------------------------------- round 10: arrays + strings
+
+  private def sqlStr(q: String): String = spark.sql(q).collect().head.getString(0)
+
+  test("int array: digit histogram with brace init and index lvalues") {
+    define("""CREATE FUNCTION c_maxdigit(n bigint) RETURNS int LANGUAGE c AS $$
+      int h[10] = {0};
+      if (n < 0) n = -n;
+      do {
+        h[n % 10]++;
+        n /= 10;
+      } while (n > 0);
+      int best = 0;
+      for (int d = 1; d < 10; d++) {
+        if (h[d] >= h[best]) best = d;
+      }
+      return best;
+    $$""")
+    // 1223334444: digit 4 appears most
+    assert(spark.sql("SELECT c_maxdigit(1223334444) AS v").collect().head.getInt(0) == 4)
+    assert(spark.sql("SELECT c_maxdigit(0) AS v").collect().head.getInt(0) == 0)
+  }
+
+  test("char buffer: build a string by index, return buf converts to SQL string") {
+    define("""CREATE FUNCTION c_rev(s varchar) RETURNS varchar LANGUAGE c AS $$
+      char buf[256];
+      int n = strlen(s);
+      for (int i = 0; i < n; i++) {
+        buf[i] = s[n - 1 - i];
+      }
+      buf[n] = '\0';
+      return buf;
+    $$""")
+    assert(sqlStr("SELECT c_rev('spark') AS v") == "kraps")
+    assert(sqlStr("SELECT c_rev('') AS v") == "")
+  }
+
+  test("strcpy/strcat/strncmp/strchr against compiled-C behavior") {
+    define("""CREATE FUNCTION c_join(a varchar, b varchar) RETURNS varchar LANGUAGE c AS $$
+      char buf[128];
+      strcpy(buf, a);
+      strcat(buf, "-");
+      strcat(buf, b);
+      if (strncmp(buf, "x", 1) == 0 && strchr(buf, '-') >= 0) {
+        strcat(buf, "!");
+      }
+      return buf;
+    $$""")
+    assert(sqlStr("SELECT c_join('xa', 'b') AS v") == "xa-b!")
+    assert(sqlStr("SELECT c_join('a', 'b') AS v") == "a-b")
+  }
+
+  test("sprintf: %d/%s/%c/%x, width and precision, literal %%") {
+    define("""CREATE FUNCTION c_fmt(i bigint, s varchar, f double) RETURNS varchar LANGUAGE c AS $$
+      char buf[128];
+      sprintf(buf, "%05ld|%-4s|%c|%x|%.2f|100%%", i, s, 'Z', i, f);
+      return buf;
+    $$""")
+    assert(sqlStr("SELECT c_fmt(42, 'ab', 3.14159) AS v") == "00042|ab  |Z|2a|3.14|100%")
+  }
+
+  test("char array initializer from a string literal, memset, array-to-string args") {
+    define("""CREATE FUNCTION c_pad(n int) RETURNS varchar LANGUAGE c AS $$
+      char buf[32] = "id=";
+      char stars[16];
+      memset(stars, '*', 15);
+      stars[n] = '\0';
+      strcat(buf, stars);
+      return buf;
+    $$""")
+    assert(sqlStr("SELECT c_pad(3) AS v") == "id=***")
+  }
+
+  test("array index out of bounds raises instead of corrupting") {
+    define("""CREATE FUNCTION c_oob(n int) RETURNS int LANGUAGE c AS $$
+      int a[4] = {1, 2, 3, 4};
+      return a[n];
+    $$""")
+    assert(spark.sql("SELECT c_oob(2) AS v").collect().head.getInt(0) == 3)
+    val err = intercept[Exception](spark.sql("SELECT c_oob(9) AS v").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("out of bounds")), msgs(err).mkString("; "))
+  }
+
+  test("char-buffer overflow raises instead of smashing (the UB a sandbox must not have)") {
+    define("""CREATE FUNCTION c_smash(s varchar) RETURNS varchar LANGUAGE c AS $$
+      char buf[4];
+      strcpy(buf, s);
+      return buf;
+    $$""")
+    assert(sqlStr("SELECT c_smash('ab') AS v") == "ab")
+    val err = intercept[Exception](spark.sql("SELECT c_smash('abcdef') AS v").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("overflows")), msgs(err).mkString("; "))
+  }
 }

@@ -130,4 +130,25 @@ class FunctionsSpec extends SparkSpec {
       .collect().count(r => (0 until 4).exists(r.getBoolean))
     assert(mismatches == 0)
   }
+
+  test("sign_bits leaves the bit UNSET for NULL array elements") {
+    // CASE-WHEN parity: `WHEN null >= 0` is null → ELSE 0, so the replaced
+    // formulation never set the bit for a null slot; getFloat on a null slot
+    // is undefined, so the eval path needs an explicit isNullAt guard
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val v: Array[java.lang.Float] = Array.tabulate(64)(i =>
+      if (i % 7 == 0) null
+      else java.lang.Float.valueOf((i - 30).toFloat))
+    val schema = StructType(Seq(StructField("embedding",
+      ArrayType(FloatType, containsNull = true))))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(v.toSeq)), schema)
+    val expected = (0 until 64).foldLeft(0L) { (b, i) =>
+      if (v(i) != null && !(v(i).floatValue() < 0f)) b | (1L << i) else b
+    }
+    val got = df.select(GraftFunctions.sign_bits(col("embedding")))
+      .collect().head.getLong(0)
+    assert(got == expected)
+  }
 }

@@ -93,6 +93,93 @@ class IndexSpec extends SparkSpec {
     sql("DROP TABLE idx_u")
   }
 
+  test("temp-view base table survives CREATE INDEX + DROP INDEX") {
+    import spark.implicits._
+    // Tables.registerAll and COPY-inferred tables are temp views; the index
+    // shadow REPLACES a temp view, so un-shadowing must restore the original
+    // binding instead of dropping the name entirely
+    Seq((1, "x"), (2, "y")).toDF("k", "v").createOrReplaceTempView("idx_tv")
+    sql("CREATE INDEX idx_tv_k ON idx_tv(k)")
+    assert(spark.table("idx_tv").count() == 2)
+    sql("DROP INDEX idx_tv_k")
+    assert(spark.table("idx_tv").count() == 2)
+    assert(spark.sql("SELECT v FROM idx_tv WHERE k = 1").head.getString(0) == "x")
+    spark.catalog.dropTempView("idx_tv")
+  }
+
+  test("CREATE UNIQUE INDEX allows NULL keys (NULL != NULL)") {
+    sql("DROP TABLE IF EXISTS idx_n")
+    sql("CREATE TABLE idx_n (k INT) USING parquet")
+    sql("INSERT INTO idx_n VALUES (1), (NULL), (NULL)")
+    sql("CREATE UNIQUE INDEX idx_n_k ON idx_n(k)") // must not raise
+    assert(spark.sql("SELECT count(*) FROM idx_n").head.getLong(0) == 3)
+    sql("DROP INDEX idx_n_k")
+    sql("DROP TABLE idx_n")
+  }
+
+  test("expression-index and unknown-column forms degrade to no-op") {
+    sql("DROP TABLE IF EXISTS idx_e")
+    sql("CREATE TABLE idx_e (a INT, b INT) USING parquet")
+    sql("INSERT INTO idx_e VALUES (1, 2)")
+    sql("CREATE INDEX idx_e_ab ON idx_e(a+b)") // expression: tolerated no-op
+    sql("CREATE INDEX idx_e_zz ON idx_e(zz)")  // unknown column: no-op
+    assert(spark.sql("SELECT a FROM idx_e").count() == 1)
+    sql("DROP TABLE idx_e")
+  }
+
+  test("INSERT appends O(delta): snapshot files added, never rewritten") {
+    sql("DROP TABLE IF EXISTS idx_a")
+    sql("CREATE TABLE idx_a (k INT, v STRING) USING parquet")
+    sql("INSERT INTO idx_a VALUES (1, 'a'), (2, 'b')")
+    sql("CREATE INDEX idx_a_k ON idx_a(k)")
+    val loc = spark.sql("DESCRIBE EXTENDED graft_idx_idx_a_idx_a_k")
+      .filter("col_name = 'Location'").head.getString(1)
+    val dir = new java.io.File(new java.net.URI(loc))
+    def dataFiles = dir.listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toMap
+    val before = dataFiles
+    assert(before.nonEmpty)
+    sql("INSERT INTO idx_a VALUES (3, 'c')")
+    val after = dataFiles
+    // every pre-existing snapshot file untouched (no full-table rewrite job)
+    before.foreach { case (n, m) =>
+      assert(after.contains(n) && after(n) == m, s"file $n was rewritten")
+    }
+    assert(after.size > before.size, "append must add delta files")
+    // the read resolves through the shadow and must see the new row
+    assert(spark.sql("SELECT v FROM idx_a WHERE k = 3").head.getString(0) == "c")
+    assert(spark.sql("SELECT count(*) FROM idx_a").head.getLong(0) == 3)
+    sql("DROP TABLE idx_a")
+  }
+
+  test("UNIQUE index rejects a clashing INSERT before the data lands") {
+    sql("DROP TABLE IF EXISTS idx_uc")
+    sql("CREATE TABLE idx_uc (k INT) USING parquet")
+    sql("INSERT INTO idx_uc VALUES (1), (2)")
+    sql("CREATE UNIQUE INDEX idx_uc_k ON idx_uc(k)")
+    val e = intercept[Exception](sql("INSERT INTO idx_uc VALUES (2)"))
+    assert(e.getMessage.contains("already present"), e.getMessage)
+    // pre-write rejection: the base table is unchanged
+    assert(spark.sql("SELECT count(*) FROM idx_uc").head.getLong(0) == 2)
+    // a non-clashing insert still goes through (NULL key is always legal)
+    sql("INSERT INTO idx_uc VALUES (3), (NULL)")
+    assert(spark.sql("SELECT count(*) FROM idx_uc").head.getLong(0) == 4)
+    sql("DROP TABLE idx_uc")
+  }
+
+  test("INSERT OVERWRITE and quoted names trigger index maintenance") {
+    sql("DROP TABLE IF EXISTS idx_o")
+    sql("CREATE TABLE idx_o (k INT) USING parquet")
+    sql("INSERT INTO idx_o VALUES (1), (2)")
+    sql("CREATE INDEX idx_o_k ON idx_o(k)")
+    sql("INSERT OVERWRITE TABLE idx_o VALUES (9)")
+    assert(spark.sql("SELECT k FROM idx_o").collect().map(_.getInt(0)).toSeq == Seq(9))
+    sql("INSERT INTO `idx_o` VALUES (10)")
+    assert(spark.sql("SELECT count(*) FROM idx_o").head.getLong(0) == 2)
+    sql("DROP TABLE idx_o")
+  }
+
   test("multi-column index with ASC/DESC modifiers parses (select4.test forms)") {
     sql("DROP TABLE IF EXISTS idx_m")
     sql("CREATE TABLE idx_m (a INT, b INT, c INT) USING parquet")

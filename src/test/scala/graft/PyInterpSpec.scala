@@ -850,7 +850,7 @@ class PyInterpSpec extends AnyFunSuite {
     assert(run(src) == "child/base/[True, True, False]")
   }
 
-  test("yield: generator def collects eagerly, iterable like a list") {
+  test("yield: generator def is iterable; sum/list/for see yields in order") {
     val src =
       """def evens(n):
         |    for i in range(n):
@@ -876,6 +876,109 @@ class PyInterpSpec extends AnyFunSuite {
         |def f(xs):
         |    return ','.join([str(v) for v in firstk(xs, 2)])"""
     assert(run(src, ArrayBuffer(7L, 8L, 9L, 10L)) == "7,8")
+  }
+
+  test("yield: INFINITE generator with an early-exit zip does not materialize") {
+    // CPython: zip stops at the shortest iterable; an eager-list generator
+    // implementation would hang here
+    val src =
+      """def naturals():
+        |    n = 0
+        |    while True:
+        |        yield n
+        |        n += 1
+        |def f(k):
+        |    out = []
+        |    for p in zip(naturals(), range(k)):
+        |        out.append(p[0] * 10 + p[1])
+        |    return out"""
+    assert(run(src, 3L).asInstanceOf[ArrayBuffer[Any]].toSeq == Seq(0L, 11L, 22L))
+  }
+
+  test("yield: for-loop break over an infinite generator") {
+    val src =
+      """def powers():
+        |    p = 1
+        |    while True:
+        |        yield p
+        |        p = p * 2
+        |def f(limit):
+        |    total = 0
+        |    for v in powers():
+        |        if v > limit:
+        |            break
+        |        total += v
+        |    return total"""
+    assert(run(src, 100L) == 127L) // 1+2+4+8+16+32+64
+  }
+
+  test("yield: next(gen), next(gen, default), StopIteration on exhaustion") {
+    val src =
+      """def two():
+        |    yield 'a'
+        |    yield 'b'
+        |def f():
+        |    g = two()
+        |    first = next(g)
+        |    second = next(g)
+        |    fallback = next(g, 'z')
+        |    return first + second + fallback"""
+    assert(run(src) == "abz")
+    val src2 =
+      """def one():
+        |    yield 1
+        |def f():
+        |    g = one()
+        |    next(g)
+        |    return next(g)"""
+    val e = intercept[Exception](run(src2))
+    assert(e.getMessage == null || e.getMessage.isEmpty ||
+      e.toString.contains("StopIteration"), e.toString)
+  }
+
+  test("yield: no body code runs at call time; a spent generator iterates empty") {
+    val src =
+      """def f():
+        |    log = []
+        |    def g():
+        |        log.append('ran')
+        |        yield 1
+        |    h = g()
+        |    before = len(log)
+        |    first = list(h)
+        |    again = list(h)
+        |    return [before, len(log), first, again]"""
+    val r = run(src).asInstanceOf[ArrayBuffer[Any]]
+    assert(r(0) == 0L, "body must not run at call time")
+    assert(r(1) == 1L)
+    assert(r(2).asInstanceOf[ArrayBuffer[Any]].toSeq == Seq(1L))
+    assert(r(3).asInstanceOf[ArrayBuffer[Any]].isEmpty, "spent generator must iterate empty")
+  }
+
+  test("yield: a body exception surfaces at the pull that triggers it") {
+    val src =
+      """def bad():
+        |    yield 1
+        |    yield 1 // 0
+        |def f():
+        |    g = bad()
+        |    first = next(g)
+        |    try:
+        |        second = next(g)
+        |    except ZeroDivisionError:
+        |        return first + 100
+        |    return -1"""
+    assert(run(src) == 101L)
+  }
+
+  test("yield: generator returned from the UDF materializes to a list") {
+    val src =
+      """def f(n):
+        |    def squares(k):
+        |        for i in range(k):
+        |            yield i * i
+        |    return squares(n)"""
+    assert(run(src, 4L).asInstanceOf[ArrayBuffer[Any]].toSeq == Seq(0L, 1L, 4L, 9L))
   }
 
   test("global: a helper mutates a module-level counter") {

@@ -10,17 +10,36 @@ import org.apache.spark.sql.functions._
   * (/tmp/graft_sf1, 10× the driver's sf0.1, written by tools.ScaleUp) so
   * the "holds at scale" claim is asserted, not extrapolated.
   *
-  * Gated: runs only with GRAFT_SF1=1 AND the sf1 dir present — the data is
-  * machine-local bench state, not repo state, and the suite adds ~2 min.
-  * Run: `GRAFT_SF1=1 sbt "testOnly graft.Sf1Spec"`.
+  * Self-provisioning: when /tmp/graft_sf1 is absent (VM refresh wipes it)
+  * the fixture regenerates it via ScaleUp (~1 min) instead of canceling —
+  * a plain `sbt test` must never silently lose its only at-scale recall
+  * coverage (round-9 verdict #7). Opt out of the whole suite (fast local
+  * iteration) with GRAFT_SKIP_SF1=1.
   */
 class Sf1Spec extends SparkSpec {
   private val sf1 = "/tmp/graft_sf1"
-  private def enabled: Boolean =
-    sys.env.get("GRAFT_SF1").contains("1") && new java.io.File(sf1).isDirectory
+  private val skipped = sys.env.get("GRAFT_SKIP_SF1").contains("1")
+
+  /** Provision once per JVM; a marker file distinguishes a COMPLETE build
+    * from a partial one left by a killed run (which must be rebuilt). */
+  private def provisioned: Boolean = this.synchronized {
+    if (skipped) false
+    else {
+      val done = new java.io.File(sf1, "_samples/embeddings.count")
+      if (!done.isFile) {
+        info(s"provisioning $sf1 via ScaleUp (absent or incomplete)")
+        graft.tools.ScaleUp.run(spark, "/root/testdata/sf0.1", sf1, k = 10)
+      }
+      done.isFile
+    }
+  }
 
   private def gated(name: String)(body: => Unit): Unit =
-    test(name) { assume(enabled, "set GRAFT_SF1=1 with /tmp/graft_sf1 present"); body }
+    test(name) {
+      assume(!skipped, "GRAFT_SKIP_SF1=1 set")
+      assert(provisioned, s"$sf1 provisioning failed")
+      body
+    }
 
   gated("sf1: minhash-LSH recall — complete at jac>=0.8, >=0.97 at the 0.5 boundary") {
     // The sf1 corpus carries ~246k true near-dup pairs, ~18k of them AT the

@@ -41,6 +41,17 @@ HEADLINE = ["tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q10",
             "dedup_exact", "sim_cosine_topk", "text_quality", "ev_sessions",
             "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embed_cos"]
 
+# mirror of graft.Bench.heavies: spill-heavy shingle/self-join pipelines get
+# an OS-level barrier (sync + drain pause) before and between measured runs,
+# so one heavy's dirty writeback is flushed on the barrier's clock instead of
+# contaminating the next run's measurement
+HEAVIES = {"dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embed_cos"}
+
+
+def heavy_barrier():
+    os.sync()
+    time.sleep(2.0)
+
 
 def connect(sf_dir):
     import duckdb
@@ -67,7 +78,7 @@ def connect(sf_dir):
     return con
 
 
-def run_one(sf_dir, sql):
+def run_one(sf_dir, sql, heavy=False):
     """Child-process entry: 1 warmup + adaptive measured runs, min → JSON.
     Same protocol as graft.Bench: 5 measured runs, or — once the FIRST
     MEASURED run reaches 60 s — as few as 2, extending (up to 5) until the
@@ -87,7 +98,11 @@ def run_one(sf_dir, sql):
         finally:
             timer.cancel()
     try:
+        if heavy:
+            heavy_barrier()  # don't inherit the previous heavy's residue
         once()  # warmup
+        if heavy:
+            heavy_barrier()
         r1 = once()  # first measured run decides the count (see docstring)
         if r1 >= 60.0:
             runs = [r1]
@@ -95,9 +110,15 @@ def run_one(sf_dir, sql):
                 best = sorted(rs)[:2]
                 return len(best) >= 2 and best[1] <= best[0] * 1.15
             while len(runs) < 5 and not converged(runs):
+                if heavy:
+                    heavy_barrier()
                 runs.append(once())
         else:
-            runs = [r1] + [once() for _ in range(4)]
+            def measured():
+                if heavy:
+                    heavy_barrier()
+                return once()
+            runs = [r1] + [measured() for _ in range(4)]
         print(json.dumps({"ok": round(min(runs), 4)}))
     except duckdb.InterruptException:
         print(json.dumps({"err": f"TIMEOUT>{TIMEOUT_S}s"}))
@@ -154,6 +175,6 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) >= 5 and sys.argv[3] == "--one":
         oracle = json.load(open(sys.argv[2]))
-        run_one(sys.argv[1], oracle[sys.argv[4]])
+        run_one(sys.argv[1], oracle[sys.argv[4]], heavy=sys.argv[4] in HEAVIES)
     else:
         main()
