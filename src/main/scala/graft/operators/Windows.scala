@@ -20,7 +20,10 @@ import graft.util.Det._
   * frame contents deterministic; running sums use exact decimal accumulation.
   */
 object Windows {
-  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+  // scan-path loads (Tables.loadScan): no query in this file joins or
+  // aggregates on a bucketed table's bucket key, so the splittable plain
+  // layout always wins over the one-task-per-bucket-file bucketed scan
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.loadScan(s, d, n)
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(

@@ -17,11 +17,12 @@ object QTime {
       Runtime.getRuntime.availableProcessors.toString).toInt
     val spark = graft.Engine.create(master = s"local[$cpus]",
       shufflePartitions = cpus, appName = "graft-qtime", dataDir = Some(sfDir))
-    // Same execution path as Bench: fresh Dataset per run, direct plan
-    // execution, every partition iterator drained (see Bench.once).
+    // Same execution path as Bench: fresh Dataset per run, plan-cache
+    // execution (graft.Prepared — cloned plan, full recompute), every
+    // partition iterator drained (see Bench.once).
     def time(mk: => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      mk.queryExecution.toRdd.foreachPartition { it =>
+      graft.Prepared.freshRdd(mk).foreachPartition { it =>
         while (it.hasNext) it.next()
       }
       (System.nanoTime() - t0) / 1e9

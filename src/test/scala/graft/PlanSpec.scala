@@ -459,4 +459,25 @@ class PlanSpec extends SparkSpec {
       s"unpinned CodegenFallback expressions (new fallback = conscious choice " +
         s"required; extend the allowed set WITH justification): $offenders")
   }
+
+  test("Prepared plan cache: cloned executions reproduce fresh results, every run recomputes") {
+    // shape-diverse slice of the headline set: scan+agg, multi-join,
+    // rollup/Expand, window, session window
+    for (name <- Seq("tpch_q1", "tpch_q5", "agg_rollup", "win_running_sum", "ev_sessions")) {
+      val q = SparkEntry.queries(name)
+      val freshRows = q(spark, sf).count()
+      val counts = Seq.fill(3) { // run 1 primes the cache; 2-3 are clone hits
+        Prepared.freshRdd(q(spark, sf))
+          .mapPartitions(it => Iterator.single(it.size.toLong)).collect().sum
+      }
+      assert(counts.forall(_ == freshRows),
+        s"$name: prepared runs $counts != fresh $freshRows")
+    }
+    // a plan with ReusedExchangeExec cross-references must FALL BACK (a
+    // cloned tree would silently reuse the previous run's shuffle output)
+    val heavy = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+    val n1 = Prepared.freshRdd(heavy)
+      .mapPartitions(it => Iterator.single(it.size.toLong)).collect().sum
+    assert(n1 == SparkEntry.queries("dedup_minhash_lsh")(spark, sf).count())
+  }
 }
