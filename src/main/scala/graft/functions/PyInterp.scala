@@ -70,8 +70,8 @@ import scala.collection.mutable.{ArrayBuffer, HashMap, LinkedHashMap}
   * instance attributes (read/write/augmented), simple class-level
   * constants (evaluated per instantiation), single inheritance with
   * method/attr lookup through the base chain and subclass-aware
-  * `isinstance` (round 9). No `super()`, no dunder protocol beyond
-  * `__init__`.
+  * `isinstance` (round 9), zero-arg and argful `super()` (rounds 9/10).
+  * No dunder protocol beyond `__init__`.
   *
   * Round 9 additions: nested `def` → closures over the defining frame
   * (live reads by reference; assignment is local per CPython unless
@@ -87,15 +87,19 @@ import scala.collection.mutable.{ArrayBuffer, HashMap, LinkedHashMap}
   * `zip(gen, range(n))` early exits and large-range generators don't
   * materialize; StopIteration/spent-generator semantics match CPython,
   * and a fully-consumed infinite generator hits a 10M-yield budget
-  * instead of hanging the executor.
+  * instead of hanging the executor. Coroutine protocol: `x = yield v`
+  * receive points and `gen.send(v)` (TypeError on a non-None send to a
+  * just-started generator, StopIteration at exhaustion). Argful
+  * `super(C, self)`. UnboundLocalError: a name assigned anywhere in a
+  * def (and not declared global/nonlocal) is a LOCAL, and reading it
+  * before its first binding raises with CPython 3.11's wording instead
+  * of leaking the enclosing binding ([[PyFunc.localNames]] — closes the
+  * dynamic-env divergence documented in rounds 8-9).
   *
   * Out of scope (rejected with a clear parse error, documented in
-  * COVERAGE.md known-gaps): coroutine-style `x = yield v` /
-  * `gen.send(v)`, argful `super(C, self)`, imports beyond
-  * math/re/collections. One documented closure divergence: reading a name
-  * before its first local assignment sees the enclosing binding instead
-  * of raising UnboundLocalError (dynamic-env model). The exact accepted
-  * grammar is documented in [[graft.sqlsurface.UdfSurface]].
+  * COVERAGE.md known-gaps): `gen.throw`, parenthesized yield expressions
+  * outside assignment RHS, imports beyond math/re/collections. The exact
+  * accepted grammar is documented in [[graft.sqlsurface.UdfSurface]].
   *
   * Deliberately interpreted, not codegen'd: an external-language UDF is
   * opaque to Catalyst in the reference too (SURVEY §2.7). NULL inputs
@@ -143,6 +147,11 @@ object PyInterp {
   /** Call-site dict splat (`f(**d)`); expanded into keyword arguments at
     * evaluation time (round 9). */
   private final case class PKwStar(value: PExpr) extends PExpr
+  /** `x = yield v` RHS (round 10): suspends the generator handing `v` to
+    * the consumer; evaluates to what the consumer passed to `gen.send`
+    * (None for a plain `next`). Only the assignment-RHS position is
+    * parsed — the general parenthesized-yield expression is not. */
+  private final case class PYieldExpr(e: PExpr) extends PExpr
 
   sealed trait PStmt
   private final case class PReturn(e: PExpr) extends PStmt
@@ -178,10 +187,41 @@ object PyInterp {
     /** A def whose own body yields is a generator (nested defs are their
       * own functions and don't count, as in CPython). */
     lazy val isGenerator: Boolean = hasYield(body)
+    /** Names CPython's symbol-table pass classifies as locals: any name
+      * assigned anywhere in the body (assignment / aug-assign targets,
+      * for-loop vars, nested def names, except-as names) that is not
+      * declared global/nonlocal. Reading one before its first binding
+      * raises UnboundLocalError even when an enclosing binding of the
+      * same name exists (round 10 — previously the dynamic-env model
+      * leaked the enclosing binding through). */
+    lazy val localNames: Set[String] = assignedNames(body)
+  }
+
+  private def assignedNames(stmts: Seq[PStmt]): Set[String] = {
+    val out = scala.collection.mutable.HashSet.empty[String]
+    val declared = scala.collection.mutable.HashSet.empty[String]
+    def walk(ss: Seq[PStmt]): Unit = ss.foreach {
+      case PAssign(n, _) => out += n
+      case PTupleAssign(ns, _) => out ++= ns
+      case PAugAssign(n, _, _) => out += n
+      case PFor(ns, _, b) => out ++= ns; walk(b)
+      case PWhile(_, b) => walk(b)
+      case PIf(_, t, e) => walk(t); walk(e)
+      case PTry(b, hs, o, f) =>
+        walk(b); hs.foreach { h => h.bind.foreach(out += _); walk(h.body) }
+        walk(o); walk(f)
+      case PDefStmt(fn) => out += fn.name // nested body is its own scope
+      case PNonlocal(ns) => declared ++= ns
+      case PGlobal(ns) => declared ++= ns
+      case _ => ()
+    }
+    walk(stmts)
+    (out -- declared).toSet
   }
 
   private def hasYield(stmts: Seq[PStmt]): Boolean = stmts.exists {
     case PYield(_) => true
+    case PAssign(_, _: PYieldExpr) => true
     case PIf(_, t, e) => hasYield(t) || hasYield(e)
     case PFor(_, _, b) => hasYield(b)
     case PWhile(_, b) => hasYield(b)
@@ -195,7 +235,7 @@ object PyInterp {
   private final case class PDefStmt(fn: PyFunc) extends PStmt
   /** `nonlocal a, b` — registers write-through names on the closure frame. */
   private final case class PNonlocal(names: Seq[String]) extends PStmt
-  /** `yield e` — appends to the generator frame's eager output list. */
+  /** `yield e` as a statement — hands `e` to the generator's consumer. */
   private final case class PYield(e: PExpr) extends PStmt
   /** `global a, b` — registers module-env write-through names. */
   private final case class PGlobal(names: Seq[String]) extends PStmt
@@ -203,9 +243,9 @@ object PyInterp {
   /** A `class Name[(Base)]:` definition — methods (defs whose first param
     * is `self`) plus simple class-level assignments. Single inheritance
     * (round 9): method/attr lookup walks `parent`; no dunder protocol
-    * beyond `__init__`, no `super()` (call the base method through an
-    * explicit instance pattern instead); class attributes are evaluated
-    * per instantiation (shared mutable class state is out of scope). */
+    * beyond `__init__` (`super()` — zero-arg and argful — dispatches
+    * through [[SuperProxy]]); class attributes are evaluated per
+    * instantiation (shared mutable class state is out of scope). */
   final case class PyClass(name: String, methods: Map[String, PyFunc],
     attrs: Seq[PStmt], parent: Option[PyClass] = None) {
     def findMethod(m: String): Option[PyFunc] =
@@ -739,9 +779,9 @@ object PyInterp {
           out += PDefStmt(fn)
           p = np
         } else if (t.startsWith("yield ") || t == "yield") {
-          // eager generator element (see PyFunc.isGenerator in callIn)
-          require(t != "yield", "py parse: bare 'yield' (yield None) is not supported")
-          out += PYield(exprOf(t.stripPrefix("yield").trim))
+          // generator element (see PyFunc.isGenerator in callIn); bare
+          // `yield` yields None, as in CPython
+          out += PYield(if (t == "yield") PNone else exprOf(t.stripPrefix("yield").trim))
           p += 1
         } else if (t == "nonlocal" || t.startsWith("nonlocal ")) {
           val names = t.stripPrefix("nonlocal").split(",").map(_.trim).filter(_.nonEmpty)
@@ -775,7 +815,12 @@ object PyInterp {
               // parallel assignment: RHS fully evaluates before any binding
               out += PTupleAssign(ns.split(",").map(_.trim).toSeq,
                 splitArgs(e).map(exprOf))
-            case asnRe(n, e) if !e.startsWith("=") => out += PAssign(n, exprOf(e))
+            case asnRe(n, e) if !e.startsWith("=") =>
+              // `x = yield [v]` — coroutine receive point (round 10)
+              out += PAssign(n,
+                if (e == "yield") PYieldExpr(PNone)
+                else if (e.startsWith("yield ")) PYieldExpr(exprOf(e.stripPrefix("yield").trim))
+                else exprOf(e))
             case _ => out += PExprStmt(exprOf(t))
           }
           p += 1
@@ -1027,8 +1072,10 @@ object PyInterp {
   /** The running generator body's emit — per coroutine THREAD, not a ctx
     * stack: each generator body runs wholly on its own dedicated thread
     * (see [[LazyGen]]), so a suspended outer generator can never see an
-    * inner generator's sink. */
-  private val yieldEmit = new ThreadLocal[Any => Unit]
+    * inner generator's sink. The emit's RETURN value is what the consumer
+    * resumed with — `gen.send(v)` delivers v, a plain next delivers None —
+    * which is the value of an `x = yield …` expression. */
+  private val yieldEmit = new ThreadLocal[Any => Any]
 
   /** A generator object: the def body runs as a coroutine on a dedicated
     * daemon thread with STRICT ALTERNATION — the body only executes between
@@ -1042,14 +1089,18 @@ object PyInterp {
     * `list(infinite_gen)` the way CInterp's step budget bounds loops.
     * [[close]] interrupts a suspended body; Ctx closes all stragglers when
     * the top-level call returns. */
-  private[functions] final class LazyGen(name: String, runBody: (Any => Unit) => Unit)
+  private[functions] final class LazyGen(name: String, runBody: (Any => Any) => Unit)
       extends Iterator[Any] {
     private sealed trait Msg
     private final case class Item(v: Any) extends Msg
     private case object End extends Msg
     private final case class Err(t: Throwable) extends Msg
+    /** Consumer → body resume token; `sent` is the `gen.send` payload
+      * (null = None for a plain next), returned by the suspended
+      * `x = yield …` expression. */
+    private final case class Resume(sent: Any)
 
-    private val req = new java.util.concurrent.SynchronousQueue[AnyRef]
+    private val req = new java.util.concurrent.SynchronousQueue[Resume]
     private val resp = new java.util.concurrent.SynchronousQueue[Msg]
     private var lookahead: Msg = null
     private var finished = false
@@ -1059,8 +1110,10 @@ object PyInterp {
 
     private val thread = new Thread(() => {
       try {
-        req.take() // no body code before the first pull (CPython)
-        runBody { v => resp.put(Item(v)); req.take(); () }
+        req.take() // no body code before the first pull (CPython); the
+        // first resume's payload is discarded, which is why CPython only
+        // accepts send(None) on a just-started generator (enforced in send)
+        runBody { v => resp.put(Item(v)); req.take().sent }
         resp.put(End)
       } catch {
         case _: InterruptedException => // closed while suspended
@@ -1070,19 +1123,22 @@ object PyInterp {
     }, s"py-gen-$name")
     thread.setDaemon(true)
 
+    /** Resume the body with `sent` and block for its next message. */
+    private def pull(sent: Any): Msg = {
+      if (!started) { thread.start(); started = true }
+      yielded += 1
+      if (yielded > MaxYields) {
+        close()
+        throw new IllegalArgumentException(
+          s"py: generator $name exceeded $MaxYields yields (infinite generator fully consumed?)")
+      }
+      req.put(Resume(sent))
+      resp.take()
+    }
+
     override def hasNext: Boolean = {
       if (finished) return false
-      if (lookahead == null) {
-        if (!started) { thread.start(); started = true }
-        yielded += 1
-        if (yielded > MaxYields) {
-          close()
-          throw new IllegalArgumentException(
-            s"py: generator $name exceeded $MaxYields yields (infinite generator fully consumed?)")
-        }
-        req.put(this)
-        lookahead = resp.take()
-      }
+      if (lookahead == null) lookahead = pull(null)
       lookahead match {
         case End => finished = true; false
         case Err(t) => finished = true; lookahead = null; throw t
@@ -1095,6 +1151,28 @@ object PyInterp {
       val Item(v) = lookahead: @unchecked
       lookahead = null
       v
+    }
+
+    /** `gen.send(v)`: resume the suspended yield with v, return the next
+      * yielded value; StopIteration at exhaustion, TypeError on a non-None
+      * send to a just-started generator — CPython coroutine protocol. */
+    def send(v: Any): Any = {
+      if (finished) throw new PyError("StopIteration", "")
+      if (lookahead == null) {
+        if (!started && v != null) throw new PyError("TypeError",
+          "can't send non-None value to a just-started generator")
+        lookahead = pull(v)
+      } else if (v != null)
+        // a buffered lookahead means a for-loop's hasNext already resumed
+        // the body with None; the sent value has no yield to deliver to
+        throw new IllegalArgumentException(
+          "py: send() into a generator being iterated elsewhere is not supported")
+      lookahead match {
+        case End => finished = true; lookahead = null
+          throw new PyError("StopIteration", "")
+        case Err(t) => finished = true; lookahead = null; throw t
+        case Item(x) => lookahead = null; x
+      }
     }
 
     def close(): Unit = if (started && !finished) {
@@ -1166,8 +1244,10 @@ object PyInterp {
       // assignment stays local unless declared nonlocal/global, and
       // mutable objects (lists, dicts) are shared by reference.
       val env: HashMap[String, Any] = enclosing match {
-        case Some(captured) => new ChainedEnv(captured, ctx.constEnv, isClosure = true)
-        case None => new ChainedEnv(ctx.constEnv, ctx.constEnv, isClosure = false)
+        case Some(captured) =>
+          new ChainedEnv(captured, ctx.constEnv, isClosure = true, fn.localNames)
+        case None =>
+          new ChainedEnv(ctx.constEnv, ctx.constEnv, isClosure = false, fn.localNames)
       }
       extraEnv.foreach { case (k, v) => env(k) = v }
       val bound = scala.collection.mutable.HashSet.empty[String]
@@ -1234,7 +1314,7 @@ object PyInterp {
       case PYield(e) =>
         val emit = yieldEmit.get()
         require(emit != null, "py: yield outside a generator frame")
-        emit(eval(e, env, ctx))
+        emit(eval(e, env, ctx)): Unit // statement position: sent value unused
       case PDefStmt(fn) => env(fn.name) = PyClosure(fn, env)
       case PNonlocal(names) => env match {
         case ce: ChainedEnv if ce.isClosure => ce.nonlocals ++= names
@@ -1708,12 +1788,18 @@ object PyInterp {
     case PStr(v) => v
     case PBool(v) => v
     case PNone => null
-    case PName("math") if !env.contains("math") => MathModule
-    case PName("re") if ctx.imported("re") && !env.contains("re") => ReModule
+    // env.get (not contains): an unbound LOCAL named math/re must raise
+    // UnboundLocalError from the lookup, not resolve to the module
+    case PName("math") if env.get("math").isEmpty => MathModule
+    case PName("re") if ctx.imported("re") && env.get("re").isEmpty => ReModule
     case PName(n) =>
       env.getOrElse(n, ctx.defs.getOrElse(n, ctx.classes.getOrElse(n,
         if (Builtins(n) || ctx.imported(n)) BuiltinRef(n)
         else throw new IllegalArgumentException(s"py: undefined name '$n'"))))
+    case PYieldExpr(ve) =>
+      val emit = yieldEmit.get()
+      require(emit != null, "py: yield outside a generator frame")
+      emit(eval(ve, env, ctx)) // evaluates to the consumer's send() payload
     case PLambda(params, body) => PyLambda(params, body, env)
     case PUnary("-", x) => eval(x, env, ctx) match {
       case l: Long => -l
@@ -1901,6 +1987,19 @@ object PyInterp {
         if env.contains("__graft_class__") && !env.contains("super") =>
       SuperProxy(env("__graft_self__").asInstanceOf[PyInstance],
         env("__graft_class__").asInstanceOf[PyClass])
+    // argful form (round 10): super(C, obj) starts method lookup above C in
+    // obj's class chain — works outside methods too, as in CPython
+    case PCall(PName("super"), Seq(ce, se)) if !env.contains("super") =>
+      (eval(ce, env, ctx), eval(se, env, ctx)) match {
+        case (c: PyClass, inst: PyInstance) =>
+          if (!inst.cls.isSubclassOf(c)) throw new PyError("TypeError",
+            "super(type, obj): obj must be an instance or subtype of type")
+          SuperProxy(inst, c)
+        case (c, _) if !c.isInstanceOf[PyClass] =>
+          throw new PyError("TypeError", "super() argument 1 must be a type")
+        case _ => throw new PyError("TypeError",
+          "super(type, obj): obj must be an instance or subtype of type")
+      }
     case PCall(PName("super"), _) if !env.contains("__graft_class__") =>
       throw new PyError("RuntimeError", "super(): no arguments and not in a method")
     case PCall(f, rawArgs) =>
@@ -2349,26 +2448,33 @@ object PyInterp {
     * closures, the module env for top-level defs — live, by reference);
     * writes stay local (CPython: assignment is local) unless the name was
     * declared `nonlocal` (→ parent frame; closures only) or `global`
-    * (→ module env). One CPython divergence, shared with the rest of this
-    * interpreter's dynamic-env model: reading a name before its first
-    * local assignment sees the enclosing binding instead of raising
-    * UnboundLocalError. */
+    * (→ module env). Reading a statically-determined local (`locals` —
+    * [[PyFunc.localNames]]) before its first binding raises
+    * UnboundLocalError with CPython 3.11's wording instead of leaking the
+    * enclosing binding through (round 10 — closes the last documented
+    * scoping divergence). */
   private final class ChainedEnv(parent: HashMap[String, Any],
-      val moduleEnv: HashMap[String, Any], val isClosure: Boolean)
+      val moduleEnv: HashMap[String, Any], val isClosure: Boolean,
+      locals: Set[String] = Set.empty)
       extends HashMap[String, Any] {
     val nonlocals = scala.collection.mutable.HashSet.empty[String]
     val globals = scala.collection.mutable.HashSet.empty[String]
     override def get(k: String): Option[Any] =
       if (globals(k)) moduleEnv.get(k)
       else if (nonlocals(k)) parent.get(k)
-      else super.get(k).orElse(parent.get(k))
+      else super.get(k) match {
+        case s @ Some(_) => s
+        case None if locals(k) => throw new PyError("UnboundLocalError",
+          s"cannot access local variable '$k' where it is not associated with a value")
+        case None => parent.get(k)
+      }
     override def apply(k: String): Any =
       get(k).getOrElse(throw new NoSuchElementException(s"key not found: $k"))
     override def getOrElse[V1 >: Any](k: String, default: => V1): V1 =
       get(k).getOrElse(default)
     override def contains(k: String): Boolean =
       if (globals(k)) moduleEnv.contains(k)
-      else super.contains(k) || parent.contains(k)
+      else super.contains(k) || (!locals(k) && parent.contains(k))
     override def put(k: String, v: Any): Option[Any] =
       if (globals(k)) moduleEnv.put(k, v)
       else if (nonlocals(k)) parent.put(k, v)
@@ -2386,6 +2492,10 @@ object PyInterp {
     extends RuntimeException(s"$kind: $pyMsg")
 
   private def callMethod(recv: Any, name: String, args: Seq[Any]): Any = (recv, name) match {
+    case (g: LazyGen, "send") =>
+      require(args.size == 1, "py: send() takes exactly one argument")
+      g.send(args.head)
+    case (g: LazyGen, "close") => g.close(); null
     case (s: String, "upper") => s.toUpperCase
     case (s: String, "lower") => s.toLowerCase
     case (s: String, "strip" | "lstrip" | "rstrip") =>

@@ -64,13 +64,15 @@ import scala.util.Try
   *
   * Round 9: nested `def` (closures with live enclosing-frame reads and
   * `nonlocal` write-through), `**kwargs` parameters, single class
-  * inheritance (subclass-aware `isinstance`), `yield` (eager generators),
-  * `global`, call-site `**d` splat, and zero-arg `super()` joined the
-  * subset.
+  * inheritance (subclass-aware `isinstance`), `yield`, `global`,
+  * call-site `**d` splat, and zero-arg `super()` joined the subset.
+  * Round 10: lazy generators, the coroutine protocol (`x = yield v`,
+  * `gen.send(v)`), argful `super(C, self)`, and CPython's
+  * UnboundLocalError local-name classification.
   *
   * Out of scope — rejected with a clear parse error at CREATE FUNCTION
-  * time: coroutine `x = yield v`, argful `super(C, self)`, imports other
-  * than math/re/collections.
+  * time: `gen.throw`, parenthesized yield expressions outside an
+  * assignment RHS, imports other than math/re/collections.
   * (Documented known-gap in COVERAGE.md: full CPython.)
   */
 object UdfSurface {

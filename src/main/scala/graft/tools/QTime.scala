@@ -17,26 +17,27 @@ object QTime {
       Runtime.getRuntime.availableProcessors.toString).toInt
     val spark = graft.Engine.create(master = s"local[$cpus]",
       shufflePartitions = cpus, appName = "graft-qtime", dataDir = Some(sfDir))
-    // Same execution path as Bench: fresh Dataset per run, plan-cache
-    // execution (graft.Prepared — cloned plan, full recompute), every
-    // partition iterator drained (see Bench.once).
-    def time(mk: => org.apache.spark.sql.DataFrame): Double = {
+    // Same execution path as Bench: Dataset constructed ONCE per query
+    // (PREPARE, unmeasured), each run EXECUTEs through the plan cache
+    // (graft.Prepared — cloned plan, full recompute), every partition
+    // iterator drained (see Bench.once).
+    def time(df: org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      graft.Prepared.freshRdd(mk).foreachPartition { it =>
+      graft.Prepared.freshRdd(df).foreachPartition { it =>
         while (it.hasNext) it.next()
       }
       (System.nanoTime() - t0) / 1e9
     }
     def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     names.toSeq.foreach { n =>
-      val q = SparkEntry.queries(n)
-      time(q(spark, sfDir)) // warmup
+      val df = SparkEntry.queries(n)(spark, sfDir) // PREPARE (unmeasured)
+      time(df) // warmup
       // GC after every run (outside the clock), same reason as Bench: shuffle
       // files live until the driver GCs their ShuffleDependency; at sf100 a
       // shingle query spills >10 GB per execution and two retained runs
       // exhausted the disk (this host's fs reserves ~60% — ~53 GB usable).
       System.gc()
-      val ts = Seq.fill(runs) { val r = time(q(spark, sfDir)); System.gc(); r }
+      val ts = Seq.fill(runs) { val r = time(df); System.gc(); r }
       println(f"[qtime] $n%-24s median ${med(ts)}%.2f s  runs ${ts.map(x => f"$x%.2f").mkString(" ")}")
     }
     spark.stop()

@@ -322,14 +322,12 @@ class PyInterpSpec extends AnyFunSuite {
     assert(e.getMessage.contains("recursion"))
   }
 
-  test("an undefined base class and yield-as-expression are rejected") {
-    // (nested defs, inheritance and yield statements are supported since
-    // round 9; a base that was never defined must still fail at parse,
-    // like CPython's NameError, and coroutine-style `x = yield v` stays out)
+  test("an undefined base class is rejected") {
+    // (nested defs, inheritance, yield statements and — since round 10 —
+    // coroutine-style `x = yield v` are supported; a base that was never
+    // defined must still fail at parse, like CPython's NameError)
     intercept[IllegalArgumentException](
       run("class C(Base):\n    pass\ndef f(x):\n    return x", 1L))
-    intercept[IllegalArgumentException](
-      run("def f(x):\n    v = yield x\n    return v", 1L))
   }
 
   test("imports beyond math are rejected") {
@@ -1064,5 +1062,176 @@ class PyInterpSpec extends AnyFunSuite {
         |    x = B()
         |    return str(x.limit) + x.tag"""
     assert(run(src) == "10b")
+  }
+
+  // ---------------------------------------------------- round 10 semantics
+
+  test("UnboundLocalError: read before assignment of a function local") {
+    // CPython 3.11: UnboundLocalError even though module-level g exists
+    val src =
+      """g = 10
+        |def f1():
+        |    y = g
+        |    g = 5
+        |    return y"""
+    val e = intercept[Exception](run(src))
+    assert(e.getMessage.contains(
+      "UnboundLocalError: cannot access local variable 'g' where it is not associated with a value"))
+  }
+
+  test("UnboundLocalError: closure assignment without nonlocal makes the name local") {
+    val src =
+      """def f2():
+        |    c = 0
+        |    def inner():
+        |        v = c
+        |        c = v + 1
+        |        return c
+        |    try:
+        |        return inner()
+        |    except UnboundLocalError as e:
+        |        return 'UBL: ' + str(e)"""
+    assert(run(src) ==
+      "UBL: cannot access local variable 'c' where it is not associated with a value")
+  }
+
+  test("UnboundLocalError: a for-loop variable is a local") {
+    val src =
+      """def f3(n):
+        |    y = i
+        |    for i in range(n):
+        |        pass
+        |    return y"""
+    val e = intercept[Exception](run(src, 3L))
+    assert(e.getMessage.contains("UnboundLocalError") &&
+      e.getMessage.contains("'i'"))
+  }
+
+  test("global declaration exempts the name from local classification") {
+    val src =
+      """tot = 1
+        |def f4():
+        |    global tot
+        |    x = tot
+        |    tot = x + 1
+        |    return tot"""
+    assert(run(src) == 2L)
+  }
+
+  test("nonlocal declaration exempts the name: counter still works") {
+    val src =
+      """def f():
+        |    c = 0
+        |    def inc():
+        |        nonlocal c
+        |        c = c + 1
+        |        return c
+        |    inc()
+        |    inc()
+        |    return inc()"""
+    assert(run(src) == 3L)
+  }
+
+  test("coroutine: running average via gen.send") {
+    // CPython: next(a)=None, then send(10)=10.0, send(20)=15.0, send(30)=20.0
+    val src =
+      """def avg():
+        |    total = 0.0
+        |    n = 0
+        |    val = yield None
+        |    while True:
+        |        total += val
+        |        n += 1
+        |        val = yield total / n
+        |def f():
+        |    a = avg()
+        |    first = next(a)
+        |    r = [a.send(10), a.send(20), a.send(30)]
+        |    return [first] + r"""
+    assert(run(src) == ArrayBuffer(null, 10.0, 15.0, 20.0))
+  }
+
+  test("coroutine: x = yield v receive points, StopIteration at exhaustion") {
+    // CPython: next(e)=7, send(3)=6, send(4)=7, then StopIteration
+    val src =
+      """def echo(start):
+        |    x = yield start
+        |    y = yield x * 2
+        |    yield x + y
+        |def f():
+        |    e = echo(7)
+        |    out = [next(e), e.send(3), e.send(4)]
+        |    try:
+        |        e.send(0)
+        |    except StopIteration:
+        |        out.append('done')
+        |    return out"""
+    assert(run(src) == ArrayBuffer(7L, 6L, 7L, "done"))
+  }
+
+  test("coroutine: non-None send to a just-started generator is a TypeError") {
+    val src =
+      """def g7():
+        |    yield 1
+        |def f():
+        |    gg = g7()
+        |    try:
+        |        gg.send(9)
+        |    except TypeError as t:
+        |        return str(t)"""
+    assert(run(src) == "can't send non-None value to a just-started generator")
+  }
+
+  test("bare yield yields None") {
+    val src =
+      """def g():
+        |    yield
+        |    yield 2
+        |def f():
+        |    return list(g())"""
+    assert(run(src) == ArrayBuffer(null, 2L))
+  }
+
+  test("argful super(C, self): base method and base __init__ dispatch") {
+    val src =
+      """class Shape:
+        |    def __init__(self, name):
+        |        self.name = name
+        |    def describe(self):
+        |        return 'shape ' + self.name
+        |class Circle(Shape):
+        |    def __init__(self, r):
+        |        super(Circle, self).__init__('circle')
+        |        self.r = r
+        |    def describe(self):
+        |        return super(Circle, self).describe() + ' r=' + str(self.r)
+        |def f():
+        |    c = Circle(2)
+        |    return c.describe()"""
+    assert(run(src) == "shape circle r=2")
+  }
+
+  test("argful super outside a method; wrong-instance TypeError") {
+    val src =
+      """class Shape:
+        |    def __init__(self, name):
+        |        self.name = name
+        |    def describe(self):
+        |        return 'shape ' + self.name
+        |class Circle(Shape):
+        |    def describe(self):
+        |        return 'circle'
+        |class Other:
+        |    def __init__(self):
+        |        self.name = 'o'
+        |def f():
+        |    c = Circle('x')
+        |    a = super(Circle, c).describe()
+        |    try:
+        |        super(Circle, Other())
+        |    except TypeError as t:
+        |        return a + '|' + str(t)"""
+    assert(run(src) ==
+      "shape x|super(type, obj): obj must be an instance or subtype of type")
   }
 }
