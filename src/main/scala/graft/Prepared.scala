@@ -88,14 +88,25 @@ object Prepared {
         ReusedExchangeExec(r.output, r.child.clone().asInstanceOf[BroadcastExchangeExec])
     }
 
+  /** A FRESH QueryExecution over `df`'s analyzed plan — fresh optimizer/
+    * planner run, fresh exchanges, fresh shuffle ids. The uncacheable
+    * paths must use this, never `df.queryExecution.toRdd`: `toRdd` is a
+    * memoized lazy val, so a caller holding one Dataset across runs (the
+    * bench's prepared-statement protocol) would get the SAME RDD back and
+    * a re-drain would skip every completed shuffle map stage — silent
+    * result reuse, exactly what this object exists to avoid. */
+  private def freshExec(df: DataFrame): RDD[InternalRow] =
+    df.sparkSession.sessionState.executePlan(df.queryExecution.analyzed).toRdd
+
   /** Execute `df`'s query through the plan cache: on a hit the analyzed
     * plan's canonical form resolves to the prepared physical plan, which is
-    * cloned and executed from scratch. Uncacheable plans run the normal
-    * pipeline. The returned RDD recomputes fully when drained. */
+    * cloned and executed from scratch. Uncacheable plans re-run the normal
+    * pipeline on a fresh QueryExecution per call (honest re-plan — see
+    * [[freshExec]]). The returned RDD recomputes fully when drained. */
   def freshRdd(df: DataFrame): RDD[InternalRow] = {
     val qe = df.queryExecution
     if (!df.sparkSession.conf.get("spark.graft.planCache.enabled", "true").toBoolean)
-      return qe.toRdd // A/B escape hatch
+      return freshExec(df) // A/B escape hatch
     val m = sessionCache(df.sparkSession)
     val key = qe.analyzed.canonicalized
     m.get(key) match {
@@ -108,7 +119,7 @@ object Prepared {
           // the cache (executing it would burn its lazy exchange state) and
           // run 1 measures the same path as run N
           cloneForRun(p).execute()
-        } else qe.toRdd
+        } else freshExec(df)
     }
   }
 }

@@ -337,6 +337,30 @@ object FunctionQueries {
         .orderBy("doc_id")
     }),
 
+    // round-10 Python surface: functools.reduce (char-polynomial hash) and
+    // itertools.groupby (consecutive-run count) — both replayed in DuckDB
+    // (list_reduce lambda / list_filter over adjacent char pairs), so the
+    // whole itertools/functools path is hash-checked end to end.
+    "fn_py_udf4" -> ((s, d) => {
+      graft.sqlsurface.UdfSurface.execute(s,
+        "CREATE OR REPLACE FUNCTION graft_py_polyhash(s varchar) RETURNS bigint AS $$\n" +
+          "from functools import reduce\n" +
+          "def graft_py_polyhash(s):\n" +
+          "    return reduce(lambda a, c: (a * 31 + ord(c)) % 1000000007, s, 7)\n" +
+          "$$ LANGUAGE python")
+      graft.sqlsurface.UdfSurface.execute(s,
+        "CREATE OR REPLACE FUNCTION graft_py_runs(s varchar) RETURNS bigint AS $$\n" +
+          "from itertools import groupby\n" +
+          "def graft_py_runs(s):\n" +
+          "    return len([k for k, g in groupby(s)])\n" +
+          "$$ LANGUAGE python")
+      t(s, d, "documents").filter(col("doc_id") <= 200)
+        .select(col("doc_id"),
+          expr("graft_py_polyhash(text)").as("poly_h"),
+          expr("graft_py_runs(text)").as("runs"))
+        .orderBy("doc_id")
+    }),
+
     // rolling_hash — custom fingerprint expression, hash-checked against a
     // DuckDB replay of the same 61-bit polynomial (util.OracleSql.rollingFp).
     "fn_rolling_hash" -> ((s, d) =>
@@ -468,6 +492,18 @@ object FunctionQueries {
       """SELECT doc_id,
                 CAST(length(replace(text, ' ', '')) AS BIGINT) * 100
                   + (length(text) - length(replace(text, ' ', '')) + 1) AS tok_metric
+         FROM documents WHERE doc_id <= 200 ORDER BY doc_id""",
+    "fn_py_udf4" ->
+      """SELECT doc_id,
+                CASE WHEN length(text) = 0 THEN CAST(7 AS BIGINT)
+                     ELSE list_reduce(
+                            list_prepend(CAST(7 AS BIGINT),
+                              list_transform(string_split(text, ''),
+                                x -> CAST(ord(x) AS BIGINT))),
+                            (a, b) -> (a * 31 + b) % 1000000007) END AS poly_h,
+                CAST(CASE WHEN length(text) = 0 THEN 0
+                          ELSE 1 + length(list_filter(range(2, length(text) + 1),
+                                 i -> text[i] <> text[i-1])) END AS BIGINT) AS runs
          FROM documents WHERE doc_id <= 200 ORDER BY doc_id""",
     "fn_py_udf" ->
       """SELECT p_partkey, CAST(p_size * 6 AS INTEGER) AS tax6,

@@ -64,7 +64,12 @@ import scala.collection.mutable.{ArrayBuffer, HashMap, LinkedHashMap}
   * MULTILINE/DOTALL flags, `(?P<name>…)` groups, string or callable
   * replacements with `\1`/`\g<name>` templates, compiled-pattern cache),
   * `from collections import Counter, defaultdict` (most_common/update;
-  * int/list/lambda factories).
+  * int/list/lambda factories), `from functools import reduce`, and
+  * `from itertools import chain, product (incl. repeat=), combinations,
+  * permutations (positional semantics — equal elements not deduped),
+  * accumulate, islice, repeat, count, cycle, groupby (consecutive runs,
+  * key=)` — finite combinators eager, count/cycle/argless-repeat true
+  * lazy generators (round 10).
   *
   * Classes: module-level `class Name[(Base)]:` with `__init__`, methods,
   * instance attributes (read/write/augmented), simple class-level
@@ -1006,10 +1011,22 @@ object PyInterp {
             imported += n
           }
         p += 1
+      } else if (t.matches("^from\\s+(itertools|functools)\\s+import\\s+[\\w, ]+$")) {
+        // round 10: the itertools/functools subset (see builtin())
+        val mod = if (t.matches("^from\\s+itertools\\b.*")) "itertools" else "functools"
+        val allowed = if (mod == "itertools") ItertoolsNames else FunctoolsNames
+        t.replaceFirst("^from\\s+\\w+\\s+import\\s+", "").split(",").map(_.trim)
+          .foreach { n =>
+            require(allowed(n),
+              s"py parse: unsupported $mod import: $n (${allowed.toSeq.sorted.mkString("/")} only)")
+            imported += n
+          }
+        p += 1
       } else if (t.startsWith("import ") || t.startsWith("from ")) {
         throw new IllegalArgumentException(
-          "py parse: only 'import math', 'import re' and " +
-            s"'from collections import Counter/defaultdict' are supported, got: $t")
+          "py parse: only 'import math', 'import re', 'from collections " +
+            "import Counter/defaultdict' and the documented itertools/" +
+            s"functools subset are supported, got: $t")
       } else if (t.startsWith("class ")) {
         val m = classRe.findFirstMatchIn(t).getOrElse(
           throw new IllegalArgumentException(s"py parse: unsupported class form: $t"))
@@ -1599,6 +1616,16 @@ object PyInterp {
   }
 
   /** Marker for the whitelisted math module. */
+  /** The `from itertools import …` / `from functools import …` subset
+    * (round 10): finite combinators materialize eagerly (their output is
+    * bounded by their inputs); count/cycle/argless repeat return true
+    * lazy generators ([[LazyGen]]) so only islice/zip-style consumption
+    * is meaningful, with the 10M-yield budget as the runaway guard. */
+  private val ItertoolsNames = Set("chain", "product", "combinations",
+    "permutations", "accumulate", "islice", "repeat", "count", "cycle",
+    "groupby")
+  private val FunctoolsNames = Set("reduce")
+
   private case object MathModule
 
   /** Marker for the whitelisted re module (requires `import re`). */
@@ -2059,10 +2086,16 @@ object PyInterp {
       lenv ++= captured
       params.zip(args).foreach { case (p, v) => lenv(p) = v }
       eval(body, lenv, ctx)
-    case BuiltinRef(n) =>
-      require(kwargs.isEmpty,
-        s"py: keyword arguments are only supported on sorted/min/max and defs, not $n()")
-      builtin(n, args, ctx)
+    case BuiltinRef(n) => (n, kwargs) match {
+      case (_, kw) if kw.isEmpty => builtin(n, args, ctx)
+      // product(*its, repeat=n) = product of the iterables repeated n times
+      case ("product", kw) if kw.keySet == Set("repeat") =>
+        builtin("product", Seq.fill(asLong(kw("repeat")).toInt)(args).flatten, ctx)
+      case ("groupby", kw) if kw.keySet == Set("key") && args.size == 1 =>
+        builtin("groupby", args :+ kw("key"), ctx)
+      case _ => throw new PyError("TypeError",
+        s"py: keyword arguments are not supported on $n()")
+    }
     case other => throw new PyError("TypeError", s"py: not callable: $other")
   }
 
@@ -2144,6 +2177,16 @@ object PyInterp {
     "enumerate", "zip", "any", "all", "next", "ord", "chr", "print", "repr",
     "map", "filter", "isinstance")
 
+  /** An infinite itertools generator (count/cycle/argless repeat): a
+    * [[LazyGen]] registered with the ctx so the top-level call closes it
+    * when the consumer exits early; the 10M-yield budget guards a
+    * full-consumption attempt. */
+  private def infiniteGen(name: String, ctx: Ctx)(body: (Any => Unit) => Unit): LazyGen = {
+    val g = new LazyGen(name, emit => body(v => { emit(v); () }))
+    ctx.openGens += g
+    g
+  }
+
   private def builtin(name: String, args: Seq[Any], ctx: Ctx): Any = (name, args) match {
     // map/filter return eager lists (CPython: lazy iterators) — every
     // supported consumer (list/sum/any/for/…) materializes anyway
@@ -2157,6 +2200,106 @@ object PyInterp {
     case ("filter", Seq(f, seq)) =>
       ArrayBuffer[Any](iterate(seq).filter(v =>
         if (f == null) truthy(v) else truthy(applyCallable(f, Seq(v), ctx))).toSeq: _*)
+    // ------------------- functools / itertools subset (round 10; every
+    // expectation CPython-mirrored in PyInterpSpec). Finite combinators
+    // are EAGER (bounded by their inputs); count/cycle/argless repeat are
+    // true lazy generators. Tuples are Vector, lists ArrayBuffer, as
+    // everywhere in this interpreter.
+    case ("reduce", Seq(f, it)) =>
+      val xs = iterate(it)
+      if (!xs.hasNext) throw new PyError("TypeError",
+        "reduce() of empty iterable with no initial value")
+      var acc = xs.next()
+      while (xs.hasNext) acc = applyCallable(f, Seq(acc, xs.next()), ctx)
+      acc
+    case ("reduce", Seq(f, it, init)) =>
+      var acc = init
+      val xs = iterate(it)
+      while (xs.hasNext) acc = applyCallable(f, Seq(acc, xs.next()), ctx)
+      acc
+    case ("chain", its) =>
+      val out = ArrayBuffer.empty[Any]
+      its.foreach(out ++= iterate(_))
+      out
+    case ("product", its) =>
+      val pools = its.map(iterate(_).toVector).toVector
+      val total = pools.foldLeft(1L)((n, p) => math.min(n * math.max(p.size, 1), Long.MaxValue))
+      require(total <= 10000000L, s"py: product() would yield $total tuples")
+      val tuples = pools.foldLeft(Vector(Vector.empty[Any])) { (acc, pool) =>
+        acc.flatMap(t => pool.map(x => t :+ x))
+      }
+      ArrayBuffer[Any](tuples: _*)
+    case ("combinations", Seq(it, r)) =>
+      // positional semantics (CPython): equal elements are NOT deduped —
+      // Scala's .combinations treats them as indistinct, so roll our own
+      val xs = iterate(it).toVector
+      val k = asLong(r).toInt
+      require(k >= 0, "py: combinations() r must be non-negative")
+      def go(start: Int, k: Int): Seq[Vector[Any]] =
+        if (k == 0) Seq(Vector.empty)
+        else (start to xs.length - k).flatMap(i => go(i + 1, k - 1).map(xs(i) +: _))
+      ArrayBuffer[Any](go(0, k).map(v => v: Any): _*)
+    case ("permutations", it +: rest) if rest.size <= 1 =>
+      val xs = iterate(it).toVector
+      val k = rest.headOption.map(asLong(_).toInt).getOrElse(xs.length)
+      require(k >= 0, "py: permutations() r must be non-negative")
+      val count = (0 until k).foldLeft(1L)((n, i) =>
+        math.min(n * math.max(xs.length - i, 1), Long.MaxValue))
+      require(count <= 10000000L, s"py: permutations() would yield $count tuples")
+      def go(pool: Vector[Any], k: Int): Seq[Vector[Any]] =
+        if (k == 0) Seq(Vector.empty)
+        else pool.indices.flatMap(i =>
+          go(pool.patch(i, Nil, 1), k - 1).map(pool(i) +: _))
+      ArrayBuffer[Any](go(xs, k).map(v => v: Any): _*)
+    case ("accumulate", it +: rest) if rest.size <= 1 =>
+      val xs = iterate(it)
+      val out = ArrayBuffer.empty[Any]
+      if (xs.hasNext) {
+        var acc = xs.next(); out += acc
+        while (xs.hasNext) {
+          val x = xs.next()
+          acc = rest.headOption match {
+            case Some(f) => applyCallable(f, Seq(acc, x), ctx)
+            case None => binop("+", acc, x)
+          }
+          out += acc
+        }
+      }
+      out
+    case ("islice", Seq(it, stop)) =>
+      ArrayBuffer[Any](iterate(it).take(asLong(stop).toInt).toSeq: _*)
+    case ("islice", Seq(it, start, stop)) =>
+      ArrayBuffer[Any](
+        iterate(it).slice(asLong(start).toInt, asLong(stop).toInt).toSeq: _*)
+    case ("repeat", Seq(x, n)) => ArrayBuffer.fill[Any](asLong(n).toInt)(x)
+    case ("repeat", Seq(x)) =>
+      infiniteGen("repeat", ctx)(emit => while (true) emit(x))
+    case ("count", as) if as.size <= 2 =>
+      val start: Any = as.headOption.getOrElse(0L)
+      val step: Any = if (as.size > 1) as(1) else 1L
+      infiniteGen("count", ctx) { emit =>
+        var cur = start
+        while (true) { emit(cur); cur = binop("+", cur, step) }
+      }
+    case ("cycle", Seq(it)) =>
+      val base = iterate(it).toVector // CPython caches the first pass too
+      if (base.isEmpty) ArrayBuffer.empty[Any]
+      else infiniteGen("cycle", ctx)(emit => while (true) base.foreach(emit))
+    case ("groupby", it +: rest) if rest.size <= 1 =>
+      // CPython: groups CONSECUTIVE equal-key runs; (key, group-list) pairs
+      val out = ArrayBuffer.empty[Any]
+      var curKey: Any = null
+      var cur: ArrayBuffer[Any] = null
+      iterate(it).foreach { x =>
+        val k = rest.headOption.map(f => applyCallable(f, Seq(x), ctx)).getOrElse(x)
+        if (cur == null || !pyEq(k, curKey)) {
+          if (cur != null) out += Vector(curKey, cur)
+          cur = ArrayBuffer.empty; curKey = k
+        }
+        cur += x
+      }
+      if (cur != null) out += Vector(curKey, cur)
+      out
     case ("Counter", Nil) => new PyCounter
     case ("Counter", Seq(src)) =>
       val c = new PyCounter

@@ -479,5 +479,12 @@ class PlanSpec extends SparkSpec {
     val n1 = Prepared.freshRdd(heavy)
       .mapPartitions(it => Iterator.single(it.size.toLong)).collect().sum
     assert(n1 == SparkEntry.queries("dedup_minhash_lsh")(spark, sf).count())
+    // …and repeated calls on the SAME Dataset must each get a FRESH
+    // execution: queryExecution.toRdd is a memoized lazy val, so handing
+    // it back twice would let the second drain skip every completed
+    // shuffle map stage — silent result reuse under the bench's
+    // construct-once protocol
+    assert(Prepared.freshRdd(heavy).id != Prepared.freshRdd(heavy).id,
+      "uncacheable fallback returned the memoized toRdd twice")
   }
 }

@@ -1211,6 +1211,108 @@ class PyInterpSpec extends AnyFunSuite {
     assert(run(src) == "shape circle r=2")
   }
 
+  test("functools.reduce: fold, initializer, empty-iterable TypeError") {
+    val src =
+      """from functools import reduce
+        |def f():
+        |    a = reduce(lambda a, b: a * b, [1, 2, 3, 4])
+        |    b = reduce(lambda a, b: a + b, [], 10)
+        |    try:
+        |        reduce(lambda a, b: a + b, [])
+        |    except TypeError as e:
+        |        return [a, b, str(e)]"""
+    assert(run(src) == ArrayBuffer(24L, 10L,
+      "reduce() of empty iterable with no initial value"))
+  }
+
+  test("itertools.chain flattens mixed iterables incl. strings") {
+    val src =
+      """from itertools import chain
+        |def f():
+        |    return list(chain([1, 2], (3, 4), 'ab'))"""
+    assert(run(src) == ArrayBuffer(1L, 2L, 3L, 4L, "a", "b"))
+  }
+
+  test("itertools.product: two pools and repeat=") {
+    val src =
+      """from itertools import product
+        |def f():
+        |    a = list(product([1, 2], 'xy'))
+        |    b = list(product([1, 2], repeat=2))
+        |    return [a, b]"""
+    assert(run(src) == ArrayBuffer(
+      ArrayBuffer(Vector(1L, "x"), Vector(1L, "y"), Vector(2L, "x"), Vector(2L, "y")),
+      ArrayBuffer(Vector(1L, 1L), Vector(1L, 2L), Vector(2L, 1L), Vector(2L, 2L))))
+  }
+
+  test("itertools.combinations/permutations use positional semantics") {
+    val src =
+      """from itertools import combinations, permutations
+        |def f():
+        |    a = list(combinations('abcd', 2))
+        |    b = list(permutations([1, 2, 3], 2))
+        |    c = list(combinations([1, 1, 2], 2))
+        |    return [a, b, c]"""
+    // CPython: combinations([1,1,2],2) keeps the duplicate-element pairs
+    assert(run(src) == ArrayBuffer(
+      ArrayBuffer(Vector("a", "b"), Vector("a", "c"), Vector("a", "d"),
+        Vector("b", "c"), Vector("b", "d"), Vector("c", "d")),
+      ArrayBuffer(Vector(1L, 2L), Vector(1L, 3L), Vector(2L, 1L),
+        Vector(2L, 3L), Vector(3L, 1L), Vector(3L, 2L)),
+      ArrayBuffer(Vector(1L, 1L), Vector(1L, 2L), Vector(1L, 2L))))
+  }
+
+  test("itertools.accumulate: running sum and custom func") {
+    val src =
+      """from itertools import accumulate
+        |def f():
+        |    a = list(accumulate([1, 2, 3, 4]))
+        |    b = list(accumulate([1, 2, 3], lambda a, b: a * b))
+        |    return [a, b]"""
+    assert(run(src) == ArrayBuffer(
+      ArrayBuffer(1L, 3L, 6L, 10L), ArrayBuffer(1L, 2L, 6L)))
+  }
+
+  test("itertools.count/cycle/repeat are lazy; islice bounds them") {
+    val src =
+      """from itertools import islice, count, cycle, repeat
+        |def f():
+        |    a = list(islice(count(5), 4))
+        |    b = list(islice(count(0, 3), 2, 5))
+        |    c = list(repeat('x', 3))
+        |    d = list(islice(cycle([1, 2, 3]), 7))
+        |    e = list(islice(repeat(9), 2))
+        |    return [a, b, c, d, e]"""
+    assert(run(src) == ArrayBuffer(
+      ArrayBuffer(5L, 6L, 7L, 8L),
+      ArrayBuffer(6L, 9L, 12L),
+      ArrayBuffer("x", "x", "x"),
+      ArrayBuffer(1L, 2L, 3L, 1L, 2L, 3L, 1L),
+      ArrayBuffer(9L, 9L)))
+  }
+
+  test("itertools.groupby groups consecutive runs, identity and key=") {
+    val src =
+      """from itertools import groupby
+        |def f():
+        |    a = [(k, list(g)) for k, g in groupby('aabbbca')]
+        |    b = [(k, list(g)) for k, g in groupby([1, 2, 4, 3, 5], key=lambda x: x % 2)]
+        |    return [a, b]"""
+    assert(run(src) == ArrayBuffer(
+      ArrayBuffer(
+        Vector("a", ArrayBuffer("a", "a")), Vector("b", ArrayBuffer("b", "b", "b")),
+        Vector("c", ArrayBuffer("c")), Vector("a", ArrayBuffer("a"))),
+      ArrayBuffer(
+        Vector(1L, ArrayBuffer(1L)), Vector(0L, ArrayBuffer(2L, 4L)),
+        Vector(1L, ArrayBuffer(3L, 5L)))))
+  }
+
+  test("unknown itertools/functools names are rejected at parse") {
+    val e = intercept[IllegalArgumentException](
+      run("from itertools import tee\n\ndef f(x):\n    return x", 1L))
+    assert(e.getMessage.contains("unsupported itertools import"))
+  }
+
   test("argful super outside a method; wrong-instance TypeError") {
     val src =
       """class Shape:
