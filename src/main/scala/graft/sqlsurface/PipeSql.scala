@@ -99,11 +99,22 @@ object PipeSql {
         else {
           val aggs = rest.substring(0, gbIdx).trim.stripSuffix(",")
           val keys = splitTop(rest.substring(gbIdx + 8).trim, ",").map(_.trim)
-          // keys may carry aliases: SELECT uses the aliased form, GROUP BY the bare expr
-          val keyExprs = keys.map(k => "(?is)\\s+AS\\s+\\w+\\s*$".r.replaceAllIn(k, ""))
-          Right(spark.sql(
-            s"SELECT ${keys.mkString(", ")}, $aggs ${fromCtx.sqlFrom} " +
-              s"GROUP BY ${keyExprs.mkString(", ")}"))
+          val rollupRe = "(?is)^\\s*(ROLLUP|CUBE)\\s*\\((.*)\\)\\s*$".r
+          keys match {
+            // GROUP BY ROLLUP(x,y) / CUBE(x,y): grouping columns are the
+            // INNER exprs; the grouping-set operator stays in GROUP BY only
+            case Seq(rollupRe(kind, inner)) =>
+              Right(spark.sql(
+                s"SELECT ${inner.trim}, $aggs ${fromCtx.sqlFrom} " +
+                  s"GROUP BY $kind(${inner.trim})"))
+            case _ =>
+              // keys may carry aliases: SELECT uses the aliased form,
+              // GROUP BY the bare expr
+              val keyExprs = keys.map(k => "(?is)\\s+AS\\s+\\w+\\s*$".r.replaceAllIn(k, ""))
+              Right(spark.sql(
+                s"SELECT ${keys.mkString(", ")}, $aggs ${fromCtx.sqlFrom} " +
+                  s"GROUP BY ${keyExprs.mkString(", ")}"))
+          }
         }
       case s if s.startsWith("EXTEND") =>
         st match {

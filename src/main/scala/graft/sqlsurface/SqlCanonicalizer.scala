@@ -20,7 +20,114 @@ object SqlCanonicalizer {
   def apply(sql: String): String =
     rewriteNoFromScalar(flattenDivision(hoistDeepCorrelation(
       boolScalarFilterToExists(cmpScalarSubqueriesToFrom(decomposeOuterAggs(
-        joinOnSubqueryToWhere(existsNoFromToTrue(sql))))))))
+        joinOnSubqueryToWhere(existsNoFromToTrue(
+          quantifiedCmp(canonTypes(sql))))))))))
+
+  /** Parameterized FLOAT(p): the SQL-standard binary-precision spec Spark's
+    * parser rejects — p <= 24 is single precision, larger is double
+    * (Postgres rule; reference parser accepts it, test/lit/SQL/syntax.sql).
+    * In CREATE TABLE, the `bool` type alias additionally maps to `boolean`
+    * — only in TYPE position (followed by `,` or `)`), so a COLUMN named
+    * bool survives. */
+  private def canonTypes(sql: String): String = {
+    val f = "(?i)\\bfloat\\s*\\(\\s*(\\d+)\\s*\\)".r.replaceAllIn(sql,
+      m => if (m.group(1).toInt <= 24) "float" else "double")
+    if ("(?is)^\\s*CREATE\\s+TABLE\\b.*".r.matches(f))
+      "(?i)\\bbool\\b(?=\\s*[,)])".r.replaceAllIn(f, "boolean")
+    else f
+  }
+
+  /** Quantified comparisons `<lhs> <op> ALL|ANY|SOME (<subquery>)` — the
+    * reference grammar supports them (test/lit/SQL/syntax.sql), Spark's
+    * parser treats ALL/ANY as function calls. Rewritten to an aggregated
+    * scalar subquery with EXACT 3-valued logic:
+    *   ANY: true if any comparison is true; else NULL if any comparison is
+    *        NULL; else false (empty set → false)
+    *   ALL: false if any comparison is false; else NULL if any comparison
+    *        is NULL; else true (empty set → true)
+    * A correlated lhs/subquery yields a correlated scalar aggregate, which
+    * the decorrelation pipeline already handles. The lhs is captured
+    * conservatively (one token or one parenthesized group) — quantified
+    * comparisons with a compound un-parenthesized lhs stay untouched and
+    * fail in Spark's parser as before. */
+  private def quantifiedCmp(sql: String): String = {
+    val kwRe = "(?i)\\b(ALL|ANY|SOME)\\s*\\(".r
+    var text = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      val hit = kwRe.findAllMatchIn(text).find { m =>
+        val inner = text.substring(m.end).trim.toUpperCase
+        val isSub = Seq("SELECT", "WITH", "VALUES", "FROM").exists(inner.startsWith)
+        isSub && cmpBefore(text, m.start).isDefined
+      }
+      hit.foreach { m =>
+        val (op, opStart) = cmpBefore(text, m.start).get
+        val open = text.indexOf('(', m.end - 1)
+        val close = closeParenOf(text, open)
+        if (close > 0) {
+          lhsBefore(text, opStart) match {
+            case Some(lhsStart) =>
+              val lhs = text.substring(lhsStart, opStart).trim
+              val sub = text.substring(open + 1, close)
+              val isAll = text.substring(m.start, m.end).toUpperCase.startsWith("ALL")
+              val cmp = s"SELECT ($lhs $op graft_q_v) AS graft_q_cmp FROM ($sub) graft_q_t(graft_q_v)"
+              val agg =
+                if (isAll)
+                  "CASE WHEN NOT coalesce(bool_and(graft_q_cmp), true) THEN false " +
+                    "WHEN count(*) <> count(graft_q_cmp) THEN cast(null as boolean) ELSE true END"
+                else
+                  "CASE WHEN coalesce(bool_or(graft_q_cmp), false) THEN true " +
+                    "WHEN count(*) <> count(graft_q_cmp) THEN cast(null as boolean) ELSE false END"
+              text = text.substring(0, lhsStart) +
+                s"(SELECT $agg FROM ($cmp))" + text.substring(close + 1)
+              changed = true
+            case None => ()
+          }
+        }
+      }
+    }
+    text
+  }
+
+  /** The comparison operator ending immediately before `pos` (skipping
+    * whitespace): Some((op, startIndexOfOp)). */
+  private def cmpBefore(text: String, pos: Int): Option[(String, Int)] = {
+    var j = pos - 1
+    while (j >= 0 && text.charAt(j).isWhitespace) j -= 1
+    val ops = Seq("<=", ">=", "<>", "!=", "=", "<", ">")
+    ops.collectFirst {
+      case op if j - op.length + 1 >= 0 &&
+        text.substring(j - op.length + 1, j + 1) == op =>
+        (op, j - op.length + 1)
+    }
+  }
+
+  /** Start index of the conservative lhs (one identifier/literal token or
+    * one balanced parenthesized group) ending immediately before `pos`. */
+  private def lhsBefore(text: String, pos: Int): Option[Int] = {
+    var j = pos - 1
+    while (j >= 0 && text.charAt(j).isWhitespace) j -= 1
+    if (j < 0) None
+    else if (text.charAt(j) == ')') {
+      var depth = 0
+      var k = j
+      while (k >= 0) {
+        text.charAt(k) match {
+          case ')' => depth += 1
+          case '(' => depth -= 1; if (depth == 0) return Some(k)
+          case _ =>
+        }
+        k -= 1
+      }
+      None
+    } else {
+      var k = j
+      while (k >= 0 && (text.charAt(k).isLetterOrDigit ||
+        "_.'\"".contains(text.charAt(k)))) k -= 1
+      if (k == j) None else Some(k + 1)
+    }
+  }
 
   private val sqlKeywords = Set(
     "CASE", "WHEN", "THEN", "ELSE", "END", "IS", "NOT", "NULL", "AND", "OR",
@@ -488,7 +595,20 @@ object SqlCanonicalizer {
               }
               found
             }
-            if (!hasClause && !exprPart.contains("(SELECT") &&
+            // a no-FROM subquery in DERIVED-TABLE position (`FROM (SELECT
+            // 1) t`, `JOIN (SELECT 2) u`) is a one-row TABLE, not a scalar —
+            // collapsing it to `FROM (1) t` broke the statement (latent bug
+            // surfaced by the round-10 quantified-comparison rewrite, whose
+            // generated derived tables hit exactly this shape)
+            val derivedTablePos = {
+              var k = open - 1
+              while (k >= 0 && cur.charAt(k).isWhitespace) k -= 1
+              val end = k
+              while (k >= 0 && (cur.charAt(k).isLetterOrDigit || cur.charAt(k) == '_')) k -= 1
+              val word = cur.substring(k + 1, end + 1).toUpperCase
+              word == "FROM" || word == "JOIN"
+            }
+            if (!hasClause && !derivedTablePos && !exprPart.contains("(SELECT") &&
               !exprPart.toUpperCase.contains("( SELECT")) {
               val collapsed = collapseSingleRowAggs(exprPart.trim)
               cur = cur.substring(0, open) + s"($collapsed)" + cur.substring(close + 1)

@@ -229,6 +229,11 @@ object UdfSurface {
 object GraftSql {
   private val copyRe =
     """(?is)^\s*COPY\s+(\w+)\s+FROM\s+'([^']+)'\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*$""".r
+  /** Postgres-legacy un-parenthesized COPY options (reference
+    * test/lit/SQL/syntax.sql: `copy t from 'f' csv escape '\' delimiter
+    * '|' null ''`): bare flags and `key 'value'` pairs after the path. */
+  private val copyLegacyRe =
+    """(?is)^\s*COPY\s+(\w+)\s+FROM\s+'([^']+)'\s+((?:\w+(?:\s+'[^']*')?\s*)+);?\s*$""".r
   private val setRe = """(?is)^\s*SET\s+(\S+)\s*(?:=|TO)\s*'?([^';]*)'?\s*;?\s*$""".r
 
   // every INSERT form that can hit an indexed table: INTO/OVERWRITE, optional
@@ -272,25 +277,34 @@ object GraftSql {
       spark.emptyDataFrame
     } else if (UdfSurface.isCreateFunction(s)) {
       UdfSurface.execute(spark, s); spark.emptyDataFrame
-    } else if (copyRe.findFirstIn(s).isDefined) {
-      val copyRe(table, path, optStr) = s
+    } else if (copyRe.findFirstIn(s).isDefined || copyLegacyRe.findFirstIn(s).isDefined) {
       // Postgres/DuckDB COPY options: keys case-insensitive, VALUES
-      // case-sensitive ('a' != 'A'); a bare flag token means true. Split on
-      // commas outside quotes so DELIMITER ',' survives tokenization.
-      val opts = Option(optStr).getOrElse("")
-        .split(",(?=(?:[^']*'[^']*')*[^']*$)").map(_.trim)
-        .filter(_.nonEmpty)
-        .map { o =>
-          val kv = o.split("\\s+", 2)
-          val key = kv(0).toUpperCase
-          if (kv.length == 2) key -> kv(1).trim.replaceAll("^'|'$", "")
-          else key -> "TRUE"
-        }.toMap
+      // case-sensitive ('a' != 'A'); a bare flag token means true. The
+      // parenthesized form splits on commas outside quotes (DELIMITER ','
+      // survives tokenization); the legacy form scans `flag | key 'value'`
+      // tokens.
+      val (table, path, opts) = s match {
+        case copyRe(t, p, optStr) =>
+          (t, p, Option(optStr).getOrElse("")
+            .split(",(?=(?:[^']*'[^']*')*[^']*$)").map(_.trim)
+            .filter(_.nonEmpty)
+            .map { o =>
+              val kv = o.split("\\s+", 2)
+              val key = kv(0).toUpperCase
+              if (kv.length == 2) key -> kv(1).trim.replaceAll("^'|'$", "")
+              else key -> "TRUE"
+            }.toMap)
+        case copyLegacyRe(t, p, optStr) =>
+          (t, p, """(\w+)(?:\s+'([^']*)')?""".r.findAllMatchIn(optStr).map { m =>
+            m.group(1).toUpperCase -> Option(m.group(2)).getOrElse("TRUE")
+          }.toMap)
+      }
       val delim = opts.getOrElse("DELIMITER", ",")
       val header = opts.get("HEADER").exists(v => !v.equalsIgnoreCase("FALSE") && v != "0")
-      val reader = spark.read
+      val reader0 = spark.read
         .option("delimiter", delim).option("header", header.toString)
         .option("nullValue", opts.getOrElse("NULL", ""))
+      val reader = opts.get("ESCAPE").fold(reader0)(e => reader0.option("escape", e))
       IndexSurface.beforeWrite(spark, table) // resolve past any index shadow
       if (Try(spark.catalog.tableExists(table)).getOrElse(false)) {
         // Declared-schema table: COPY appends with the table's types, like the
@@ -322,17 +336,51 @@ object GraftSql {
           // UNIQUE violations reject here, leaving the base table unchanged
           IndexSurface.preWriteCheck(spark, table, delta)
           IndexSurface.beforeWrite(spark, table)
-          val r = spark.sql(SqlCanonicalizer(s))
+          val r = runDml(spark, s)
           IndexSurface.afterWrite(spark, table, delta)
           return r
-        case createTableRe(table) => IndexSurface.invalidate(spark, table)
+        case createTableRe(table) =>
+          IndexSurface.invalidate(spark, table)
+          // `PRIMARY KEY (cols)` table constraint (reference grammar):
+          // Spark's parser rejects it, and the reference's PK is an index +
+          // uniqueness contract — strip the clause, create, then build a
+          // UNIQUE index on the key (IndexSurface enforces it on writes)
+          primaryKeyRe.findFirstMatchIn(s).foreach { m =>
+            val stripped = primaryKeyRe.replaceAllIn(s, "")
+              .replaceAll(",\\s*\\)", ")") // a dangling comma the strip leaves
+            spark.sql(SqlCanonicalizer(stripped)) : Unit
+            IndexSurface.create(spark,
+              s"CREATE UNIQUE INDEX graft_pk_$table ON $table(${m.group(1)})")
+            return spark.emptyDataFrame
+          }
         case dropTableRe(table) => IndexSurface.invalidate(spark, table)
         case _ =>
       }
       // engine-side canonicalization (outer-agg decomposition, deep-
       // correlation hoisting, …) — every SQL entry point gets it, not just
       // the sqllogictest harness
-      spark.sql(SqlCanonicalizer(s))
+      runDml(spark, s)
     }
   }
+
+  private val primaryKeyRe = """(?is),?\s*PRIMARY\s+KEY\s*\(([^)]*)\)""".r
+
+  /** spark.sql with the engine's permissive INSERT cast matrix: ANSI store
+    * assignment first; if the ONLY problem is a not-safely-castable column
+    * (e.g. the reference corpus's `INSERT ... VALUES (..., 1, ...)` into a
+    * BOOLEAN — db.cast allows int→bool), retry under the legacy store-
+    * assignment policy for just this statement. Runtime overflow errors are
+    * NOT retried — they are data errors, not type-matrix differences. */
+  private def runDml(spark: SparkSession, s: String): DataFrame =
+    try spark.sql(SqlCanonicalizer(s))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("CANNOT_SAFELY_CAST") &&
+            insertRe.matches(s) =>
+        val key = "spark.sql.storeAssignmentPolicy"
+        val old = spark.conf.get(key)
+        spark.conf.set(key, "LEGACY")
+        try spark.sql(SqlCanonicalizer(s))
+        finally spark.conf.set(key, old)
+    }
 }
