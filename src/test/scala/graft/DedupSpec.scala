@@ -97,6 +97,37 @@ class DedupSpec extends SparkSpec {
       s"candidates ${candSet.size} not sparse vs $allPairs")
   }
 
+  test("sign-band skew guard: anisotropic same-halfspace mass stays bounded") {
+    import spark.implicits._
+    // Real embedding corpora are anisotropic — mass shares sign bits. The
+    // degenerate extreme: thousands of all-positive vectors, every sign bit
+    // 1, so ALL of them land in the same (ci,kv) bucket for every combo.
+    // Pre-cap this made the exact⋈probed join quadratic (~n²/2 ≈ 12.5M
+    // pairs at n=5k); the round-11 cap drops the saturated exact side, so
+    // the degenerate mass contributes ZERO candidates while planted
+    // near-dups among normal vectors keep recall 1.0.
+    val rnd = new scala.util.Random(23)
+    val n = 5000
+    val aniso = (0 until n).map(i =>
+      (i.toLong, Array.fill(64)(math.abs(rnd.nextGaussian()).toFloat + 0.01f)))
+    val base = (0 until 20).map(i =>
+      (100000L + i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val twins = base.map { case (id, v) =>
+      (id + 1000L, v.map(x => x + (rnd.nextGaussian() * 0.01f * math.abs(x)).toFloat))
+    }
+    val df = (aniso ++ base ++ twins).toDF("vec_id", "embedding")
+    val cand = graft.data.Dedup.signBandCandidates(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 20).map(i => (100000L + i, 101000L + i)).toSet
+    assert(planted.subsetOf(cand), s"missed planted pairs: ${planted -- cand}")
+    // the 5k-vector saturated bucket must contribute no pair explosion:
+    // without the cap this set would exceed 12M; the anisotropic ids
+    // (0 until n) must produce no intra-mass candidates at all
+    assert(!cand.exists { case (a, b) => a < n && b < n },
+      "saturated bucket leaked intra-mass candidate pairs")
+    assert(cand.size < 5000, s"candidate volume ${cand.size} not bounded under skew")
+  }
+
   test("sign-band probe volume is exactly the closed-form bound at n=20k") {
     import spark.implicits._
     // Locks dedup_embed_cos's candidate generation to ≤199 probe rows per

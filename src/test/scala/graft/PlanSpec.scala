@@ -487,4 +487,44 @@ class PlanSpec extends SparkSpec {
     assert(Prepared.freshRdd(heavy).id != Prepared.freshRdd(heavy).id,
       "uncacheable fallback returned the memoized toRdd twice")
   }
+
+  test("Prepared rdd cache: re-drain re-runs the map stages (no silent result reuse)") {
+    import org.apache.spark.sql.functions.{col, udf}
+    // Honesty probe for the round-11 prepared-RDD tier: an accumulator
+    // bumped on the MAP side (pre-shuffle) counts how many input rows were
+    // actually processed. If a re-drain of the cached DAG skipped the
+    // completed shuffle map stage, the second run would add zero.
+    // the rdd tier only engages for non-adaptive plans (the engine's
+    // tiny/small regime); this shared test session has no dataDir, so pin
+    // AQE off for the probe the way Engine.create's tiny regime does
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val acc = spark.sparkContext.longAccumulator("graft_rdd_cache_honesty")
+    val bump = udf { (x: Long) => acc.add(1L); x }
+    val df = Tables.load(spark, sf, "orders")
+      .select(bump(col("o_orderkey")).as("k"))
+      .groupBy((col("k") % 10).as("g")).count()
+    val rdd1 = Prepared.freshRdd(df)
+    rdd1.foreachPartition(it => while (it.hasNext) it.next())
+    val afterRun1 = acc.value.longValue
+    assert(afterRun1 > 0, "map side never ran")
+    val rdd2 = Prepared.freshRdd(df)
+    assert(rdd2 eq rdd1, "shuffle-only plan did not hit the prepared-RDD tier")
+    rdd2.foreachPartition(it => while (it.hasNext) it.next())
+    assert(acc.value.longValue == 2 * afterRun1,
+      s"re-drain processed ${acc.value.longValue - afterRun1} map rows, " +
+        s"expected $afterRun1 — shuffle map stage was silently reused")
+    // broadcast-bearing plans must NOT land on the rdd tier (the built
+    // broadcast relation would be reused across runs): fresh RDD per run
+    import org.apache.spark.sql.functions.broadcast
+    val joined = Tables.load(spark, sf, "lineitem")
+      .join(broadcast(Tables.load(spark, sf, "orders").select("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag")).count()
+    val j1 = Prepared.freshRdd(joined)
+    val j2 = Prepared.freshRdd(joined)
+    assert(j1.id != j2.id, "broadcast plan landed on the prepared-RDD tier")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
 }
