@@ -23,18 +23,97 @@ object SqlCanonicalizer {
         joinOnSubqueryToWhere(existsNoFromToTrue(
           quantifiedCmp(canonTypes(sql))))))))))
 
+  /** Masked copy for keyword/offset scans: contents of single-quoted string
+    * literals (with `''` escapes), double-quoted identifiers, `--` line
+    * comments and block comments are blanked to spaces. Length-preserving,
+    * so every offset found on the mask applies verbatim to the original —
+    * rewrites can never fire inside literal data (ADVICE r10). */
+  private[sqlsurface] def maskLiterals(sql: String): String = {
+    val a = sql.toCharArray
+    var i = 0
+    while (i < a.length) {
+      a(i) match {
+        case '\'' =>
+          var j = i + 1
+          var done = false
+          while (j < a.length && !done) {
+            if (a(j) == '\'') {
+              if (j + 1 < a.length && a(j + 1) == '\'') {
+                a(j) = ' '; a(j + 1) = ' '; j += 2
+              } else done = true
+            } else { a(j) = ' '; j += 1 }
+          }
+          i = j + 1
+        case '"' =>
+          var j = i + 1
+          while (j < a.length && a(j) != '"') { a(j) = ' '; j += 1 }
+          i = j + 1
+        case '-' if i + 1 < a.length && a(i + 1) == '-' =>
+          var j = i
+          while (j < a.length && a(j) != '\n') { a(j) = ' '; j += 1 }
+          i = j
+        case '/' if i + 1 < a.length && a(i + 1) == '*' =>
+          var j = i
+          while (j + 1 < a.length && !(a(j) == '*' && a(j + 1) == '/')) {
+            a(j) = ' '; j += 1
+          }
+          if (j + 1 < a.length) { a(j) = ' '; a(j + 1) = ' ' }
+          i = j + 2
+        case _ => i += 1
+      }
+    }
+    new String(a)
+  }
+
+  /** Apply (start, end, replacement) spans to `sql`, right-to-left. */
+  private def applySpans(sql: String, spans: Seq[(Int, Int, String)]): String =
+    spans.sortBy(-_._1).foldLeft(sql) { case (s, (from, until, rep)) =>
+      s.substring(0, from) + rep + s.substring(until)
+    }
+
   /** Parameterized FLOAT(p): the SQL-standard binary-precision spec Spark's
     * parser rejects — p <= 24 is single precision, larger is double
     * (Postgres rule; reference parser accepts it, test/lit/SQL/syntax.sql).
-    * In CREATE TABLE, the `bool` type alias additionally maps to `boolean`
-    * — only in TYPE position (followed by `,` or `)`), so a COLUMN named
-    * bool survives. */
+    * Applied only in TYPE position — preceded by `AS`/`::` (a cast type) or
+    * inside the column-definition list of a plain CREATE TABLE — so Spark's
+    * float(x) cast-FUNCTION call (`SELECT float(30)`) survives untouched.
+    * In the same column-definition list, the `bool` type alias maps to
+    * `boolean` (only when followed by `,` or `)`, so a column NAMED bool in
+    * a CTAS select list survives). All scans run on the literal-masked text
+    * (ADVICE r10): occurrences inside strings/comments are never touched. */
   private def canonTypes(sql: String): String = {
-    val f = "(?i)\\bfloat\\s*\\(\\s*(\\d+)\\s*\\)".r.replaceAllIn(sql,
-      m => if (m.group(1).toInt <= 24) "float" else "double")
-    if ("(?is)^\\s*CREATE\\s+TABLE\\b.*".r.matches(f))
-      "(?i)\\bbool\\b(?=\\s*[,)])".r.replaceAllIn(f, "boolean")
-    else f
+    val masked = maskLiterals(sql)
+    // column-definition region of a plain CREATE TABLE (never CTAS: a
+    // paren group followed by AS is a column-ALIAS list, not types)
+    val colDefRegion: Option[(Int, Int)] =
+      "(?is)^\\s*CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?[\\w.\"`]+\\s*\\(".r
+        .findPrefixMatchOf(masked).flatMap { m =>
+          val open = m.end - 1
+          val close = closeParenOf(masked, open)
+          val after = masked.drop(close + 1).trim.toUpperCase
+          if (close > 0 && !after.startsWith("AS")) Some((open, close)) else None
+        }
+    def inColDefs(pos: Int): Boolean =
+      colDefRegion.exists { case (a, b) => pos > a && pos < b }
+    def castPosition(pos: Int): Boolean = {
+      var j = pos - 1
+      while (j >= 0 && masked.charAt(j).isWhitespace) j -= 1
+      (j >= 1 && masked.charAt(j) == ':' && masked.charAt(j - 1) == ':') ||
+        (j >= 1 && masked.substring(j - 1, j + 1).equalsIgnoreCase("as") &&
+          (j < 2 || !masked.charAt(j - 2).isLetterOrDigit))
+    }
+    val floatSpans = "(?i)\\bfloat\\s*\\(\\s*(\\d+)\\s*\\)".r
+      .findAllMatchIn(masked)
+      .filter(m => castPosition(m.start) || inColDefs(m.start))
+      .map(m => (m.start, m.end,
+        if (m.group(1).toInt <= 24) "float" else "double"))
+      .toSeq
+    val boolSpans = "(?i)\\bbool\\b(?=\\s*[,)])".r
+      .findAllMatchIn(masked)
+      .filter(m => inColDefs(m.start))
+      .map(m => (m.start, m.end, "boolean"))
+      .toSeq
+    applySpans(sql, floatSpans ++ boolSpans)
   }
 
   /** Quantified comparisons `<lhs> <op> ALL|ANY|SOME (<subquery>)` — the
@@ -56,17 +135,23 @@ object SqlCanonicalizer {
     var changed = true
     while (changed) {
       changed = false
-      val hit = kwRe.findAllMatchIn(text).find { m =>
-        val inner = text.substring(m.end).trim.toUpperCase
+      // all scanning/paren-matching runs on the literal-masked copy
+      // (length-preserving, so offsets map 1:1 onto `text`): an
+      // `op ALL(SELECT…` shape inside a string literal or comment is never
+      // rewritten, and a stray paren inside a literal cannot mis-slice the
+      // statement (ADVICE r10)
+      val masked = maskLiterals(text)
+      val hit = kwRe.findAllMatchIn(masked).find { m =>
+        val inner = masked.substring(m.end).trim.toUpperCase
         val isSub = Seq("SELECT", "WITH", "VALUES", "FROM").exists(inner.startsWith)
-        isSub && cmpBefore(text, m.start).isDefined
+        isSub && cmpBefore(masked, m.start).isDefined
       }
       hit.foreach { m =>
-        val (op, opStart) = cmpBefore(text, m.start).get
-        val open = text.indexOf('(', m.end - 1)
-        val close = closeParenOf(text, open)
+        val (op, opStart) = cmpBefore(masked, m.start).get
+        val open = masked.indexOf('(', m.end - 1)
+        val close = closeParenOf(masked, open)
         if (close > 0) {
-          lhsBefore(text, opStart) match {
+          lhsBefore(masked, opStart) match {
             case Some(lhsStart) =>
               val lhs = text.substring(lhsStart, opStart).trim
               val sub = text.substring(open + 1, close)
@@ -553,15 +638,18 @@ object SqlCanonicalizer {
     var changed = true
     while (changed) {
       changed = false
-      val up = cur.toUpperCase
-      val it = up0.findAllMatchIn(cur).toSeq
+      // scan on the literal-masked copy (offsets map 1:1 onto cur): a
+      // "(SELECT 1)" shape INSIDE a string literal is data, not a scalar
+      // subquery, and literal parens must not derail the depth matching
+      val maskedCur = maskLiterals(cur)
+      val it = up0.findAllMatchIn(maskedCur).toSeq
       // innermost first = rightmost opening paren first
       it.sortBy(-_.start).foreach { m =>
         if (!changed) {
           val open = m.start
           var depth = 0; var i = open; var close = -1
-          while (i < cur.length && close < 0) {
-            cur.charAt(i) match {
+          while (i < maskedCur.length && close < 0) {
+            maskedCur.charAt(i) match {
               case '(' => depth += 1
               case ')' => depth -= 1; if (depth == 0) close = i
               case _ =>
@@ -571,24 +659,23 @@ object SqlCanonicalizer {
           if (close > 0) {
             val inner = cur.substring(open + 1, close).trim // SELECT <expr...>
             val exprPart = inner.substring(6) // drop SELECT
+            // clause detection on the masked slice (same offsets)
+            val exprMasked = maskedCur.substring(open + 1, close).trim.substring(6)
             val hasClause = {
-              var d = 0; var inStr = false; var found = false
+              var d = 0; var found = false
               var j = 0
-              val eUp = exprPart.toUpperCase
-              while (j < exprPart.length && !found) {
-                val c = exprPart.charAt(j)
-                if (inStr) { if (c == '\'') inStr = false }
-                else c match {
-                  case '\'' => inStr = true
+              val eUp = exprMasked.toUpperCase
+              while (j < exprMasked.length && !found) {
+                exprMasked.charAt(j) match {
                   case '(' => d += 1
                   case ')' => d -= 1
                   case _ =>
                     if (d == 0) found = Seq("FROM", "WHERE", "GROUP", "UNION",
                       "INTERSECT", "EXCEPT").exists { w =>
                       eUp.regionMatches(j, w, 0, w.length) &&
-                        (j == 0 || !exprPart.charAt(j - 1).isLetterOrDigit) &&
-                        (j + w.length >= exprPart.length ||
-                          !exprPart.charAt(j + w.length).isLetterOrDigit)
+                        (j == 0 || !exprMasked.charAt(j - 1).isLetterOrDigit) &&
+                        (j + w.length >= exprMasked.length ||
+                          !exprMasked.charAt(j + w.length).isLetterOrDigit)
                     }
                 }
                 j += 1
@@ -608,8 +695,9 @@ object SqlCanonicalizer {
               val word = cur.substring(k + 1, end + 1).toUpperCase
               word == "FROM" || word == "JOIN"
             }
-            if (!hasClause && !derivedTablePos && !exprPart.contains("(SELECT") &&
-              !exprPart.toUpperCase.contains("( SELECT")) {
+            if (!hasClause && !derivedTablePos &&
+              !exprMasked.toUpperCase.contains("(SELECT") &&
+              !exprMasked.toUpperCase.contains("( SELECT")) {
               val collapsed = collapseSingleRowAggs(exprPart.trim)
               cur = cur.substring(0, open) + s"($collapsed)" + cur.substring(close + 1)
               changed = true

@@ -377,10 +377,17 @@ object GraftSql {
       case e: org.apache.spark.sql.AnalysisException
           if e.getMessage.contains("CANNOT_SAFELY_CAST") &&
             insertRe.matches(s) =>
-        val key = "spark.sql.storeAssignmentPolicy"
-        val old = spark.conf.get(key)
-        spark.conf.set(key, "LEGACY")
-        try spark.sql(SqlCanonicalizer(s))
-        finally spark.conf.set(key, old)
+        // Run the retry in a CLONED session (same shared state/catalog/temp
+        // views, separate SQL conf): flipping storeAssignmentPolicy on the
+        // shared conf would momentarily relax the cast matrix for any
+        // CONCURRENT statement on the session (ADVICE r10) — the clone
+        // scopes LEGACY to exactly this one statement.
+        val cloned = spark.newSession()
+        spark.catalog.currentDatabase match {
+          case db if db != "default" => cloned.sql(s"USE $db")
+          case _ => ()
+        }
+        cloned.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
+        cloned.sql(SqlCanonicalizer(s))
     }
 }

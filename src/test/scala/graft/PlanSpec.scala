@@ -271,6 +271,64 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.sampleReorder.enabled")
   }
 
+  test("sample reorder: exact DP beats greedy where smallest-leaf-first is a trap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_dp_").toString
+    new java.io.File(s"$dir/_samples").mkdirs()
+    def save(name: String, df: org.apache.spark.sql.DataFrame,
+        sample: Option[org.apache.spark.sql.DataFrame] = None): Unit = {
+      df.coalesce(1).write.parquet(s"$dir/$name.parquet")
+      sample.getOrElse(df).coalesce(1).write.parquet(s"$dir/_samples/$name.parquet")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/_samples/$name.count"),
+        df.count().toString.getBytes("UTF-8"))
+    }
+    // The trap: A is the smallest LEAF (greedy leads with it), but A⋈B is
+    // 200× bigger than B⋈C — the System-R/ndv model sees it, greedy's
+    // smallest-connected-leaf walk cannot (it never prices the join).
+    save("dp_a", (0 until 200).map(i => i.toLong).toDF("a_k"))
+    val bFull = (0 until 40000)
+      .map(i => ((i % 200).toLong, i.toLong)).toDF("b_k", "b_c")
+    save("dp_b", bFull, Some(bFull.limit(2000)))
+    save("dp_c", (0 until 5000).map(i => i.toLong * 1000).toDF("c_k"))
+    def q(): org.apache.spark.sql.DataFrame = {
+      val a = spark.read.parquet(s"$dir/dp_a.parquet")
+      val b = spark.read.parquet(s"$dir/dp_b.parquet")
+      val c = spark.read.parquet(s"$dir/dp_c.parquet")
+      a.join(b, col("a_k") === col("b_k")).join(c, col("b_c") === col("c_k"))
+    }
+    // measured cardinalities: the DP's preferred bottom join really is
+    // the far smaller intermediate (40 rows vs 40000)
+    val ab = spark.read.parquet(s"$dir/dp_a.parquet")
+      .join(spark.read.parquet(s"$dir/dp_b.parquet"), col("a_k") === col("b_k")).count()
+    val bc = spark.read.parquet(s"$dir/dp_b.parquet")
+      .join(spark.read.parquet(s"$dir/dp_c.parquet"), col("b_c") === col("c_k")).count()
+    assert(bc < ab / 100, s"fixture broken: |B⋈C|=$bc not far below |A⋈B|=$ab")
+    def bottomJoinTables(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      val joins = df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      joins.lastOption.map(_.collectLeaves().collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.head.getName
+          }
+      }.toSet).getOrElse(Set.empty)
+    }
+    spark.conf.unset("spark.graft.sampleReorder.enabled")
+    val offRows = q().collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.graft.sampleReorder.enabled", "true")
+    try {
+      val bottom = bottomJoinTables(q())
+      assert(bottom == Set("dp_b.parquet", "dp_c.parquet"),
+        s"exact DP should join B⋈C first (greedy leads with smallest leaf A); got $bottom")
+      val onRows = q().collect().map(_.toString).sorted.toSeq
+      assert(onRows == offRows, "DP reordering must not change results")
+    } finally spark.conf.unset("spark.graft.sampleReorder.enabled")
+  }
+
   test("bucketed layout: q21's fact pipeline is exchange-free; results match plain layout") {
     // Tables.load prefers a `_bucketed/<table>` layout (written by ScaleUp)
     // and registers it as a bucketed catalog table — the Spark analog of the

@@ -56,6 +56,30 @@ class SyntaxSpec extends SparkSpec {
     assert(v("select 3 = all(select v from (values (1),(2)) t(v) where v > 5)") == true)
   }
 
+  test("canonicalizer rewrites never fire inside literals or non-type positions") {
+    import graft.sqlsurface.SqlCanonicalizer
+    // Spark's float(x) CAST-FUNCTION call is not a type spec (ADVICE r10)
+    assert(GraftSql(spark, "SELECT float(30) AS f").collect()(0).get(0) == 30.0f)
+    // type positions still canonicalize: :: and CAST ... AS
+    assert(GraftSql(spark, "SELECT 1::float(30)").collect()(0).get(0) == 1.0d)
+    assert(GraftSql(spark, "SELECT CAST(1 AS float(10))").collect()(0).get(0) == 1.0f)
+    // a string literal carrying a quantified-comparison shape is data
+    val lit = "x > ALL(SELECT 1)"
+    assert(GraftSql(spark, s"SELECT '$lit' AS s").collect()(0).getString(0) == lit)
+    // literal with float(30) text stays verbatim
+    assert(SqlCanonicalizer("SELECT 'float(30)'") == "SELECT 'float(30)'")
+    // CTAS: a column named bool in the select list survives
+    assert(SqlCanonicalizer("CREATE TABLE t AS SELECT bool, x FROM test")
+      == "CREATE TABLE t AS SELECT bool, x FROM test")
+    // plain CREATE TABLE: bool/float(30) in the column list canonicalize
+    assert(SqlCanonicalizer("CREATE TABLE t (a bool, b float(30))")
+      == "CREATE TABLE t (a boolean, b double)")
+    // unbalanced paren inside a literal must not mis-slice a real rewrite
+    val q = "SELECT ')(' AS junk, 2 = ANY(SELECT 2) AS ok"
+    val r = GraftSql(spark, q).collect()(0)
+    assert(r.getString(0) == ")(" && r.getBoolean(1))
+  }
+
   test("no-FROM derived tables survive canonicalization (latent-bug pin)") {
     assert(GraftSql(spark, "SELECT * FROM (SELECT 1) t").collect()(0).get(0) == 1)
     assert(GraftSql(spark,
