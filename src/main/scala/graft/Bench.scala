@@ -143,7 +143,11 @@ object Bench {
       // the ContextCleaner only deletes them after the driver GCs the query's
       // ShuffleDependency objects, and a large driver heap may otherwise not
       // GC across the whole bench (measured: 17 queries × 6 runs of retained
-      // sf100 spill filled the disk)
+      // sf100 spill filled the disk). The prepared caches hold strong refs
+      // to the finished query's plan/RDD (and thus its ShuffleDependencies)
+      // — a completed bench query is never re-run, so drop them first or
+      // the GC below can't free anything.
+      Prepared.invalidate(spark)
       System.gc()
       name -> t
     }

@@ -617,12 +617,12 @@ object Dedup {
               SELECT vec_id, j,
                      $bandSum AS bv
               FROM emb CROSS JOIN (VALUES (0),(1),(2),(3)) AS gen(j)),
-              keys AS (
+              keys AS MATERIALIZED (
               SELECT b1.vec_id, c.ci, CAST(b1.bv AS BIGINT) * 65536 + b2.bv AS kv
               FROM (VALUES $comboVals) AS c(ci, x, y)
               JOIN bands b1 ON b1.j = c.x
               JOIN bands b2 ON b2.j = c.y AND b2.vec_id = b1.vec_id),
-              okkeys AS (
+              okkeys AS MATERIALIZED (
               SELECT ci, kv FROM keys GROUP BY ci, kv
               HAVING count(*) <= ${SignBandMaxBucket}),
               exact AS (

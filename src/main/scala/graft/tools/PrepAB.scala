@@ -19,8 +19,11 @@ object PrepAB {
     val spark = graft.Engine.create(master = s"local[$cpus]", shufflePartitions = cpus,
       appName = "graft-prepab", dataDir = Some(sfDir))
 
-    def time(on: Boolean, name: String): Double = {
-      spark.conf.set("spark.graft.planCache.enabled", on.toString)
+    // mode: "rdd" = full two-tier cache (round 11), "clone" = plan cache
+    // with per-run clone only (round 10 behavior), "off" = fresh pipeline
+    def time(mode: String, name: String): Double = {
+      spark.conf.set("spark.graft.planCache.enabled", (mode != "off").toString)
+      spark.conf.set("spark.graft.rddCache.enabled", (mode == "rdd").toString)
       val t0 = System.nanoTime()
       graft.Prepared.freshRdd(SparkEntry.queries(name)(spark, sfDir))
         .foreachPartition { it => while (it.hasNext) it.next() }
@@ -29,12 +32,13 @@ object PrepAB {
     def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
     names.foreach { n =>
-      time(on = true, n); time(on = false, n) // warm both paths
-      val pairs = Seq.fill(runs)((time(on = true, n), time(on = false, n)))
-      val onT = pairs.map(_._1); val offT = pairs.map(_._2)
-      println(f"[prepab] $n%-20s cached med=${med(onT)}%.3f min=${onT.min}%.3f | " +
+      time("rdd", n); time("clone", n); time("off", n) // warm all paths
+      val triples = Seq.fill(runs)((time("rdd", n), time("clone", n), time("off", n)))
+      val rddT = triples.map(_._1); val cloneT = triples.map(_._2); val offT = triples.map(_._3)
+      println(f"[prepab] $n%-20s rdd med=${med(rddT)}%.3f min=${rddT.min}%.3f | " +
+        f"clone med=${med(cloneT)}%.3f min=${cloneT.min}%.3f | " +
         f"uncached med=${med(offT)}%.3f min=${offT.min}%.3f | " +
-        f"saved ${med(offT) - med(onT)}%.3f s")
+        f"rdd-vs-uncached ${med(offT) - med(rddT)}%.3f s")
     }
     spark.stop()
   }
