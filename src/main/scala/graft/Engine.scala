@@ -116,6 +116,18 @@ object Engine {
       }
       .config("spark.sql.shuffle.partitions", shufParts.toString)
       .config("spark.graft.tinySort", (tiny || small).toString)
+      // Tiny/small regime: the driver's testdata tables are single-row-group
+      // parquet files, so a scan stage is ONE task no matter the split conf —
+      // fine for decode-bound queries (the row group is the decode unit), but
+      // a CPU-dense generator chained onto the scan (shingle explode + hash
+      // mixing, LSH key fan-out) then runs serially on 1 of 32 cores
+      // (StageProbe r11: ngram's main stage 1.58 s single-task). When this
+      // flag is set, those operators repartition their input first — a
+      // KB-scale exchange that spreads the generator across the cores. At
+      // scale the flag is OFF: multi-file tables already give scan
+      // parallelism, and repartitioning raw text/embedding payloads before
+      // exploding would shuffle the whole corpus (guide §2.3's anti-pattern).
+      .config("spark.graft.spreadTinyScan", (tiny || small).toString)
       // Tiny regime scan/broadcast shape (measured, tools.StageProbe sf0.1):
       // - The driver's testdata files are single-row-group parquet, so a
       //   scan can't parallelize below one file: the default

@@ -24,6 +24,25 @@ object Dedup {
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
   type Q = (SparkSession, String) => DataFrame
 
+  /** Spread a CPU-dense generator's input across the cores in the tiny/small
+    * regime (Engine sets spark.graft.spreadTinyScan there): the driver's
+    * single-row-group parquet files make every scan stage ONE task, so a
+    * shingle explode / LSH key fan-out chained onto the scan runs serially
+    * on 1 of 32 cores (StageProbe r11: ngram's main stage was 1.58 s
+    * single-task of a 2.6 s query). The exchange this inserts moves the raw
+    * KB-scale input once; the generator then runs `defaultParallelism`-wide.
+    * At scale the conf is off and this is the identity — multi-file tables
+    * already split, and repartitioning a 100 TB corpus' raw payload before
+    * exploding it would be the guide §2.3 anti-pattern. Hash-partitioned on
+    * the row key (deterministic under retry, unlike round-robin of a
+    * non-sorted input; see SPARK-38388 discussion in the guide §2.5). */
+  private def spread(df: DataFrame, key: String): DataFrame = {
+    val s = df.sparkSession
+    if (s.conf.get("spark.graft.spreadTinyScan", "false").toBoolean)
+      df.repartition(s.sparkContext.defaultParallelism, col(key))
+    else df
+  }
+
   /** Df-capped shingles shared by several consumers of one query (signature
     * pass + both verification-join sides). NOT persisted: the consumers'
     * subtrees are identical, so Spark's ReuseExchange dedupes the shuffle
@@ -91,7 +110,7 @@ object Dedup {
     // 25-byte gram string is materialized — the window mix is 4 long ops.
     // Collision analysis unchanged from the xxhash64 shape: 64-bit
     // keyspace, P ≈ n²/2⁶⁵ at corpus scale (scaladoc above).
-    val gs = docs.filter(col("doc_id").isNotNull && size(w) >= 3)
+    val gs = spread(docs, "doc_id").filter(col("doc_id").isNotNull && size(w) >= 3)
       .select(col("doc_id"),
         transform(w, wd => rolling_hash(wd)).as("hw"))
       .select(col("doc_id"),
@@ -130,7 +149,7 @@ object Dedup {
     * without the filter the signature branch re-scans the corpus). */
   private[graft] def shingles(docs: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
-    docs.filter(col("doc_id").isNotNull && size(w) >= 3)
+    spread(docs, "doc_id").filter(col("doc_id").isNotNull && size(w) >= 3)
       .select(col("doc_id"), w.as("w"))
       .select(col("doc_id"), explode(expr("sequence(1, size(w) - 2)")).as("i"), col("w"))
       .select(col("doc_id"),
@@ -149,10 +168,32 @@ object Dedup {
     * recall on true near-dups is unaffected. */
   private[graft] val MaxShingleDf = 64
   private[graft] def dfCapped(grams: DataFrame, maxDf: Int = MaxShingleDf): DataFrame = {
-    val rare = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // One explicit g-exchange feeds BOTH the df-count and the semi-join's
+    // probe side (ReuseExchange: identical child), so the corpus-side
+    // explode runs ONCE per query. The previous shape let the df-count
+    // aggregate partial below its own exchange and (in the tiny/small
+    // regime) let `rare` BROADCAST — the semi-join's probe side then had no
+    // exchange at all, so every consumer of the capped grams re-ran the
+    // scan+explode subtree from the top (StageProbe r11: ngram exploded the
+    // corpus 4×, three of the passes as sequential 1-task broadcast builds).
+    // At scale the same exchange replaces the partial-agg exchange the old
+    // shape paid (similar bytes: raw (doc_id,g) vs per-partition (g,count)
+    // partials of near-unique grams), so this is not a tiny-only trade.
+    // The count aggregate and the semi-join both run zero-exchange on top;
+    // shuffle_hash keeps the semi a hash probe (an SMJ here would sort the
+    // full gram set — the known sf100 spill pathology, scaladoc above).
+    val gx = grams.repartition(col("g"))
+    // count(doc_id), not count(*): doc_id is null-filtered upstream so the
+    // value is identical, but referencing it stops column pruning from
+    // projecting the aggregate's subtree down to (g) alone — a pruned
+    // subtree is a DIFFERENT exchange and the corpus would explode twice
+    // (verified in the r11 plan: count(*) produced two 32-task explode
+    // stages; count(doc_id) one ReusedExchange).
+    val rare = gx.groupBy(col("g")).agg(count(col("doc_id")).as("df"))
       .filter(col("df") <= maxDf).select(col("g"))
     // USING-join puts g first; restore (doc_id, g) for positional toDF callers
-    grams.join(rare, Seq("g"), "left_semi").select(col("doc_id"), col("g"))
+    gx.join(rare.hint("shuffle_hash"), Seq("g"), "left_semi")
+      .select(col("doc_id"), col("g"))
   }
 
   /** Exact jaccard over shingle sets for pairs that share >=1 shingle.
@@ -161,13 +202,28 @@ object Dedup {
     * stays a true jaccard of the capped universe. Callers pass an
     * already-df-capped (ideally cached) grams frame. */
   private[data] def jaccardPairs(grams: DataFrame): DataFrame = {
-    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val a = grams.toDF("a", "g")
-    val b = grams.toDF("b", "g")
-    val ic = a.join(b, Seq("g")).filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ic"))
-    ic.join(sizes.toDF("a", "sa"), "a")
-      .join(sizes.toDF("b", "sb"), "b")
+    // Set sizes ride WITH the grams through the shared-shingle self-join
+    // instead of joining the pair set against a sizes table twice after the
+    // fact: sa/sb are constant per doc, so min() over the pair group
+    // recovers them exactly, and the two post-aggregation pair-scale
+    // exchanges (ic re-hashed by a, then the joined result by b) plus both
+    // sizes exchanges disappear — at corpus scale those moved the FULL pair
+    // set twice (guide §2.4); the price is 8 bytes of sz on each gram row
+    // through the one g-keyed exchange the self-join pays anyway. byDocId
+    // gives sizes a true map-side combine AND co-partitions the gsz join,
+    // so attaching sz costs zero additional exchanges (ReuseExchange shares
+    // the doc_id exchange between the aggregate and the join's left side).
+    val byDoc = byDocId(grams)
+    // count(g): non-null by construction, and referencing it keeps the
+    // aggregate's input projection identical to byDoc so the doc_id
+    // exchange is shared (same pruning hazard as dfCapped's df-count).
+    val sizes = byDoc.groupBy(col("doc_id")).agg(count(col("g")).as("sz"))
+    val gsz = byDoc.join(sizes.hint("shuffle_hash"), "doc_id")
+    val a = gsz.toDF("a", "g", "sa")
+    val b = gsz.toDF("b", "g", "sb")
+    a.join(b, Seq("g")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("ic"), min(col("sa")).as("sa"), min(col("sb")).as("sb"))
       .select(col("a"), col("b"), col("ic"),
         col("sa"), col("sb"),
         (col("ic").cast("double") /
@@ -186,14 +242,20 @@ object Dedup {
     // through ONE doc_id exchange (shared with the caller's signature
     // aggregate via ReuseExchange) — see byDocId's scaladoc for why doc-keyed
     // aggregation must not run directly on the g-partitioned semi-join output.
+    // Same size-carrying shape as jaccardPairs (see its doc): sa/sb ride the
+    // gram sides and min() recovers them per pair, deleting the two
+    // pair-scale sizes joins. Both ga and gb read gsz, whose subtrees are
+    // identical — the doc_id exchange and the gsz join's map work are
+    // computed once (ReuseExchange); ga is already partitioned on a, so the
+    // cand⋈ga join only exchanges the candidate set.
     val byDoc = byDocId(grams)
-    val sizes = byDoc.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val ga = byDoc.toDF("a", "g")
-    val gb = grams.toDF("b", "g")
-    val ic = cand.join(ga, Seq("a")).join(gb, Seq("b", "g"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ic"))
-    ic.join(sizes.toDF("a", "sa"), "a")
-      .join(sizes.toDF("b", "sb"), "b")
+    val sizes = byDoc.groupBy(col("doc_id")).agg(count(col("g")).as("sz"))
+    val gsz = byDoc.join(sizes.hint("shuffle_hash"), "doc_id")
+    val ga = gsz.toDF("a", "g", "sa")
+    val gb = gsz.toDF("b", "g", "sb")
+    cand.join(ga, Seq("a")).join(gb, Seq("b", "g"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("ic"), min(col("sa")).as("sa"), min(col("sb")).as("sb"))
       .select(col("a"), col("b"), col("ic"), col("sa"), col("sb"),
         (col("ic").cast("double") /
           (col("sa") + col("sb") - col("ic")).cast("double")).as("jac"))
@@ -212,11 +274,20 @@ object Dedup {
     * shape built the full array and dropped it after — a memory cliff the
     * minhash df-cap masked structurally but the generic path did not.) */
   private[data] def pairsFromBuckets(buckets: DataFrame, maxBucket: Int = 64): DataFrame = {
-    val inRange = buckets.groupBy(col("bucket"))
+    // One explicit bucket-exchange feeds the count-prepass, the guard join's
+    // probe side AND the collect_set (all bucket-keyed): the upstream
+    // signature pipeline (minhash agg + band explode / simhash majority
+    // vote) is computed once and every step on top runs zero-exchange.
+    // Without it the size-filter side re-derived the whole signature subtree
+    // as a separate broadcast build in the tiny/small regime (no exchange to
+    // reuse — StageProbe r11). shuffle_hash keeps the guard join a hash
+    // probe of the in-range bucket ids rather than sorting the bucket rows.
+    val bx = buckets.repartition(col("bucket"))
+    val inRange = bx.groupBy(col("bucket"))
       .agg(countDistinct(col("doc_id")).as("bn"))
       .filter(col("bn") > 1 && col("bn") <= maxBucket)
       .select(col("bucket"))
-    val grouped = buckets.join(inRange, "bucket").groupBy(col("bucket"))
+    val grouped = bx.join(inRange.hint("shuffle_hash"), "bucket").groupBy(col("bucket"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
     grouped
       .select(explode(col("ids")).as("a"), col("ids"))
@@ -274,7 +345,7 @@ object Dedup {
     val keyArr = array(combos.zipWithIndex.map { case ((x, y), ci) =>
       struct(lit(ci).as("ci"), (band(x) * 65536L + band(y)).as("kv"))
     }: _*)
-    emb.select(col("vec_id"), explode(keyArr).as("k"))
+    spread(emb, "vec_id").select(col("vec_id"), explode(keyArr).as("k"))
       .select(col("vec_id"), col("k.ci").as("ci"), col("k.kv").as("kv"))
   }
 
@@ -296,7 +367,13 @@ object Dedup {
 
   private[graft] def signBandCandidates(
       emb: DataFrame, maxBucket: Int = SignBandMaxBucket): DataFrame = {
-    val keys = signBandKeys(emb)
+    // One explicit (ci,kv) exchange: the bucket-count prepass, the exact
+    // side of the guard join and the probe fan-out all read the keys
+    // through it (ReuseExchange), so the sign_bits key generation runs ONCE
+    // — previously the ok-count side broadcast-rebuilt the key subtree and
+    // the probe side re-derived it a third time (StageProbe r11: three
+    // embedding passes of a 4-pass query).
+    val keys = signBandKeys(emb).repartition(col("ci"), col("kv"))
     // Skew guard (round 11, VERDICT r10 #3): a SATURATED band key carries no
     // near-dup discrimination — thousands of vectors agreeing on 32 sign
     // bits is a property of the embedding distribution, not of duplication —
@@ -307,18 +384,28 @@ object Dedup {
     // dominant bucket's size instead of quadratic. Both the count and the
     // join hash-partition `keys` by (ci,kv) — ReuseExchange shares the
     // shuffle. The DuckDB oracle mirrors the cap bit-for-bit (okkeys CTE).
-    val ok = keys.groupBy(col("ci"), col("kv")).agg(count(lit(1)).as("bn"))
+    // count(vec_id), not count(*): vec_id is the table key (never null in
+    // the corpus contract), and referencing it keeps this subtree's
+    // projection identical to `keys` so the (ci,kv) exchange is shared —
+    // a pruned (ci,kv)-only subtree would re-run the key generation
+    // (same column-pruning hazard as dfCapped's df-count).
+    val ok = keys.groupBy(col("ci"), col("kv")).agg(count(col("vec_id")).as("bn"))
       .filter(col("bn") <= maxBucket).select(col("ci"), col("kv"))
     // re-project in keys order: an equi-join on Seq(...) moves the join
     // keys to the FRONT of the output, which would scramble the positional
-    // toDF rename below
-    val exact = keys.join(ok, Seq("ci", "kv"))
+    // toDF rename below. shuffle_hash: both sides are already (ci,kv)-
+    // partitioned, so the hint only picks hash-probe over sort-merge
+    // (the sorts were pure overhead — the guard is a set-membership test).
+    val exact = keys.join(ok.hint("shuffle_hash"), Seq("ci", "kv"))
       .select(col("vec_id"), col("ci"), col("kv"))
     // exact ⋈ probed finds every ≤1-bit combo-key pair; least/greatest
     // normalization (NOT an a<b filter — that would silently lose pairs
     // whose smaller-id endpoint sits in the saturated bucket) keeps a pair
     // alive whenever EITHER endpoint's bucket is below the cap.
-    exact.toDF("a", "ci", "kv")
+    // shuffle_hash with exact as build: the capped exact side is the
+    // bounded one (≤maxBucket per bucket) — sort-merge would externally
+    // sort the 33×-exploded probe stream instead.
+    exact.toDF("a", "ci", "kv").hint("shuffle_hash")
       .join(signBandProbes(keys).toDF("b", "ci", "kv"), Seq("ci", "kv"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),

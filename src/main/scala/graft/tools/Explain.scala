@@ -7,7 +7,12 @@ import graft.{Engine, SparkEntry}
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val spark = Engine.create(master = "local[4]", shufflePartitions = 4)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // dataDir MUST be passed: the session regime (AQE on/off, broadcast
+    // threshold, shuffle width) is derived from the data layout, and a plan
+    // dumped under a different regime is not the plan the bench runs.
+    val spark = Engine.create(master = s"local[$cpus]",
+      shufflePartitions = cpus.toInt, dataDir = Some(sfDir))
     val names = if (args.nonEmpty) args.toSeq
       else Seq("tpch_q1", "tpch_q3", "tpch_q5", "join_inner", "dedup_minhash_lsh")
     names.foreach { n =>
