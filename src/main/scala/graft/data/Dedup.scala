@@ -43,6 +43,22 @@ object Dedup {
     else df
   }
 
+  /** Tiny/small-regime shuffle-hash hint for joins whose both sides are
+    * corpus-scale (e.g. the shared-shingle self-join): per-partition hash
+    * build of a KB–MB side beats both the planner's estimate-driven
+    * BROADCAST (a driver collect + a BroadcastExchange that disqualifies
+    * the plan from the prepared-RDD tier, so codegen re-runs per
+    * execution) and a sort-merge's per-consumption sorts. At scale the
+    * hint is NOT applied: a per-partition hash table of a fact-scale side
+    * can exhaust execution memory, and sort-merge's graceful spill is the
+    * right trade (the sf100 campaign shape). Joins whose build side is
+    * structurally bounded (candidate sets) hint shuffle_hash
+    * unconditionally instead — see jaccardForCandidates. */
+  private def tinyHash(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get("spark.graft.spreadTinyScan", "false").toBoolean)
+      df.hint("shuffle_hash")
+    else df
+
   /** Df-capped shingles shared by several consumers of one query (signature
     * pass + both verification-join sides). NOT persisted: the consumers'
     * subtrees are identical, so Spark's ReuseExchange dedupes the shuffle
@@ -221,7 +237,7 @@ object Dedup {
     val gsz = byDoc.join(sizes.hint("shuffle_hash"), "doc_id")
     val a = gsz.toDF("a", "g", "sa")
     val b = gsz.toDF("b", "g", "sb")
-    a.join(b, Seq("g")).filter(col("a") < col("b"))
+    a.join(tinyHash(b), Seq("g")).filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("ic"), min(col("sa")).as("sa"), min(col("sb")).as("sb"))
       .select(col("a"), col("b"), col("ic"),
@@ -253,7 +269,15 @@ object Dedup {
     val gsz = byDoc.join(sizes.hint("shuffle_hash"), "doc_id")
     val ga = gsz.toDF("a", "g", "sa")
     val gb = gsz.toDF("b", "g", "sb")
-    cand.join(ga, Seq("a")).join(gb, Seq("b", "g"))
+    // shuffle_hash with the CANDIDATE side as build (hint on the left
+    // subtree): cand — and then cand⋈ga, whose row count is Σ|grams(a)|
+    // over candidates — is the structurally bounded side at every scale,
+    // while ga/gb are corpus-scale. The planner's estimate-driven choice
+    // here was a BROADCAST of the gram table at small SFs (driver collect
+    // + clone-tier execution) and a sort-merge at large SFs (per-
+    // consumption sort of the gram table).
+    cand.hint("shuffle_hash").join(ga, Seq("a"))
+      .hint("shuffle_hash").join(gb, Seq("b", "g"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("ic"), min(col("sa")).as("sa"), min(col("sb")).as("sb"))
       .select(col("a"), col("b"), col("ic"), col("sa"), col("sb"),
@@ -591,7 +615,11 @@ object Dedup {
       val cand = signBandCandidates(e.select(col("vec_id"), col("embedding")))
       val ea = e.toDF("a", "ea", "na")
       val eb = e.toDF("b", "eb", "nb")
-      cand.join(ea, "a").join(eb, "b")
+      // shuffle_hash, candidate side as build (same reasoning as
+      // jaccardForCandidates): cand is the bounded side; the corpus
+      // embedding frame streams instead of being sorted (SMJ) per join.
+      cand.hint("shuffle_hash").join(ea, "a")
+        .hint("shuffle_hash").join(eb, "b")
         .select(col("a"), col("b"),
           (graft.functions.GraftFunctions.array_dot(col("ea"), col("eb")) /
             (col("na") * col("nb"))).as("cos"))
