@@ -128,6 +128,14 @@ object Engine {
       // parallelism, and repartitioning raw text/embedding payloads before
       // exploding would shuffle the whole corpus (guide §2.3's anti-pattern).
       .config("spark.graft.spreadTinyScan", (tiny || small).toString)
+      // Same predicate, broader consumers (Tables.dim, Dedup.tinyHash):
+      // "the whole dataset is KB-MB scale" — operators flip estimate-
+      // driven broadcasts to co-partitioned shuffle-hash joins (parallel
+      // per-partition builds instead of a single-threaded driver collect,
+      // and the broadcast-free plan stays eligible for the prepared-RDD
+      // tier) and spread 1-task generator stages. Scale sessions keep
+      // their explicit broadcast hints - load-bearing at sf100.
+      .config("spark.graft.smallData", (tiny || small).toString)
       // Tiny regime scan/broadcast shape (measured, tools.StageProbe sf0.1):
       // - The driver's testdata files are single-row-group parquet, so a
       //   scan can't parallelize below one file: the default

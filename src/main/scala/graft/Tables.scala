@@ -146,4 +146,51 @@ object Tables {
     * SQL-entry surface, mirroring the reference's `Connection.sql`). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Dimension-side join strategy, regime-aware (Engine sets
+    * spark.graft.smallData from the data dir's largest table).
+    *
+    * At scale: an explicit BROADCAST hint — the estimate-blind choice the
+    * fact-side plans rely on at sf100 (a 20 MB key set pruning a 600M-row
+    * fact is worth any driver build cost, and estimates routinely block it).
+    *
+    * Tiny/small data: a SHUFFLE_HASH hint instead. The same hash relation
+    * is built per-partition in parallel out of an 8-wide exchange, rather
+    * than collected to the driver, built single-threaded, serialized and
+    * re-deserialized per task — HitProbe r11 measured that broadcast path
+    * at 0.06–0.18 s per run across the seven broadcast-bearing headline
+    * queries, several times the actual fact-side work at these sizes.
+    * Keeping the plan broadcast-free also makes it eligible for the
+    * prepared-RDD execution tier (Prepared.scala), which amortizes
+    * whole-stage-codegen source generation across runs. */
+  def dim(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get("spark.graft.smallData", "false").toBoolean)
+      df.hint("shuffle_hash")
+    else org.apache.spark.sql.functions.broadcast(df)
+
+  /** Shuffle-hash hint applied ONLY on small data (identity at scale) —
+    * for joins whose hinted side must never be broadcast at scale (e.g. a
+    * per-key aggregate that grows with the fact table) but where the
+    * planner's estimate-driven pick at KB-MB sizes is a broadcast whose
+    * driver-side build costs more than the join (see [[dim]]). */
+  def hashIfSmall(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get("spark.graft.smallData", "false").toBoolean)
+      df.hint("shuffle_hash")
+    else df
+
+  /** Widen a CPU-dense stage in the small-data regime: repartition by `key`
+    * to defaultParallelism so a window/aggregate over a 1-task scan (the
+    * driver's single-row-group files) uses every core instead of the
+    * narrow tiny-regime shuffle width. Hash-partitioning on the operator's
+    * own key means the downstream window/groupBy consumes this exchange
+    * directly — it REPLACES the ENSURE_REQUIREMENTS exchange rather than
+    * adding one. Identity at scale (multi-file inputs already parallel,
+    * and the scale shuffle width is the full core count anyway). */
+  def spreadIfSmall(df: DataFrame, key: String): DataFrame = {
+    val s = df.sparkSession
+    if (s.conf.get("spark.graft.smallData", "false").toBoolean)
+      df.repartition(s.sparkContext.defaultParallelism,
+        org.apache.spark.sql.functions.col(key))
+    else df
+  }
 }

@@ -145,7 +145,7 @@ object Aggregates {
         .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
       t(s, d, "customer")
-        .join(ordAgg, col("c_custkey") === col("o_custkey"))
+        .join(graft.Tables.hashIfSmall(ordAgg), col("c_custkey") === col("o_custkey"))
         .filter(col("n_orders") >= 15)
         .select(col("c_custkey"), col("c_name"), col("n_orders"), col("total"))
         .orderBy("c_custkey")
@@ -178,7 +178,7 @@ object Aggregates {
       val base = t(s, d, "customer")
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("cnt"))
-        .join(broadcast(t(s, d, "nation")
+        .join(graft.Tables.dim(t(s, d, "nation")
             .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))),
           col("c_nationkey") === col("n_nationkey"))
       base.rollup(col("r_name"), col("n_name"))

@@ -62,7 +62,7 @@ object TpchLike {
         .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
       val li = t(s, d, "lineitem")
         .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01 00:00:00")))
-      ord.join(broadcast(cust), col("c_custkey") === col("o_custkey"))
+      ord.join(Tables.dim(cust), col("c_custkey") === col("o_custkey"))
         .join(li, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(msum(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
@@ -91,6 +91,10 @@ object TpchLike {
       val asiaNation = t(s, d, "region").filter(col("r_name") === "ASIA")
         .join(t(s, d, "nation"), col("n_regionkey") === col("r_regionkey"))
         .select(col("n_nationkey"), col("n_name"))
+      // These dims stay BROADCAST at every scale (no Tables.dim): they
+      // probe the fact-side scans, and the r11 A/B showed flipping them to
+      // shuffle-hash at small SFs forces a fact-side exchange that costs
+      // more than the avoided driver build (q5 0.38 -> 0.60 s median).
       val asiaSupp = t(s, d, "supplier")
         .join(broadcast(asiaNation), col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
@@ -154,7 +158,7 @@ object TpchLike {
       // whole query).
       t(s, d, "customer")
         .join(rev.hint("shuffle_hash"), col("c_custkey") === col("o_custkey"))
-        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.dim(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("c_name"), col("n_name"), col("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
