@@ -183,33 +183,46 @@ object Dedup {
     * bounds per-shingle fan-out; near-dup signal lives in rare shingles, so
     * recall on true near-dups is unaffected. */
   private[graft] val MaxShingleDf = 64
+  /** Both branches produce the identical capped (doc_id, g) multiset; they
+    * differ in how the df-count and the semi-join share work:
+    *
+    * Small data: one explicit g-exchange feeds BOTH the df-count and the
+    * semi-join's probe side, and the semi is a hinted hash probe. Without
+    * this, the planner broadcast `rare` (estimates are KBs here) — the
+    * probe side then had NO exchange to reuse and every consumer of the
+    * capped grams re-ran the scan+explode subtree from the top (StageProbe
+    * r11: ngram exploded the corpus 4×, three passes as sequential 1-task
+    * broadcast builds).
+    *
+    * Scale: the classic two-phase df-count (partial below its exchange) +
+    * planner-chosen semi join. The small-data shape measured WORSE here
+    * (ngram sf10 25 → 41 s with allocation-stall warnings): the forced
+    * per-partition hash build of ~1.5M rare grams competes for execution
+    * memory with the explode and the downstream pair sorts, while the
+    * broadcast-vs-reuse pathology it fixes is a tiny-regime artifact (at
+    * scale estimates exceed the threshold and the semi shuffles both sides
+    * anyway, sharing the raw-gram exchange). */
   private[graft] def dfCapped(grams: DataFrame, maxDf: Int = MaxShingleDf): DataFrame = {
-    // One explicit g-exchange feeds BOTH the df-count and the semi-join's
-    // probe side (ReuseExchange: identical child), so the corpus-side
-    // explode runs ONCE per query. The previous shape let the df-count
-    // aggregate partial below its own exchange and (in the tiny/small
-    // regime) let `rare` BROADCAST — the semi-join's probe side then had no
-    // exchange at all, so every consumer of the capped grams re-ran the
-    // scan+explode subtree from the top (StageProbe r11: ngram exploded the
-    // corpus 4×, three of the passes as sequential 1-task broadcast builds).
-    // At scale the same exchange replaces the partial-agg exchange the old
-    // shape paid (similar bytes: raw (doc_id,g) vs per-partition (g,count)
-    // partials of near-unique grams), so this is not a tiny-only trade.
-    // The count aggregate and the semi-join both run zero-exchange on top;
-    // shuffle_hash keeps the semi a hash probe (an SMJ here would sort the
-    // full gram set — the known sf100 spill pathology, scaladoc above).
-    val gx = grams.repartition(col("g"))
-    // count(doc_id), not count(*): doc_id is null-filtered upstream so the
-    // value is identical, but referencing it stops column pruning from
-    // projecting the aggregate's subtree down to (g) alone — a pruned
-    // subtree is a DIFFERENT exchange and the corpus would explode twice
-    // (verified in the r11 plan: count(*) produced two 32-task explode
-    // stages; count(doc_id) one ReusedExchange).
-    val rare = gx.groupBy(col("g")).agg(count(col("doc_id")).as("df"))
-      .filter(col("df") <= maxDf).select(col("g"))
-    // USING-join puts g first; restore (doc_id, g) for positional toDF callers
-    gx.join(rare.hint("shuffle_hash"), Seq("g"), "left_semi")
-      .select(col("doc_id"), col("g"))
+    val small = grams.sparkSession.conf
+      .get("spark.graft.smallData", "false").toBoolean
+    if (small) {
+      val gx = grams.repartition(col("g"))
+      // count(doc_id), not count(*): doc_id is null-filtered upstream so the
+      // value is identical, but referencing it stops column pruning from
+      // projecting the aggregate's subtree down to (g) alone — a pruned
+      // subtree is a DIFFERENT exchange and the corpus would explode twice
+      // (verified in the r11 plan: count(*) produced two 32-task explode
+      // stages; count(doc_id) one ReusedExchange).
+      val rare = gx.groupBy(col("g")).agg(count(col("doc_id")).as("df"))
+        .filter(col("df") <= maxDf).select(col("g"))
+      // USING-join puts g first; restore (doc_id, g) for positional toDF callers
+      gx.join(rare.hint("shuffle_hash"), Seq("g"), "left_semi")
+        .select(col("doc_id"), col("g"))
+    } else {
+      val rare = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select(col("g"))
+      grams.join(rare, Seq("g"), "left_semi").select(col("doc_id"), col("g"))
+    }
   }
 
   /** Exact jaccard over shingle sets for pairs that share >=1 shingle.
@@ -217,33 +230,57 @@ object Dedup {
     * than MaxShingleDf ways); sizes use the same capped sets so the ratio
     * stays a true jaccard of the capped universe. Callers pass an
     * already-df-capped (ideally cached) grams frame. */
+  /** Both branches compute the IDENTICAL result (same columns, same rows —
+    * the oracle pins them); they differ only in WHERE the per-doc set sizes
+    * attach, a trade that flips with data size (measured r11 at sf0.1 vs
+    * sf10, QTime):
+    *
+    * Small data (tiny/small regime): sizes ride WITH the grams through the
+    * shared-shingle self-join and min() recovers them per pair — the two
+    * post-aggregation pair joins and their exchanges disappear, which is
+    * what matters when the per-stage constant dominates (ngram sf0.1
+    * 1.81 → 0.68 s). Costs one doc_id exchange + a re-exchange by g of the
+    * gram set — KBs here.
+    *
+    * Scale: the pair set after the (a,b) aggregation is SMALLER than the
+    * gram set, so re-hashing pairs twice against a broadcast-able sizes
+    * table beats moving the full gram set through two extra exchanges
+    * (doc_id, then back to g): the size-carrying shape measured ngram sf10
+    * 25 → 33 s. The df-capped gram set arrives g-partitioned from the
+    * semi-join and the self-join consumes that partitioning with zero
+    * additional exchanges. */
   private[data] def jaccardPairs(grams: DataFrame): DataFrame = {
-    // Set sizes ride WITH the grams through the shared-shingle self-join
-    // instead of joining the pair set against a sizes table twice after the
-    // fact: sa/sb are constant per doc, so min() over the pair group
-    // recovers them exactly, and the two post-aggregation pair-scale
-    // exchanges (ic re-hashed by a, then the joined result by b) plus both
-    // sizes exchanges disappear — at corpus scale those moved the FULL pair
-    // set twice (guide §2.4); the price is 8 bytes of sz on each gram row
-    // through the one g-keyed exchange the self-join pays anyway. byDocId
-    // gives sizes a true map-side combine AND co-partitions the gsz join,
-    // so attaching sz costs zero additional exchanges (ReuseExchange shares
-    // the doc_id exchange between the aggregate and the join's left side).
-    val byDoc = byDocId(grams)
-    // count(g): non-null by construction, and referencing it keeps the
-    // aggregate's input projection identical to byDoc so the doc_id
-    // exchange is shared (same pruning hazard as dfCapped's df-count).
-    val sizes = byDoc.groupBy(col("doc_id")).agg(count(col("g")).as("sz"))
-    val gsz = byDoc.join(sizes.hint("shuffle_hash"), "doc_id")
-    val a = gsz.toDF("a", "g", "sa")
-    val b = gsz.toDF("b", "g", "sb")
-    a.join(tinyHash(b), Seq("g")).filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("ic"), min(col("sa")).as("sa"), min(col("sb")).as("sb"))
-      .select(col("a"), col("b"), col("ic"),
-        col("sa"), col("sb"),
-        (col("ic").cast("double") /
-          (col("sa") + col("sb") - col("ic")).cast("double")).as("jac"))
+    val small = grams.sparkSession.conf
+      .get("spark.graft.smallData", "false").toBoolean
+    if (small) {
+      val byDoc = byDocId(grams)
+      // count(g): non-null by construction, and referencing it keeps the
+      // aggregate's input projection identical to byDoc so the doc_id
+      // exchange is shared (same pruning hazard as dfCapped's df-count).
+      val sizes = byDoc.groupBy(col("doc_id")).agg(count(col("g")).as("sz"))
+      val gsz = byDoc.join(sizes.hint("shuffle_hash"), "doc_id")
+      val a = gsz.toDF("a", "g", "sa")
+      val b = gsz.toDF("b", "g", "sb")
+      a.join(tinyHash(b), Seq("g")).filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("ic"), min(col("sa")).as("sa"), min(col("sb")).as("sb"))
+        .select(col("a"), col("b"), col("ic"),
+          col("sa"), col("sb"),
+          (col("ic").cast("double") /
+            (col("sa") + col("sb") - col("ic")).cast("double")).as("jac"))
+    } else {
+      val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val a = grams.toDF("a", "g")
+      val b = grams.toDF("b", "g")
+      val ic = a.join(b, Seq("g")).filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ic"))
+      ic.join(sizes.toDF("a", "sa"), "a")
+        .join(sizes.toDF("b", "sb"), "b")
+        .select(col("a"), col("b"), col("ic"),
+          col("sa"), col("sb"),
+          (col("ic").cast("double") /
+            (col("sa") + col("sb") - col("ic")).cast("double")).as("jac"))
+    }
   }
 
   /** Exact jaccard computed ONLY for the given candidate pairs: intersection
