@@ -178,19 +178,4 @@ object Tables {
       df.hint("shuffle_hash")
     else df
 
-  /** Widen a CPU-dense stage in the small-data regime: repartition by `key`
-    * to defaultParallelism so a window/aggregate over a 1-task scan (the
-    * driver's single-row-group files) uses every core instead of the
-    * narrow tiny-regime shuffle width. Hash-partitioning on the operator's
-    * own key means the downstream window/groupBy consumes this exchange
-    * directly — it REPLACES the ENSURE_REQUIREMENTS exchange rather than
-    * adding one. Identity at scale (multi-file inputs already parallel,
-    * and the scale shuffle width is the full core count anyway). */
-  def spreadIfSmall(df: DataFrame, key: String): DataFrame = {
-    val s = df.sparkSession
-    if (s.conf.get("spark.graft.smallData", "false").toBoolean)
-      df.repartition(s.sparkContext.defaultParallelism,
-        org.apache.spark.sql.functions.col(key))
-    else df
-  }
 }

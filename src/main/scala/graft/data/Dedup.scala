@@ -35,11 +35,16 @@ object Dedup {
     * already split, and repartitioning a 100 TB corpus' raw payload before
     * exploding it would be the guide §2.3 anti-pattern. Hash-partitioned on
     * the row key (deterministic under retry, unlike round-robin of a
-    * non-sorted input; see SPARK-38388 discussion in the guide §2.5). */
+    * non-sorted input; see SPARK-38388 discussion in the guide §2.5).
+    * Width = the session's shuffle-partition setting, NOT the core count:
+    * a back-to-back A/B at 32 cores had 8-wide beating 32-wide on every
+    * heavy (embed_cos 0.29 vs 0.54 s median) — at KB-per-task sizes the
+    * extra tasks cost more in scheduling+GC than they buy in parallelism,
+    * the same trade the Engine's narrow tiny-regime shuffles encode. */
   private def spread(df: DataFrame, key: String): DataFrame = {
     val s = df.sparkSession
     if (s.conf.get("spark.graft.spreadTinyScan", "false").toBoolean)
-      df.repartition(s.sparkContext.defaultParallelism, col(key))
+      df.repartition(col(key))
     else df
   }
 

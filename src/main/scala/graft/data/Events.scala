@@ -39,12 +39,11 @@ object Events {
     // (lag + cumulative-sum pattern).
     "ev_sessions" -> ((s, d) => {
       val wOrd = Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
-      // spreadIfSmall: the window's user_id exchange is REPLACED by a
-      // defaultParallelism-wide one so the lag+cumsum+session rollup uses
-      // every core (the tiny-regime 8-wide shuffle left a 1.1 s-CPU window
-      // stage on 8 of 32 cores — StageProbe r11); identity at scale.
-      val marked = Tables.spreadIfSmall(t(s, d, "events")
-        .select(col("user_id"), col("event_id"), secs.as("s"), col("value")), "user_id")
+      // (r11 probe note: widening this window's exchange to the core count
+      // was tried and measured WORSE at 32 cores — 0.29 vs 0.22 s median —
+      // the narrow tiny-regime shuffle width already wins on scheduling.)
+      val marked = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), secs.as("s"), col("value"))
         .withColumn("prev_s", lag(col("s"), 1).over(wOrd))
         .withColumn("new_sess",
           when(col("prev_s").isNull || col("s") - col("prev_s") > 1800, 1L).otherwise(0L))

@@ -179,7 +179,8 @@ object Aggregates {
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("cnt"))
         .join(graft.Tables.dim(t(s, d, "nation")
-            .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))),
+            .join(graft.Tables.hashIfSmall(t(s, d, "region")),
+              col("n_regionkey") === col("r_regionkey"))),
           col("c_nationkey") === col("n_nationkey"))
       base.rollup(col("r_name"), col("n_name"))
         .agg(coalesce(sum(col("cnt")), lit(0L)).as("n"),

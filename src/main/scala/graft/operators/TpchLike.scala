@@ -62,7 +62,13 @@ object TpchLike {
         .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
       val li = t(s, d, "lineitem")
         .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01 00:00:00")))
-      ord.join(Tables.dim(cust), col("c_custkey") === col("o_custkey"))
+      // hashIfSmall on the pruned orders side: the planner's pick for the
+      // orderkey join at small SFs was a sort-merge that externally sorts
+      // BOTH fact sides; per-partition hash build of the ~1/5-selectivity
+      // cust⋈orders side skips the sorts. Identity at scale, where the
+      // bucketed zero-exchange merge is the right shape.
+      Tables.hashIfSmall(
+          ord.join(Tables.dim(cust), col("c_custkey") === col("o_custkey")))
         .join(li, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(msum(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
@@ -104,10 +110,14 @@ object TpchLike {
         .select(col("c_custkey"), col("c_nationkey"))
       val li = t(s, d, "lineitem")
         .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
-      val j = t(s, d, "orders")
-        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
-          col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
-        .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+      // hashIfSmall: at small SFs the orderkey merge would sort both fact
+      // sides; a per-partition hash build of the date+ASIA-pruned orders
+      // side skips that. Identity at scale - the bucketed zero-exchange
+      // sort-merge stays.
+      val j = Tables.hashIfSmall(t(s, d, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+          .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey")))
         // the locality equality is written as an arithmetic residual, NOT
         // `s_nationkey === c_nationkey`: ExtractEquiJoinKeys would fold a
         // plain equality into the SMJ's join keys, re-shuffling BOTH fact
