@@ -181,6 +181,23 @@ object Engine {
       // ContextCleaner's periodic GC defaults to 30 min; 2 min bounds the
       // retained-shuffle window at a negligible GC cost.
       .config("spark.cleaner.periodicGC.interval", "2min")
+      // Runtime Bloom-filter injection (SPARK-32268): when a shuffle join's
+      // creation side carries a selective filter, drop definitely-non-
+      // matching rows from the big side BEFORE its exchange (guide §3.2).
+      // The stock application-side threshold (10 GB) is tuned for clusters
+      // where the filter build competes with real work; on this engine's
+      // data sizes it simply never fired — tpcds_q80 at generator scale
+      // exchanged+sorted the FULL store_sales for its left-outer returns
+      // join before the 1.7%-selective date predicate could apply (Catalyst
+      // cannot reorder the inner date join below the outer join; the bloom
+      // filter pushes its effect there instead: 9.2 → 4.8 s median).
+      // 128 MB keeps it off toy scans (tiny/small plans never qualify, so
+      // the bench's prepared-RDD tier eligibility is unaffected) while any
+      // fact-scale shuffle join benefits; explicit-broadcast plans are
+      // skipped by the rule (it targets shuffle joins only).
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      .config("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        (128L * 1024 * 1024).toString)
       .config("spark.sql.adaptive.enabled", (!(tiny || small)).toString)
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
