@@ -158,6 +158,10 @@ object TpchLike {
         .select(col("o_orderkey"), col("o_custkey"))
       val li = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      // The date-filtered orders keys auto-broadcast into lineitem at small
+      // SFs (~0.2 s driver build per run, HitProbe r11). Flipping to
+      // shuffle-hash was TRIED and measured WORSE (0.31 -> 0.52 median):
+      // the lineitem exchange outweighs the saved build. Broadcast stays.
       val rev = ord.join(li, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_custkey"))
         .agg(msum(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
