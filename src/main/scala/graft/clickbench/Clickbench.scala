@@ -129,6 +129,8 @@ object Clickbench {
               .write.mode("overwrite").parquet(s"$dataDir/hits")
             Files.createFile(done)
           }
+          // planning samples for SampleJoinReorder (idempotent backfill)
+          graft.util.PlanningSamples.ensure(spark, dataDir, Seq("hits"))
         }
         // single-table suite: stats still help selectivity-driven choices
         // past toy scale (see util.CatalogStats)

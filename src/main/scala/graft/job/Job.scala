@@ -97,6 +97,8 @@ object Job {
             }
             Files.createFile(done)
           }
+          // planning samples for SampleJoinReorder (idempotent backfill)
+          graft.util.PlanningSamples.ensure(spark, dataDir, JobGen.tables.map(_._1))
         }
         JobGen.tables.foreach { case (name, _) =>
           // catalog tables + ANALYZE past toy scale so CBO join reorder

@@ -74,6 +74,10 @@ object Ssb {
               }
             Files.createFile(done)
           }
+          // planning samples for SampleJoinReorder (idempotent backfill)
+          graft.util.PlanningSamples.ensure(spark, dataDir,
+            (SsbGen.tables.map(("ssb_", _)) ++ SsbGen.tablesCoded.map(("ssb2_", _)))
+              .map { case (pfx, (name, _)) => s"$pfx$name" })
         }
         (SsbGen.tables.map(("ssb_", _)) ++ SsbGen.tablesCoded.map(("ssb2_", _)))
           .foreach { case (pfx, (name, _)) =>

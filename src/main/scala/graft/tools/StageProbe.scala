@@ -19,8 +19,18 @@ object StageProbe {
     val name = args.headOption.getOrElse("tpch_q1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString).toInt
-    val spark = graft.Engine.create(master = s"local[$cpus]",
-      shufflePartitions = cpus, appName = "graft-stageprobe", dataDir = Some(sfDir))
+    // Suite queries (tpcds_/job_/cb_/tpcxbb_) run under the SuiteBench
+    // regime (no dataDir, generator-scale split sizing) so the probed
+    // stages are the ones the suite bench actually executes.
+    val isSuite = Seq("tpcds_q", "job_q", "cb_q", "tpcxbb_q").exists(name.startsWith)
+    val spark =
+      if (isSuite) graft.Engine.create(master = s"local[$cpus]",
+        shufflePartitions = cpus, appName = "graft-stageprobe",
+        extraConf = Map(
+          "spark.sql.files.maxPartitionBytes" -> (64L * 1024 * 1024).toString,
+          "spark.sql.files.openCostInBytes" -> (4L * 1024 * 1024).toString))
+      else graft.Engine.create(master = s"local[$cpus]",
+        shufflePartitions = cpus, appName = "graft-stageprobe", dataDir = Some(sfDir))
 
     import org.apache.spark.scheduler._
     case class StageRec(id: Int, name: String, submitted: Long, completed: Long,
@@ -59,8 +69,15 @@ object StageProbe {
       }
     })
 
+    def buildDf() = name match {
+      case n if n.startsWith("tpcds_q") => graft.tpcds.Tpcds.run(spark, n.stripPrefix("tpcds_q"))
+      case n if n.startsWith("tpcxbb_q") => graft.tpcds.Tpcxbb.run(spark, n.stripPrefix("tpcxbb_q"))
+      case n if n.startsWith("job_q") => graft.job.Job.run(spark, n.stripPrefix("job_q"))
+      case n if n.startsWith("cb_q") => graft.clickbench.Clickbench.run(spark, n.stripPrefix("cb_q"))
+      case n => SparkEntry.queries(n)(spark, sfDir)
+    }
     def runOnce(): (Long, Long) = {
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val df = buildDf()
       val qe = df.queryExecution
       qe.executedPlan
       val t0 = System.currentTimeMillis()

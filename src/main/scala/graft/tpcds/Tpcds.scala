@@ -169,6 +169,8 @@ object Tpcds {
             }
             Files.createFile(done)
           }
+          // planning samples for SampleJoinReorder (idempotent backfill)
+          graft.util.PlanningSamples.ensure(spark, dataDir, TpcdsGen.tables.map(_._1))
         }
         TpcdsGen.tables.foreach { case (name, _) =>
           // past toy scale, catalog tables + ANALYZE so CBO join reorder

@@ -143,6 +143,8 @@ object Tpcxbb {
             }
             Files.createFile(done)
           }
+          // planning samples for SampleJoinReorder (idempotent backfill)
+          graft.util.PlanningSamples.ensure(spark, dataDir, extraTables.map(_._1))
         }
         extraTables.foreach { case (name, _) =>
           if (TpcdsGen.Scale > 1)

@@ -257,7 +257,7 @@ class PlanSpec extends SparkSpec {
           case fs: HadoopFsRelation => fs.location.rootPaths.head.getName
         }
       }
-    spark.conf.unset("spark.graft.sampleReorder.enabled")
+    spark.conf.set("spark.graft.sampleReorder.enabled", "false") // session default is ON (no-dataDir)
     val off = leafOrder(q())
     val offRows = q().collect().map(_.toString).sorted.toSeq
     spark.conf.set("spark.graft.sampleReorder.enabled", "true")
@@ -317,7 +317,7 @@ class PlanSpec extends SparkSpec {
           }
       }.toSet).getOrElse(Set.empty)
     }
-    spark.conf.unset("spark.graft.sampleReorder.enabled")
+    spark.conf.set("spark.graft.sampleReorder.enabled", "false") // session default is ON (no-dataDir)
     val offRows = q().collect().map(_.toString).sorted.toSeq
     spark.conf.set("spark.graft.sampleReorder.enabled", "true")
     try {
@@ -327,6 +327,60 @@ class PlanSpec extends SparkSpec {
       val onRows = q().collect().map(_.toString).sorted.toSeq
       assert(onRows == offRows, "DP reordering must not change results")
     } finally spark.conf.unset("spark.graft.sampleReorder.enabled")
+  }
+
+  test("sample broadcast hints: a string-filtered side invisible to stats broadcasts with the rule ON") {
+    // Catalyst's size-only estimation keeps a Contains-filtered relation at
+    // its full file size, so a side that is tiny AFTER the filter gets a
+    // corpus-scale shuffle join (the JOB ×50 pathology: 2.5M-row title
+    // exchanged against an 87k-row filtered movie_companies). The sampled
+    // estimate sees ~1% survive and attaches a broadcast hint (guide §3.1),
+    // so the big side is never exchanged. AQE would convert the join at
+    // runtime too — but only AFTER the big side's shuffle map stage ran,
+    // which is exactly what the hint avoids; hence the assertion is on the
+    // presence of the shuffle, not the join operator.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_bh_").toString
+    new java.io.File(s"$dir/_samples").mkdirs()
+    def save(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+      df.limit(2000).coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/_samples/$name.parquet")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/_samples/$name.count"),
+        df.count().toString.getBytes("UTF-8"))
+    }
+    // big enough that its own estimate clears the 10 MB broadcast threshold
+    save("bh_big", (0 until 3000000).map(i => (i.toLong % 20000, i * 2654435761L)).toDF("b_k", "b_v"))
+    // incompressible per-row note text keeps the parquet file (and thus the
+    // stats estimate) above the 10 MB broadcast threshold; ~1% contain "xyz"
+    save("bh_dim", (0 until 500000).map { i =>
+      val pad = f"${i * 2654435761L}%016x" * 3
+      (i.toLong % 20000, if (i % 100 == 0) s"n xyz $pad" else s"n $pad")
+    }.toDF("d_k", "d_note"))
+    def q(): org.apache.spark.sql.DataFrame = {
+      val big = spark.read.parquet(s"$dir/bh_big.parquet")
+      val dim = spark.read.parquet(s"$dir/bh_dim.parquet")
+        .filter(col("d_note").contains("xyz"))
+      big.join(dim, col("b_k") === col("d_k"))
+    }
+    spark.conf.set("spark.graft.sampleReorder.enabled", "false")
+    val offDf = q()
+    val offRows = offDf.collect().map(_.toString).sorted.toSeq
+    val offPlan = offDf.queryExecution.executedPlan.toString
+    spark.conf.set("spark.graft.sampleReorder.enabled", "true")
+    try {
+      val onDf = q()
+      val onRows = onDf.collect().map(_.toString).sorted.toSeq
+      val onPlan = onDf.queryExecution.executedPlan.toString
+      assert(offPlan.contains("Exchange hashpartitioning"),
+        "fixture broken: the rule-OFF plan should shuffle (estimate over threshold):\n" + offPlan)
+      assert(onPlan.contains("BroadcastHashJoin"), onPlan)
+      assert(!onPlan.contains("Exchange hashpartitioning"),
+        "rule-ON plan must not shuffle the big side:\n" + onPlan)
+      assert(onRows == offRows, "broadcast hint must not change results")
+    } finally spark.conf.set("spark.graft.sampleReorder.enabled", "true")
   }
 
   test("bucketed layout: q21's fact pipeline is exchange-free; results match plain layout") {
