@@ -94,18 +94,26 @@ object TpchLike {
     // zero-exchange but streams 5× fewer lineitem rows. n_name rides the
     // supplier side (it equals the customer nation by the join condition).
     "tpch_q5" -> ((s, d) => {
+      // Inner dim-side joins go through Tables.dim (broadcast at scale,
+      // shuffle-hash on small data): at small SFs the old explicit
+      // broadcasts nested THREE deep (asiaCust's build job waited on
+      // asiaNation's, which waited on region's — plans/r11/
+      // tpch_q5_before.txt operators 12→18→21), serializing ~3 driver
+      // broadcast-build jobs per run on the clone tier. None of these
+      // joins probe a fact side, so the small-SF shuffle-hash flip only
+      // exchanges KB-scale dim rows inside one job. The FACT-probing
+      // broadcasts below (asiaSupp into lineitem, asiaCust into orders)
+      // stay explicit broadcast at every scale — the r11 A/B showed
+      // flipping those re-exchanges the fact side for a net loss
+      // (q5 0.38 -> 0.60 s median).
       val asiaNation = t(s, d, "region").filter(col("r_name") === "ASIA")
         .join(t(s, d, "nation"), col("n_regionkey") === col("r_regionkey"))
         .select(col("n_nationkey"), col("n_name"))
-      // These dims stay BROADCAST at every scale (no Tables.dim): they
-      // probe the fact-side scans, and the r11 A/B showed flipping them to
-      // shuffle-hash at small SFs forces a fact-side exchange that costs
-      // more than the avoided driver build (q5 0.38 -> 0.60 s median).
       val asiaSupp = t(s, d, "supplier")
-        .join(broadcast(asiaNation), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.dim(asiaNation), col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
       val asiaCust = t(s, d, "customer")
-        .join(broadcast(asiaNation.select(col("n_nationkey").as("cn_key"))),
+        .join(Tables.dim(asiaNation.select(col("n_nationkey").as("cn_key"))),
           col("c_nationkey") === col("cn_key"))
         .select(col("c_custkey"), col("c_nationkey"))
       val li = t(s, d, "lineitem")
