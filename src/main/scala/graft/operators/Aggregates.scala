@@ -144,8 +144,21 @@ object Aggregates {
       val ordAgg = t(s, d, "orders")
         .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      // Unconditional shuffle_hash on the aggregate side (the q10 pattern):
+      // ordAgg's rows grow with the fact table, so it must never broadcast,
+      // and the aggregation's own exchange already partitions it on the join
+      // key — the hint makes the join reuse that layout and exchange ONLY
+      // customer. Without it the mid-regime was the trap: at sf10 the
+      // planner's 2-column estimate of 1.5M customers snuck under the 10 MB
+      // threshold and BROADCAST the customer side — a 469 ms single-threaded
+      // driver collect+build gap between stages (StageProbe r11 session 3;
+      // QTime 1.48 -> 1.24 s median with the hint — the saved driver build
+      // is partly offset by the added ~45 MB customer exchange, and the
+      // remaining term is that exchange plus the agg itself). At sf100 customer's
+      // estimate is over the threshold either way; the hint just pins the
+      // same shuffle-hash shape (per-partition ordAgg builds are ~12 MB).
       t(s, d, "customer")
-        .join(graft.Tables.hashIfSmall(ordAgg), col("c_custkey") === col("o_custkey"))
+        .join(ordAgg.hint("shuffle_hash"), col("c_custkey") === col("o_custkey"))
         .filter(col("n_orders") >= 15)
         .select(col("c_custkey"), col("c_name"), col("n_orders"), col("total"))
         .orderBy("c_custkey")
