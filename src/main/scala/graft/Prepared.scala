@@ -66,23 +66,42 @@ object Prepared {
     * not re-GENERATING it), RDD object construction. Recomputed per run:
     * every byte of data movement and operator work.
     *
-    * Eligible only when re-draining cannot reuse MATERIALIZED state:
-    *  - no broadcast exchange anywhere (BroadcastExchangeExec memoizes its
-    *    built relation per instance — re-draining would reuse the hash
-    *    table; those plans stay on the clone-per-run tier);
-    *  - no InMemoryTableScan (persist caches data by design — intra-query
+    * Round 12 extends the tier to BROADCAST-bearing plans. A stock
+    * BroadcastExchangeExec memoizes its built relation (and the consuming
+    * join captures the Broadcast object into its codegen references), so
+    * r11 excluded those plans — leaving q5/q9/q10/q21/sim_cosine_topk on
+    * the clone tier paying plan-clone + codegen-source + RDD construction
+    * per run (HitProbe r12: 0.06-0.15 s/run each). Now every
+    * BroadcastExchangeExec is rewritten at install time to
+    * org.apache.spark.graft.RebroadcastExchangeExec, whose consumer-visible
+    * Broadcast is a stable RefreshableBroadcast wrapper; before each
+    * re-drain [[RebroadcastExchangeExec.refresh]] re-runs the FULL build
+    * (child subtree re-executed with its own shuffle outputs forgotten,
+    * rows re-collected, hash relation rebuilt, fresh TorrentBroadcast) and
+    * swaps it in, destroying the old generation. Refresh order is
+    * innermost-first so a nested rebuild only observes already-refreshed
+    * inner relations. Recomputed per run: the broadcast build itself —
+    * the same per-run work the clone tier paid — plus all shuffle/scan
+    * work; amortized: the driver-side plan/codegen/RDD front half only.
+    *
+    * Still ineligible (falls back to the clone tier / fresh pipeline):
+    *  - InMemoryTableScan (persist caches data by design — intra-query
     *    reuse is its semantics, but a cross-RUN re-drain would read the
     *    materialized cache);
-    *  - no subquery expressions (memoized results inside the expression);
-    *  - not adaptive (AQE re-plans per run by design).
+    *  - subquery expressions (memoized results inside the expression);
+    *  - adaptive plans (AQE re-plans per run by design).
     *  ReusedExchangeExec over a SHUFFLE is fine here (unlike the clone
     *  tier): the DAG is reused as-is, so the cross-reference stays wired
     *  to the same dependency, and after forgetMapOutputs the shared
     *  shuffle recomputes once per drain — exactly the plan's intra-query
-    *  reuse semantics. */
+    *  reuse semantics. ReusedExchangeExec over a BROADCAST keeps its
+    *  sharing: both sites resolve to the SAME RebroadcastExchangeExec
+    *  (identity-preserving rewrite), so a shared relation rebuilds once
+    *  per drain, exactly the plan's intra-query reuse semantics. */
   private val rddCache =
     new java.util.WeakHashMap[SparkSession,
-      mutable.Map[LogicalPlan, (RDD[InternalRow], Seq[Int])]]()
+      mutable.Map[LogicalPlan, (RDD[InternalRow], Seq[Int],
+        Seq[Seq[org.apache.spark.graft.RebroadcastExchangeExec]])]]()
 
   private def sessionCache(spark: SparkSession) = cache.synchronized {
     var m = cache.get(spark)
@@ -144,15 +163,61 @@ object Prepared {
     * pipeline on a fresh QueryExecution per call (honest re-plan — see
     * [[freshExec]]). The returned RDD recomputes fully when drained. */
   /** True when the BUILT RDD DAG itself may be cached and re-drained after
-    * a shuffle-output reset (see rddCache scaladoc). */
+    * a shuffle-output reset + broadcast refresh (see rddCache scaladoc). */
   private def rddCacheable(p: SparkPlan): Boolean = p match {
     case _: AdaptiveSparkPlanExec => false
     case _ => !p.exists {
-      case _: BroadcastExchangeExec => true
-      case r: ReusedExchangeExec => r.child.isInstanceOf[BroadcastExchangeExec]
       case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => true
       case q => q.expressions.exists(_.exists(_.isInstanceOf[ExecSubqueryExpression]))
     }
+  }
+
+  /** Rewrite every BroadcastExchangeExec to a RebroadcastExchangeExec,
+    * preserving instance identity: ReuseExchange points its
+    * ReusedExchangeExec at the SAME exchange instance it deduplicated, so
+    * the rewrite is keyed on object identity — both sites resolve to one
+    * rebroadcast node and a shared relation still builds once per drain.
+    * `out` collects the new nodes bottom-up (children before parents), the
+    * order [[graft.Prepared.freshRdd]] refreshes them in. */
+  private def rewriteBroadcasts(
+      plan: SparkPlan,
+      seen: java.util.IdentityHashMap[SparkPlan, SparkPlan],
+      out: mutable.ArrayBuffer[org.apache.spark.graft.RebroadcastExchangeExec]): SparkPlan = {
+    val hit = seen.get(plan)
+    if (hit != null) return hit
+    val withChildren =
+      if (plan.children.isEmpty) plan
+      else plan.withNewChildren(plan.children.map(rewriteBroadcasts(_, seen, out)))
+    val result = withChildren match {
+      case b: BroadcastExchangeExec =>
+        val r = org.apache.spark.graft.RebroadcastExchangeExec(b.mode, b.child)
+        out += r
+        r
+      case other => other
+    }
+    seen.put(plan, result)
+    result
+  }
+
+  /** Group rebroadcast nodes by nesting depth, DEEPEST first. Rebuilds
+    * within one group are independent (none consumes another's wrapper),
+    * so freshRdd submits a whole group's build jobs before awaiting any —
+    * the same build overlap the normal execution path gets from prepare().
+    * Groups still run in order: an outer rebuild re-executes its child
+    * subtree, which reads inner wrappers, so inners must be swapped first
+    * or the outer build would consume a previous drain's relation. */
+  private def depthGroups(
+      rebs: Seq[org.apache.spark.graft.RebroadcastExchangeExec])
+      : Seq[Seq[org.apache.spark.graft.RebroadcastExchangeExec]] = {
+    if (rebs.isEmpty) return Nil
+    val depth =
+      new java.util.IdentityHashMap[org.apache.spark.graft.RebroadcastExchangeExec, Int]()
+    rebs.foreach { r => // rebs is bottom-up: inners precede outers
+      val inner = rebs.filter(i => (i ne r) && depth.containsKey(i) &&
+        r.child.exists(n => n eq i))
+      depth.put(r, if (inner.isEmpty) 0 else inner.map(depth.get(_)).max + 1)
+    }
+    rebs.groupBy(depth.get(_)).toSeq.sortBy(-_._1).map(_._2)
   }
 
   def freshRdd(df: DataFrame): RDD[InternalRow] = {
@@ -164,11 +229,17 @@ object Prepared {
     val key = qe.analyzed.canonicalized
     val rm = sessionRddCache(spark)
     if (rddTier) rm.get(key) match {
-      case Some((rdd, shuffles)) =>
+      case Some((rdd, shuffles, rebroadcastGroups)) =>
         // honest re-drain: every map stage forgets its outputs first, so
-        // the scheduler recomputes the full DAG from the scans up
+        // the scheduler recomputes the full DAG from the scans up, and
+        // every broadcast relation is rebuilt (depth groups innermost-
+        // first, overlapped within a group) before the wrapper the DAG
+        // references is read again
         org.apache.spark.graft.ShuffleReset.forgetMapOutputs(
           spark.sparkContext, shuffles)
+        rebroadcastGroups.foreach { g =>
+          g.foreach(_.beginRefresh()); g.foreach(_.awaitRefresh())
+        }
         return rdd
       case None => ()
     }
@@ -180,9 +251,15 @@ object Prepared {
         if (rddTier && rddCacheable(p)) {
           // burn the plan instance into the cached DAG on purpose — this
           // tier's whole point is reusing the built artifact; run 1 needs
-          // no reset (no outputs registered yet)
-          val rdd = p.execute()
-          rm(key) = (rdd, org.apache.spark.graft.ShuffleReset.shuffleIds(rdd))
+          // no reset (no outputs registered yet) and builds generation-1
+          // broadcasts through the rewritten exchanges' wrappers
+          val rebroadcasts =
+            mutable.ArrayBuffer[org.apache.spark.graft.RebroadcastExchangeExec]()
+          val p2 = rewriteBroadcasts(p,
+            new java.util.IdentityHashMap[SparkPlan, SparkPlan](), rebroadcasts)
+          val rdd = p2.execute()
+          rm(key) = (rdd, org.apache.spark.graft.ShuffleReset.shuffleIds(rdd),
+            depthGroups(rebroadcasts.toSeq))
           rdd
         } else if (cacheable(p)) {
           m(key) = p

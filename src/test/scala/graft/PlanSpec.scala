@@ -627,16 +627,34 @@ class PlanSpec extends SparkSpec {
     assert(acc.value.longValue == 2 * afterRun1,
       s"re-drain processed ${acc.value.longValue - afterRun1} map rows, " +
         s"expected $afterRun1 — shuffle map stage was silently reused")
-    // broadcast-bearing plans must NOT land on the rdd tier (the built
-    // broadcast relation would be reused across runs): fresh RDD per run
-    import org.apache.spark.sql.functions.broadcast
+    // broadcast-bearing plans land on the rdd tier through the round-12
+    // rebroadcast rewrite: the DAG is reused, but the broadcast relation —
+    // including the shuffle INSIDE its build subtree — must honestly
+    // rebuild per drain. The build side here is an aggregate over orders
+    // with a map-side accumulator bump: if a re-drain reused the built
+    // hash relation (or skipped the build subtree's shuffle map stage),
+    // the second run would add zero.
+    import org.apache.spark.sql.functions.{broadcast, sum}
+    val bacc = spark.sparkContext.longAccumulator("graft_rebroadcast_honesty")
+    val bbump = udf { (x: Long) => bacc.add(1L); x }
+    val buildSide = Tables.load(spark, sf, "orders")
+      .select(bbump(col("o_orderkey")).as("k"))
+      .groupBy((col("k") % 1000).as("bk")).count()
+      .withColumnRenamed("count", "bc")
     val joined = Tables.load(spark, sf, "lineitem")
-      .join(broadcast(Tables.load(spark, sf, "orders").select("o_orderkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("l_returnflag")).count()
+      .join(broadcast(buildSide), col("l_orderkey") % 1000 === col("bk"))
+      .groupBy(col("l_returnflag")).agg(sum("bc").as("s"))
     val j1 = Prepared.freshRdd(joined)
+    val jr1 = j1.mapPartitions(it => Iterator.single(it.size.toLong)).collect().sum
+    val afterJoin1 = bacc.value.longValue
+    assert(afterJoin1 > 0, "broadcast build side never ran")
     val j2 = Prepared.freshRdd(joined)
-    assert(j1.id != j2.id, "broadcast plan landed on the prepared-RDD tier")
+    assert(j2 eq j1, "broadcast plan did not hit the prepared-RDD tier")
+    val jr2 = j2.mapPartitions(it => Iterator.single(it.size.toLong)).collect().sum
+    assert(jr2 == jr1, s"re-drain rows $jr2 != first drain $jr1")
+    assert(bacc.value.longValue == 2 * afterJoin1,
+      s"rebroadcast refresh processed ${bacc.value.longValue - afterJoin1} " +
+        s"build rows, expected $afterJoin1 — broadcast relation was silently reused")
     } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
   }
 }
