@@ -200,13 +200,13 @@ object Dedup {
     * broadcast builds).
     *
     * Scale: the classic two-phase df-count (partial below its exchange) +
-    * planner-chosen semi join. The small-data shape measured WORSE here
-    * (ngram sf10 25 → 41 s with allocation-stall warnings): the forced
-    * per-partition hash build of ~1.5M rare grams competes for execution
-    * memory with the explode and the downstream pair sorts, while the
-    * broadcast-vs-reuse pathology it fixes is a tiny-regime artifact (at
-    * scale estimates exceed the threshold and the semi shuffles both sides
-    * anyway, sharing the raw-gram exchange). */
+    * an ANTI hash probe against the FREQUENT grams (round 12 — see the
+    * branch comment for the sort accounting). The small-data shape measured
+    * WORSE here (ngram sf10 25 → 41 s with allocation-stall warnings): the
+    * forced per-partition hash build of ~1.5M RARE grams competes for
+    * execution memory with the explode and the downstream pair sorts — the
+    * anti probe's build is the df>cap COMPLEMENT, thousands of rows, which
+    * has no such footprint. */
   private[graft] def dfCapped(grams: DataFrame, maxDf: Int = MaxShingleDf): DataFrame = {
     val small = grams.sparkSession.conf
       .get("spark.graft.smallData", "false").toBoolean
@@ -224,9 +224,29 @@ object Dedup {
       gx.join(rare.hint("shuffle_hash"), Seq("g"), "left_semi")
         .select(col("doc_id"), col("g"))
     } else {
-      val rare = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf).select(col("g"))
-      grams.join(rare, Seq("g"), "left_semi").select(col("doc_id"), col("g"))
+      // Scale (round 12): the cap is an ANTI join against the FREQUENT
+      // grams — the tiny complement (df > maxDf is boilerplate: a few
+      // thousand grams at sf100) — hinted shuffle_hash with freq as build.
+      // The r11 semi-join against the RARE grams (≈ all ~250M distinct
+      // grams) planned as a SortMergeJoin, and because the semi output
+      // feeds three consumers with no exchange above it (self-join side a,
+      // side b, sizes), every consumer re-sorted BOTH semi inputs: r12
+      // StageProbe at sf100 counted six ~260M-row external sorts across
+      // the 4,717 s-CPU pair stage and the sizes stage. The anti probe is
+      // a per-partition hash lookup instead — no sort on either side, and
+      // re-probing per consumer is a few seconds of CPU, not a re-sort.
+      // Build safety at any scale: |freq| / shuffle-partitions rows per
+      // partition, and freq shrinks as boilerplate concentration drops —
+      // a corpus where freq IS large has a tiny capped output anyway.
+      // NULL semantics: left_anti KEEPS rows whose key matches nothing,
+      // including null g, where left_semi dropped them — the isNotNull
+      // guard restores exact semi/oracle semantics (g IN (...)) for
+      // callers that don't already filter nulls.
+      val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select(col("g"))
+      grams.filter(col("g").isNotNull)
+        .join(freq.hint("shuffle_hash"), Seq("g"), "left_anti")
+        .select(col("doc_id"), col("g"))
     }
   }
 
@@ -248,12 +268,13 @@ object Dedup {
     * gram set — KBs here.
     *
     * Scale: the pair set after the (a,b) aggregation is SMALLER than the
-    * gram set, so re-hashing pairs twice against a broadcast-able sizes
-    * table beats moving the full gram set through two extra exchanges
-    * (doc_id, then back to g): the size-carrying shape measured ngram sf10
-    * 25 → 33 s. The df-capped gram set arrives g-partitioned from the
-    * semi-join and the self-join consumes that partitioning with zero
-    * additional exchanges. */
+    * gram set, so re-hashing pairs twice against the per-doc sizes table
+    * beats moving the full gram set through two extra exchanges (doc_id,
+    * then back to g): the size-carrying shape measured ngram sf10
+    * 25 → 33 s. The df-capped grams flow through ONE explicit g-exchange
+    * (gx) shared by the self-join sides and the sizes aggregate, and the
+    * sizes joins are hinted shuffle-hash with sizes as build — receipts in
+    * the branch comment below (r12 StageProbe at sf100). */
   private[data] def jaccardPairs(grams: DataFrame): DataFrame = {
     val small = grams.sparkSession.conf
       .get("spark.graft.smallData", "false").toBoolean
@@ -274,13 +295,32 @@ object Dedup {
           (col("ic").cast("double") /
             (col("sa") + col("sb") - col("ic")).cast("double")).as("jac"))
     } else {
-      val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      // Round 12 (StageProbe at sf100: 471 s wall, 97 % core-busy — every
+      // second below is CPU removed, not rebalanced):
+      //
+      // 1. The df-cap arrives as an ANTI hash probe (dfCapped scale
+      //    branch), so the capped grams are hash(g)-partitioned with no
+      //    sort anywhere below; the self-join consumes that partitioning
+      //    directly and only pays its own two SMJ sorts. count(g), not
+      //    count(*), in sizes for the column-pruning hazard dfCapped
+      //    documents: a doc_id-only sizes subtree would be a DIFFERENT
+      //    exchange and the explode map work would run twice.
+      //
+      // 2. shuffle_hash on the sizes attachment joins, sizes as build. The
+      //    planner's sort-merge externally sorted the PAIR-SCALE ic set
+      //    twice (by a, then by b — 1,834 + 2,761 s CPU at sf100); the
+      //    per-doc sizes side is one 16-byte row per document, so its
+      //    per-partition hash build is |docs|/shuffle-partitions rows
+      //    (~2.5 MB at sf100/32) and scales with the partition count —
+      //    the agg_groupjoin/jaccardForCandidates bounded-build argument.
+      //    ic streams through both joins unsorted.
+      val sizes = grams.groupBy(col("doc_id")).agg(count(col("g")).as("sz"))
       val a = grams.toDF("a", "g")
       val b = grams.toDF("b", "g")
       val ic = a.join(b, Seq("g")).filter(col("a") < col("b"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ic"))
-      ic.join(sizes.toDF("a", "sa"), "a")
-        .join(sizes.toDF("b", "sb"), "b")
+      ic.join(sizes.toDF("a", "sa").hint("shuffle_hash"), "a")
+        .join(sizes.toDF("b", "sb").hint("shuffle_hash"), "b")
         .select(col("a"), col("b"), col("ic"),
           col("sa"), col("sb"),
           (col("ic").cast("double") /

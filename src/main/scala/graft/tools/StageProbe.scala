@@ -16,7 +16,13 @@ import scala.collection.mutable.ArrayBuffer
 object StageProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val name = args.headOption.getOrElse("tpch_q1")
+    // warmups=N (default 2): sf100 shingle queries spill 30-50 GB per run
+    // and this host only has ~53 GB headroom — probe those with warmups=1
+    // (the GC between runs below releases the previous run's shuffle files,
+    // same reason as Bench/QTime)
+    val (opts, rest) = args.partition(_.startsWith("warmups="))
+    val warmups = opts.headOption.map(_.stripPrefix("warmups=").toInt).getOrElse(2)
+    val name = rest.headOption.getOrElse("tpch_q1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString).toInt
     // Suite queries (tpcds_/job_/cb_/tpcxbb_) run under the SuiteBench
@@ -85,7 +91,7 @@ object StageProbe {
       val t1 = System.currentTimeMillis()
       (t0, t1)
     }
-    runOnce(); runOnce() // warmup
+    (0 until warmups).foreach { _ => runOnce(); System.gc(); Thread.sleep(1000) }
     Thread.sleep(500)
     recs.clear(); events.clear(); stageTasks.clear()
     val (t0, t1) = runOnce()

@@ -204,6 +204,27 @@ class DedupSpec extends SparkSpec {
       "pair endpoints must share a cluster rep")
   }
 
+  test("jaccardPairs small/scale branches produce identical rows") {
+    // The two regime branches of jaccardPairs (and dfCapped under them)
+    // differ only in exchange/join-strategy shape — size-carrying + hinted
+    // hash probes on small data vs the shared-g-exchange + shuffle-hash
+    // sizes attachment at scale (r12). The driver's oracle gate only ever
+    // runs the small branch (sf0.01 is tiny-regime), so this spec is what
+    // pins the SCALE branch to the same result set.
+    def rows(small: Boolean) = {
+      spark.conf.set("spark.graft.smallData", small.toString)
+      try SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+        .collect().map(_.toString).toSeq.sorted
+      finally spark.conf.unset("spark.graft.smallData")
+    }
+    val smallRows = rows(small = true)
+    val scaleRows = rows(small = false)
+    assert(smallRows.nonEmpty, "fixture corpus should produce jaccard pairs")
+    assert(smallRows == scaleRows,
+      s"branch divergence: ${(smallRows.toSet -- scaleRows.toSet).take(3)} vs " +
+        s"${(scaleRows.toSet -- smallRows.toSet).take(3)}")
+  }
+
   test("jaccard is symmetric-free (a < b) and within [0,1]") {
     val rows = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf).collect()
     assert(rows.forall { r =>
