@@ -106,16 +106,64 @@ case class SampleJoinReorder(spark: SparkSession) extends Rule[LogicalPlan]
     * auto-broadcast is disabled. A hint never changes results — only the
     * physical strategy — and the planner would make the same call itself
     * if its row counts were right. */
-  private def hintFor(leftBytes: Double, rightBytes: Double): JoinHint = {
-    val thr = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+  private def hintFor(leftBytes: Double, rightBytes: Double): JoinHint =
+    hintForSides(leftBytes, rightBytes,
+      Double.PositiveInfinity, Double.PositiveInfinity, false, false)
+
+  /** Equivalent shuffle rows of one SERIALIZED broadcast-stage round
+    * (conf-overridable for tests). Broadcasting a COMPOSITE subtree nests
+    * that subtree inside the BroadcastQueryStage, so a chain of such hints
+    * materializes strictly sequentially — StageProbe on JOB q11b measured 8
+    * one-at-a-time AQE stages with ~40 ms of driver re-plan gap each, where
+    * the unhinted plan runs its independent leaf stages concurrently. At
+    * this host's measured exchange throughput (~10M narrow rows/s/stage)
+    * 40 ms ≈ 4e5 rows: a composite-side hint must save at least a probe
+    * exchange of that order to buy its serialization. Leaf-side broadcasts
+    * are exempt — broadcast-over-scan stages are independent leaf stages
+    * and AQE materializes them concurrently. */
+  private def stagePenaltyRows: Double =
+    spark.conf.getOption("spark.graft.sampleReorder.stagePenaltyRows")
+      .map(_.toDouble).getOrElse(SampleJoinReorder.StagePenaltyRows)
+
+  /** [[hintFor]] with the serialized-stage pricing (VERDICT r11 #3): a side
+    * that CONTAINS joins ("composite") is only hinted when the probe side's
+    * estimated rows exceed [[stagePenaltyRows]] — otherwise the saved
+    * exchange is smaller than the dependent-stage chain the hint creates,
+    * the reproducible JOB q6f/q7c/q11b loss (+0.3–0.8 s on tiny-result
+    * variants). penaltyRows = 0 reproduces the r11 behavior exactly (the
+    * gate never fires and the DP surcharge is zero), which is the A/B
+    * lever. */
+  private def hintForSides(leftBytes: Double, rightBytes: Double,
+      leftRows: Double, rightRows: Double,
+      leftComposite: Boolean, rightComposite: Boolean): JoinHint =
+    hintCore(leftBytes, rightBytes, leftRows, rightRows,
+      leftComposite, rightComposite,
+      org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold,
+      stagePenaltyRows)
+
+  /** [[hintForSides]] with the two conf reads hoisted — the DP calls this
+    * inside its 3^n split enumeration, where a per-call conf lookup is
+    * measurable. */
+  private def hintCore(leftBytes: Double, rightBytes: Double,
+      leftRows: Double, rightRows: Double,
+      leftComposite: Boolean, rightComposite: Boolean,
+      thr: Long, penaltyRows: Double): JoinHint = {
     if (thr <= 0) JoinHint.NONE
     else {
       val b = Some(HintInfo(strategy = Some(BROADCAST)))
       val lFit = leftBytes <= thr
       val rFit = rightBytes <= thr
-      if (lFit && (!rFit || leftBytes <= rightBytes)) JoinHint(b, None)
-      else if (rFit) JoinHint(None, b)
-      else JoinHint.NONE
+      if (!lFit && !rFit) JoinHint.NONE
+      else {
+        val pickLeft = lFit && (!rFit || leftBytes <= rightBytes)
+        if (pickLeft) {
+          if (leftComposite && rightRows <= penaltyRows) JoinHint.NONE
+          else JoinHint(b, None)
+        } else {
+          if (rightComposite && leftRows <= penaltyRows) JoinHint.NONE
+          else JoinHint(None, b)
+        }
+      }
     }
   }
 
@@ -309,6 +357,31 @@ case class SampleJoinReorder(spark: SparkSession) extends Rule[LogicalPlan]
       card(s) = c
       s += 1
     }
+    // estimated bytes per subset (for broadcast-side hints): card × row
+    // width, row width = 8 + Σ member-leaf column widths
+    val colW = leaves.map(_.output.map(_.dataType.defaultSize).sum)
+    def bytesOfMask(sMask: Int): Double = {
+      var w = 8.0; var i = 0
+      while (i < n) { if ((sMask & (1 << i)) != 0) w += colW(i); i += 1 }
+      card(sMask) * w
+    }
+    // the hint an (s1, s2) split would carry — shared by the DP pricing
+    // below and the emitted tree so the cost model prices the plan that is
+    // actually built (conf reads hoisted out of the 3^n enumeration)
+    val bcastThr = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    val penaltyRows = stagePenaltyRows
+    def hintOfSplit(s1: Int, s2: Int): JoinHint =
+      hintCore(bytesOfMask(s1), bytesOfMask(s2), card(s1), card(s2),
+        Integer.bitCount(s1) > 1, Integer.bitCount(s2) > 1, bcastThr, penaltyRows)
+    // serialized-stage surcharge (VERDICT r11 #3 — price stage parallelism):
+    // a split whose hint broadcasts a COMPOSITE side nests a dependent
+    // broadcast stage; charge one stagePenaltyRows-equivalent so the DP
+    // prefers an order with concurrent leaf-side builds when C_out is close
+    def stageCost(s1: Int, s2: Int): Double = hintOfSplit(s1, s2) match {
+      case JoinHint(Some(_), _) if Integer.bitCount(s1) > 1 => penaltyRows
+      case JoinHint(_, Some(_)) if Integer.bitCount(s2) > 1 => penaltyRows
+      case _ => 0.0
+    }
     // DP: best cost + winning split per connected subset
     val cost = Array.fill(full + 1)(Double.PositiveInfinity)
     val split = new Array[Int](full + 1)
@@ -329,7 +402,7 @@ case class SampleJoinReorder(spark: SparkSession) extends Rule[LogicalPlan]
                     (cMasks(k) & s1) != 0 && (cMasks(k) & s2) != 0
                 }
                 if (connects) {
-                  val c = cost(s1) + cost(s2) + card(sMask)
+                  val c = cost(s1) + cost(s2) + card(sMask) + stageCost(s1, s2)
                   // strict tie-break on the split mask keeps the plan
                   // deterministic under equal costs (idempotence)
                   if (c < cost(sMask) ||
@@ -347,14 +420,6 @@ case class SampleJoinReorder(spark: SparkSession) extends Rule[LogicalPlan]
       size += 1
     }
     if (!cost(full).isFinite) return None
-    // estimated bytes per subset (for broadcast-side hints): card × row
-    // width, row width = 8 + Σ member-leaf column widths
-    val colW = leaves.map(_.output.map(_.dataType.defaultSize).sum)
-    def bytesOfMask(sMask: Int): Double = {
-      var w = 8.0; var i = 0
-      while (i < n) { if ((sMask & (1 << i)) != 0) w += colW(i); i += 1 }
-      card(sMask) * w
-    }
     // emit, attaching each conjunct at the first join covering its refs;
     // each emitted join carries a broadcast hint when a side's estimated
     // bytes fit the threshold — the sampled estimates are the whole point
@@ -378,7 +443,7 @@ case class SampleJoinReorder(spark: SparkSession) extends Rule[LogicalPlan]
             !((cMasks(k) & s1) == cMasks(k)) && !((cMasks(k) & s2) == cMasks(k))
         }.map(conds)
         Join(pruneTo(build(s1), neededAbove(s1)), pruneTo(build(s2), neededAbove(s2)),
-          Inner, applicable.reduceOption(And), hintFor(bytesOfMask(s1), bytesOfMask(s2)))
+          Inner, applicable.reduceOption(And), hintOfSplit(s1, s2))
       }
     Some(build(full))
   }
@@ -487,10 +552,14 @@ case class SampleJoinReorder(spark: SparkSession) extends Rule[LogicalPlan]
         c.references.subsetOf(result.outputSet ++ p.outputSet)).toSeq
       unused --= applicable
       // cross joins from a disconnected remainder stay unhinted — the
-      // planner's own nested-loop handling is not worth overriding blind
+      // planner's own nested-loop handling is not worth overriding blind.
+      // The accumulated prefix is composite after the first join — same
+      // serialized-stage gate as the DP (hintForSides doc)
+      val prefixComposite = result.exists(_.isInstanceOf[Join])
       val hint =
         if (applicable.isEmpty) JoinHint.NONE
-        else hintFor(bytesOf(result, resultRows), bytesOf(p, pRows))
+        else hintForSides(bytesOf(result, resultRows), bytesOf(p, pRows),
+          resultRows, pRows, prefixComposite, false)
       result = Join(result, p,
         if (applicable.isEmpty) Cross else Inner,
         applicable.reduceOption(And), hint)
@@ -524,6 +593,21 @@ object SampleJoinReorder {
     * enumeration itself becomes a planning-latency hazard (3^17 ≈ 129M)
     * and the greedy pass stays. */
   val DpMaxRelations: Int = 14
+
+  /** Default serialized-stage price in C_out row units (see
+    * [[SampleJoinReorder!.hintForSides]]). Calibrated EMPIRICALLY on the
+    * JOB ×50 fleet (r12): at 4e5 (the naive 40 ms × 10M rows/s estimate)
+    * the gate suppressed PROFITABLE composite hints on 16 queries — q1a
+    * lost its pure-broadcast pipeline (4 BHJ → 2 BHJ + 2 SMJ) and the
+    * fleet net win dropped from −17.9 % to −13.7 % — while at 5e4 every
+    * JOB ×50 plan is bit-identical to the ungated rule (probes above 50k
+    * rows keep their hints). The crossover is low because a suppressed
+    * hint does not restore the CBO's own order: it yields the DP's order
+    * WITHOUT its broadcasts, whose SMJ exchanges cost more than the
+    * serialized stage chain for any probe beyond ~50k rows on local[32].
+    * Conf-overridable via spark.graft.sampleReorder.stagePenaltyRows
+    * (0 = r11 behavior, gate and DP surcharge both off). */
+  val StagePenaltyRows: Double = 5e4
 
   private val sampleCache = new ConcurrentHashMap[String, (DataFrame, Double)]()
   private val selCache = new ConcurrentHashMap[String, Double]()

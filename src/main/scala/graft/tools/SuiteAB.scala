@@ -35,6 +35,7 @@ object SuiteAB {
       case n if n.startsWith("tpcxbb_q") => graft.tpcds.Tpcxbb.run(spark, n.stripPrefix("tpcxbb_q"))
       case n if n.startsWith("job_q") => graft.job.Job.run(spark, n.stripPrefix("job_q"))
       case n if n.startsWith("cb_q") => graft.clickbench.Clickbench.run(spark, n.stripPrefix("cb_q"))
+      case n if n.startsWith("ssb2_q") => graft.ssb.Ssb.run(spark, n.stripPrefix("ssb2_q"), simplified = true)
       case n if n.startsWith("ssb_q") => graft.ssb.Ssb.run(spark, n.stripPrefix("ssb_q"), simplified = false)
       case other => throw new IllegalArgumentException(s"unknown suite query: $other")
     }

@@ -383,6 +383,68 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.sampleReorder.enabled", "true")
   }
 
+  test("sample broadcast hints: composite-side hint is gated by probe size (serialized-stage pricing)") {
+    // Broadcasting a COMPOSITE subtree (one that contains joins) nests its
+    // build inside the BroadcastQueryStage, so a chain of such hints
+    // materializes its AQE stages strictly sequentially (~40 ms driver gap
+    // each, StageProbe on JOB q11b). The rule therefore only hints a
+    // composite side when the probe side's estimated rows exceed
+    // spark.graft.sampleReorder.stagePenaltyRows — below that the saved
+    // exchange is cheaper than the serialization it buys.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+    val dir = java.nio.file.Files.createTempDirectory("graft_sp_").toString
+    new java.io.File(s"$dir/_samples").mkdirs()
+    def save(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      df.coalesce(1).write.parquet(s"$dir/$name.parquet")
+      df.limit(2000).coalesce(1).write.parquet(s"$dir/_samples/$name.parquet")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/_samples/$name.count"),
+        df.count().toString.getBytes("UTF-8"))
+    }
+    save("sp_s1", (0 until 300).map(i => (i.toLong, (i % 300).toLong)).toDF("s1_k", "s1_j"))
+    save("sp_s2", (0 until 300).map(i => ((i % 300).toLong, i.toLong)).toDF("s2_j", "s2_v"))
+    save("sp_probe", (0 until 20000).map(i => ((i % 300).toLong, i.toLong)).toDF("p_k", "p_v"))
+    def q(): org.apache.spark.sql.DataFrame = {
+      val s1 = spark.read.parquet(s"$dir/sp_s1.parquet")
+      val s2 = spark.read.parquet(s"$dir/sp_s2.parquet")
+      val probe = spark.read.parquet(s"$dir/sp_probe.parquet")
+      probe.join(s1, col("p_k") === col("s1_k")).join(s2, col("s1_j") === col("s2_j"))
+    }
+    def topHint(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect { case j: Join => j }.head.hint
+    def hasBroadcastSide(h: org.apache.spark.sql.catalyst.plans.logical.JoinHint) =
+      Seq(h.leftHint, h.rightHint).flatten.exists(_.strategy.contains(BROADCAST))
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // threshold sized so ONLY the tiny composite (s1⋈s2, est ~300 rows ×
+    // 40 B = 12 kB) fits — the 20k-row probe (480 kB) must not, or the
+    // leaf-preference path would broadcast the probe and bypass the gate
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "50000")
+    spark.conf.set("spark.graft.sampleReorder.enabled", "true")
+    try {
+      // probe est rows (20000) <= default penalty (4e5): hint suppressed
+      val gated = topHint(q())
+      assert(!hasBroadcastSide(gated),
+        s"composite-side hint must be gated when the probe is small: $gated")
+      // penalty lowered below the probe rows: the composite side is hinted
+      spark.conf.set("spark.graft.sampleReorder.stagePenaltyRows", "1000")
+      val hinted = topHint(q())
+      assert(hasBroadcastSide(hinted),
+        s"composite-side hint must fire when the probe exchange outweighs the penalty: $hinted")
+      // the hint decision must not change results
+      spark.conf.unset("spark.graft.sampleReorder.stagePenaltyRows")
+      val onRows = q().collect().map(_.toString).sorted.toSeq
+      spark.conf.set("spark.graft.sampleReorder.enabled", "false")
+      val offRows = q().collect().map(_.toString).sorted.toSeq
+      assert(onRows == offRows, "gated hints must not change results")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+      spark.conf.unset("spark.graft.sampleReorder.stagePenaltyRows")
+      spark.conf.set("spark.graft.sampleReorder.enabled", "true")
+    }
+  }
+
   test("bucketed layout: q21's fact pipeline is exchange-free; results match plain layout") {
     // Tables.load prefers a `_bucketed/<table>` layout (written by ScaleUp)
     // and registers it as a bucketed catalog table — the Spark analog of the
